@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.core.{Geo, Quant, Tables}
+import graft.grid.Gridding
+import graft.index.{CellFunctions, Cells}
+import org.apache.spark.sql.functions._
+
+/**
+ * Spatial layer: geocode -> cell index -> gridding (SURVEY.md §2.3, §2.11
+ * and the north rule's H3/S2 index). Every query here has a bit-exact
+ * DuckDB oracle: the geocode and quantization are integer-derived and the
+ * cell id is pure bit arithmetic, so Spark and DuckDB agree to the last
+ * bit.
+ */
+object Spatial {
+  final val Res = 10 // standard index resolution for the oracle queries
+
+  private def docsGeo(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Geo.withGeo(Tables.documents(s, dir))
+
+  private val cellCte: String =
+    s"""pts AS (SELECT doc_id, n_chars, ${Geo.lonSql("doc_id")} AS lon,
+       |  ${Geo.latSql("doc_id")} AS lat FROM documents),
+       |cxy AS (SELECT doc_id, n_chars, lon, lat,
+       |  ${Cells.cxSql("lon", Res)} AS cx, ${Cells.cySql("lat", Res)} AS cy FROM pts),
+       |cells AS (SELECT doc_id, n_chars, lon, lat,
+       |  ${Cells.packSql("cx", "cy", Res)} AS cell FROM cxy)""".stripMargin
+
+  /** Geocode + codegen'd cell-id expression; checks tile assignments
+    * (north rule: "matching ... tile assignments"). */
+  val q_geocode_cell: QueryDef = QueryDef.sqlChecked(
+    "q_geocode_cell",
+    s"""WITH $cellCte
+       |SELECT doc_id, lon, lat, cell FROM cells ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    docsGeo(s, dir)
+      .withColumn("cell", CellFunctions.cellId(col("lon"), col("lat"), Res))
+      .select("doc_id", "lon", "lat", "cell")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-cell doc count + payload bytes — the skew/partition histogram
+    * the engine's salted repartitioning is driven by. */
+  val q_cell_hist: QueryDef = QueryDef.sqlChecked(
+    "q_cell_hist",
+    s"""WITH $cellCte
+       |SELECT cell, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+       |FROM cells GROUP BY cell ORDER BY cell""".stripMargin) { (s, dir) =>
+    docsGeo(s, dir)
+      .withColumn("cell", CellFunctions.cellId(col("lon"), col("lat"), Res))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("cell"))
+  }
+
+  /** DSM max-grid with the reference's 2x2 splat (operator A1). */
+  val q_dsm_grid: QueryDef = QueryDef.sqlChecked(
+    "q_dsm_grid",
+    s"""WITH ${Gridding.splatCte}
+       |SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy
+       |ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+    Gridding.dsm(Gridding.points(docsGeo(s, dir))).orderBy(col("gx"), col("gy"))
+  }
+
+  /** MIN-grid (A1 min mode). */
+  val q_min_grid: QueryDef = QueryDef.sqlChecked(
+    "q_min_grid",
+    s"""WITH ${Gridding.splatCte}
+       |SELECT gx, gy, min(qz) AS v FROM splat GROUP BY gx, gy
+       |ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+    Gridding.minGrid(Gridding.points(docsGeo(s, dir))).orderBy(col("gx"), col("gy"))
+  }
+
+  /** Exact per-cell median, upper-middle sorted[n/2] (A8). */
+  val q_median_grid: QueryDef = QueryDef.sqlChecked(
+    "q_median_grid",
+    s"""WITH ${Gridding.splatCte}
+       |SELECT gx, gy,
+       |  list_sort(list(qz))[CAST(count(*) // 2 AS INT) + 1] AS v
+       |FROM splat GROUP BY gx, gy ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+    Gridding.medianGrid(Gridding.points(docsGeo(s, dir))).orderBy(col("gx"), col("gy"))
+  }
+
+  /** Grid zip J1: DSM - MIN with clamp at 0 (pubgeo orthoimage.h:612-647
+    * via shr3d.cpp:146 — the "var" grid feeding tree detection). */
+  val q_grid_zip: QueryDef = QueryDef.sqlChecked(
+    "q_grid_zip",
+    s"""WITH ${Gridding.splatCte},
+       |dsm AS (SELECT gx, gy, max(qz) AS va FROM splat GROUP BY gx, gy),
+       |mn  AS (SELECT gx, gy, min(qz) AS vb FROM splat GROUP BY gx, gy)
+       |SELECT dsm.gx AS gx, dsm.gy AS gy, greatest(0, va - vb) AS v
+       |FROM dsm JOIN mn ON dsm.gx = mn.gx AND dsm.gy = mn.gy
+       |ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+    val pts = Gridding.points(docsGeo(s, dir))
+    Gridding.zipSubClamp(Gridding.dsm(pts), Gridding.minGrid(pts))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** Dequantize round-trip (P6): raw -> meters for the DSM grid, checked
+    * as exact doubles. */
+  val q_dsm_meters: QueryDef = QueryDef.sqlChecked(
+    "q_dsm_meters",
+    s"""WITH ${Gridding.splatCte}
+       |SELECT gx, gy,
+       |  CAST(max(qz) AS DOUBLE) * (22.0 / 65535.0) + (-1.0) AS z_m
+       |FROM splat GROUP BY gx, gy ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+    Gridding.dsm(Gridding.points(docsGeo(s, dir)))
+      .select(col("gx"), col("gy"), Quant.deq(col("v")).as("z_m"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q_geocode_cell, q_cell_hist, q_dsm_grid, q_min_grid, q_median_grid,
+    q_grid_zip, q_dsm_meters)
+}
