@@ -1,0 +1,123 @@
+package graft.join
+
+import graft.index.{CellFunctions, Cells}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+import org.locationtech.jts.io.WKTReader
+
+/**
+ * Spatial joins added by the north rule (SURVEY.md §2.4 J4/J5). The
+ * reference has no relational joins; its nearest analog is the
+ * point-to-grid splat (pubgeo `src/common/orthoimage.h:400-409`).
+ *
+ * Scale design:
+ *  - PIP: polygons explode to covering index cells (small table,
+ *    broadcast); points carry one codegen'd cell id; the join is a
+ *    broadcast hash equi-join on the cell, and the exact JTS test runs
+ *    only on cell-colocated candidates. No shuffle of the point table.
+ *  - kNN: candidate cells grow in Chebyshev rings around each query
+ *    (geometric radius growth) until the kth-neighbor distance is
+ *    provably inside the ring (points outside disk(r) are at coordinate
+ *    distance >= r * cellHeight). Per round: one broadcast join + one
+ *    per-query window rank. Exact — matches brute force bit-for-bit.
+ */
+object SpatialJoins {
+
+  /** Executor-side cache of prepared geometries, keyed by WKT. */
+  private object Geoms {
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, PreparedGeometry]()
+    @transient private lazy val gf = new GeometryFactory()
+
+    def prepared(wkt: String): PreparedGeometry =
+      cache.computeIfAbsent(wkt, w =>
+        PreparedGeometryFactory.prepare(new WKTReader(gf).read(w)))
+
+    def contains(wkt: String, lon: Double, lat: Double): Boolean =
+      prepared(wkt).contains(gf.createPoint(new Coordinate(lon, lat)))
+  }
+
+  /** Interior-only point-in-polygon join: docs (doc_id, lon, lat) x AOIs.
+    * Returns (aoi_id, doc_id, lon, lat). */
+  def pointInPolygon(spark: SparkSession, pts: DataFrame, aois: Seq[Aoi.AoiDef],
+                     res: Int = 7): DataFrame = {
+    import spark.implicits._
+    val gf = new GeometryFactory()
+    val candRows = aois.flatMap { a =>
+      val env = new WKTReader(gf).read(a.wkt).getEnvelopeInternal
+      Cells.cover(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, res)
+        .map(c => (c, a.aoiId, a.wkt))
+    }
+    val cand = candRows.toDF("cell", "aoi_id", "wkt")
+    val containsUdf = udf((wkt: String, lon: Double, lat: Double) =>
+      Geoms.contains(wkt, lon, lat))
+    pts.withColumn("cell", CellFunctions.cellId(col("lon"), col("lat"), res))
+      .join(broadcast(cand), "cell")
+      .filter(containsUdf(col("wkt"), col("lon"), col("lat")))
+      .select(col("aoi_id"), col("doc_id"), col("lon"), col("lat"))
+  }
+
+  final case class KnnQuery(qid: Int, qlon: Double, qlat: Double)
+
+  val DefaultKnnQueries: Seq[KnnQuery] = Seq(
+    KnnQuery(0, -170.1005, -75.2005), KnnQuery(1, -120.3005, -45.6005),
+    KnnQuery(2, -60.7005, -10.1005), KnnQuery(3, -10.2005, 5.3005),
+    KnnQuery(4, 30.4005, 25.7005), KnnQuery(5, 80.6005, 45.2005),
+    KnnQuery(6, 130.8005, 65.4005), KnnQuery(7, 179.0005, 80.0005))
+
+  /** Exact kNN join via ring-expansion candidate join + window rank.
+    * Output (qid, doc_id, d2, rank) equals brute force (ties broken by
+    * doc_id). Distance is squared coordinate-space euclidean. */
+  def knnJoin(spark: SparkSession, pts: DataFrame, queries: Seq[KnnQuery],
+              k: Int = 5, res: Int = 6): DataFrame = {
+    import spark.implicits._
+    val ptsC = pts
+      .withColumn("cell", CellFunctions.cellId(col("lon"), col("lat"), res))
+      .persist()
+    try {
+      val cellH = 180.0 / (1L << res).toDouble
+      val maxR = 1 << res
+      var pending = queries
+      var r = 1
+      var done = Vector.empty[DataFrame]
+      while (pending.nonEmpty) {
+        val cand = pending.flatMap { q =>
+          Cells.disk(Cells.encode(q.qlon, q.qlat, res), r)
+            .map(c => (q.qid, q.qlon, q.qlat, c))
+        }.toDF("qid", "qlon", "qlat", "cell")
+        val joined = ptsC.join(broadcast(cand), "cell")
+          .withColumn("d2",
+            (col("lon") - col("qlon")) * (col("lon") - col("qlon"))
+              + (col("lat") - col("qlat")) * (col("lat") - col("qlat")))
+        val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("doc_id"))
+        val topk = joined.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("qid"), col("doc_id"), col("d2"), col("rank"))
+          .persist()
+        val stats = topk.groupBy(col("qid"))
+          .agg(count(lit(1)).as("n"), max(col("d2")).as("maxd2"))
+          .collect()
+          .map(row => row.getInt(0) -> ((row.getLong(1), row.getDouble(2))))
+          .toMap
+        val guarantee = r.toDouble * cellH
+        val finished = pending.filter { q =>
+          r >= maxR || stats.get(q.qid).exists { case (n, maxd2) =>
+            n >= k && math.sqrt(maxd2) <= guarantee
+          }
+        }
+        if (finished.nonEmpty) {
+          val ids = finished.map(_.qid)
+          done :+= topk.filter(col("qid").isin(ids: _*))
+        }
+        pending = pending.filterNot(q => finished.exists(_.qid == q.qid))
+        r = math.min(r * 2, maxR)
+      }
+      val out = done.reduce(_ unionByName _).orderBy(col("qid"), col("rank"))
+      out.count() // materialize before unpersisting the point cache
+      out
+    } finally ptsC.unpersist()
+  }
+}

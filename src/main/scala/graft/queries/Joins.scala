@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.core.{Geo, Tables}
+import graft.join.{Aoi, SpatialJoins}
+import org.apache.spark.sql.functions._
+
+/** North-rule spatial joins (SURVEY.md §2.4 J4/J5) with brute-force
+  * DuckDB oracles. */
+object Joins {
+
+  private val ptsCte =
+    s"""pts AS (SELECT doc_id, ${Geo.lonSql("doc_id")} AS lon,
+       |  ${Geo.latSql("doc_id")} AS lat FROM documents)""".stripMargin
+
+  /** Point-in-polygon join against the built-in AOI set. The oracle is
+    * per-AOI strict inequalities / cross-product sign tests; the engine
+    * is the generic cell-candidate + JTS path — results must agree
+    * exactly (AOI vertices are chosen off the doc coordinate lattice). */
+  val q_pip_join: QueryDef = QueryDef.sqlChecked(
+    "q_pip_join",
+    s"""WITH $ptsCte
+       |SELECT aoi_id, doc_id FROM (
+       |${Aoi.oracleHitsSql}
+       |) hits ORDER BY aoi_id, doc_id""".stripMargin) { (s, dir) =>
+    val pts = Geo.withGeo(Tables.documents(s, dir)).select("doc_id", "lon", "lat")
+    SpatialJoins.pointInPolygon(s, pts, Aoi.defs)
+      .select(col("aoi_id"), col("doc_id"))
+      .orderBy(col("aoi_id"), col("doc_id"))
+  }
+
+  /** kNN join: 8 fixed query points, k=5, vs brute force in SQL. */
+  val q_knn_join: QueryDef = {
+    val qs = SpatialJoins.DefaultKnnQueries
+    val valuesSql = qs.map(q => s"(${q.qid}, ${q.qlon}, ${q.qlat})").mkString(", ")
+    QueryDef.sqlChecked(
+      "q_knn_join",
+      s"""WITH $ptsCte,
+         |q(qid, qlon, qlat) AS (VALUES $valuesSql),
+         |d AS (SELECT qid, doc_id,
+         |  (lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat) AS d2
+         |  FROM pts CROSS JOIN q)
+         |SELECT qid, doc_id, d2, CAST(rn AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, doc_id) AS rn
+         |  FROM d) t
+         |WHERE rn <= 5 ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+      val pts = Geo.withGeo(Tables.documents(s, dir)).select("doc_id", "lon", "lat")
+      SpatialJoins.knnJoin(s, pts, qs, k = 5)
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q_pip_join, q_knn_join)
+}

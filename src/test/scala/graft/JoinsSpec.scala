@@ -1,0 +1,43 @@
+package graft
+
+import graft.core.{Geo, Tables}
+import graft.join.{Aoi, SpatialJoins}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+
+  private lazy val pts =
+    Geo.withGeo(Tables.documents(spark, sfSmoke)).select("doc_id", "lon", "lat")
+
+  test("pip join equals per-AOI strict predicate evaluation") {
+    val got = SpatialJoins.pointInPolygon(spark, pts, Aoi.defs)
+      .select("aoi_id", "doc_id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    // independent Spark-side brute force from the SQL predicates
+    val want = Aoi.defs.flatMap { a =>
+      pts.filter(expr(a.oracleSqlPredicate))
+        .select("doc_id").collect().map(r => (a.aoiId, r.getLong(0)))
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("knn join equals brute force") {
+    val qs = SpatialJoins.DefaultKnnQueries
+    val got = SpatialJoins.knnJoin(spark, pts, qs, k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(3))).toSeq
+    import spark.implicits._
+    val qdf = qs.map(q => (q.qid, q.qlon, q.qlat)).toDF("qid", "qlon", "qlat")
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("doc_id"))
+    val want = pts.crossJoin(qdf)
+      .withColumn("d2",
+        (col("lon") - col("qlon")) * (col("lon") - col("qlon"))
+          + (col("lat") - col("qlat")) * (col("lat") - col("qlat")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .orderBy(col("qid"), col("rank"))
+      .collect().map(r => (r.getInt(r.fieldIndex("qid")), r.getLong(r.fieldIndex("doc_id")),
+        r.getInt(r.fieldIndex("rank")))).toSeq
+    assert(got == want)
+    assert(got.size == qs.size * 5)
+  }
+}
