@@ -1,0 +1,145 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication family for the web-doc table (training-data pipeline
+ * ops): exact, MinHash+LSH, SimHash, n-gram Jaccard. All hash math is
+ * integer (md5-derived), so results are engine- and partitioning-
+ * independent.
+ *
+ * Scale notes: exact dedup is one hash aggregate on the key; MinHash is
+ * explode(shingles) -> one hash aggregate (map-side partial min) with
+ * signatures as H columns, not rows; LSH pairs self-join only within
+ * band buckets (skew-safe: bucket sizes are capped before the join).
+ */
+object Dedup {
+
+  // ---- exact ------------------------------------------------------------
+
+  /** Keeper = min id per duplicate group of `key`. */
+  def exactGroups(df: DataFrame, key: String, id: String = "doc_id"): DataFrame =
+    df.groupBy(col(key))
+      .agg(min(col(id)).as("keeper"), count(lit(1)).as("copies"))
+
+  /** Drop all but the keeper row per key — one shuffle, no join. */
+  def dropDuplicatesKeepMin(df: DataFrame, key: String, id: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(id))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  final val MinHashP = 2147483647L // 2^31 - 1
+  final val NumHashes = 16
+  def hashA(j: Int): Long = 1000003L + j.toLong * 7919L
+  def hashB(j: Int): Long = 12345L + j.toLong * 104729L
+
+  /** MinHash signatures over word 3-gram shingles: one row per doc,
+    * columns m0..m{H-1}. Docs with < 3 tokens get no row. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = TextOps.shingles3(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("hv", TextOps.hexToLong(md5(col("s")), 8))
+    val aggs = (0 until NumHashes).map { j =>
+      min((lit(hashA(j)) * col("hv") + lit(hashB(j))) % lit(MinHashP)).as(s"m$j")
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** SQL dual of [[minhashSignatures]] (expects `documents`). */
+  def minhashSignaturesSql: String = {
+    val mins = (0 until NumHashes).map { j =>
+      s"min((${hashA(j)} * hv + ${hashB(j)}) % $MinHashP) AS m$j"
+    }.mkString(",\n  ")
+    s"""WITH ${TextOps.shingleCteSql},
+       |h AS (SELECT doc_id, ${TextOps.hexToLongSql("md5(s)", 8)} AS hv FROM sh)
+       |SELECT doc_id, $mins FROM h GROUP BY doc_id""".stripMargin
+  }
+
+  /** LSH candidate pairs from signatures: `bands` bands of `rows` hashes;
+    * docs sharing any band bucket pair up; est_sim = matching hash
+    * fraction. Returns (doc1, doc2, est_sim). */
+  def lshPairs(sigs: DataFrame, bands: Int = 4, rows: Int = 4): DataFrame = {
+    require(bands * rows == NumHashes)
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => col(s"m${b * rows + r}").cast("string"))
+      struct(lit(b).as("band"), concat_ws("_", cols: _*).as("key")).as(s"b$b")
+    }
+    val exploded = sigs
+      .withColumn("bk", explode(array(bandCols: _*)))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .distinct()
+    val simExpr = (0 until NumHashes)
+      .map(j => when(col(s"s1.m$j") === col(s"s2.m$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sigs.as("s1"), col("doc1") === col("s1.doc_id"))
+      .join(sigs.as("s2"), col("doc2") === col("s2.doc_id"))
+      .select(col("doc1"), col("doc2"),
+        (simExpr.cast("double") / lit(NumHashes.toDouble)).as("est_sim"))
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  final val SimHashBits = 16
+
+  /** 16-bit SimHash over tokens (with multiplicity). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("th", TextOps.hexToLong(md5(col("tok")), 4))
+    val bitSums = (0 until SimHashBits).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"s$b")
+    }
+    val packed = (0 until SimHashBits)
+      .map(b => when(col(s"s$b") > 0L, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  def simhashSql: String = {
+    val sums = (0 until SimHashBits).map { b =>
+      s"sum(CASE WHEN ((th >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n  ")
+    val packed = (0 until SimHashBits)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS tok FROM documents),
+       |h AS (SELECT doc_id, ${TextOps.hexToLongSql("md5(tok)", 4)} AS th FROM tok),
+       |bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM bits""".stripMargin
+  }
+
+  // ---- n-gram Jaccard -----------------------------------------------------
+
+  /** Exact Jaccard over distinct 3-gram shingle sets for all pairs within
+    * a (small, pre-filtered) doc set. */
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    val d = TextOps.shingles3(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .distinct()
+    val sz = d.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = d.as("a").join(d.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sz.as("na"), col("d1") === col("na.doc_id"))
+      .join(sz.as("nb"), col("d2") === col("nb.doc_id"))
+      .select(col("d1"), col("d2"), col("n_inter"),
+        (col("n_inter") / (col("na.n") + col("nb.n") - col("n_inter"))).as("jaccard"))
+  }
+}

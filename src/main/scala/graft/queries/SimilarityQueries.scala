@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.similarity.Ann
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity + multimodal-metadata pack. */
+object SimilarityQueries {
+
+  final val Dim = 64
+
+  /** Exact cosine top-10: query vectors vec_id < 3 vs the rest. The
+    * DuckDB dual folds the dot product with list_reduce in the same
+    * order as Spark's aggregate(), so cosines match bit-for-bit. */
+  val q_ann_topk: QueryDef = QueryDef.sqlChecked(
+    "q_ann_topk",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+       |t AS (SELECT vec_id, v FROM e WHERE vec_id >= 3),
+       |d AS (SELECT qid, vec_id,
+       |  list_reduce(list_transform(range(1, ${Dim + 1}), i -> qv[i] * v[i]),
+       |              (x, y) -> x + y) AS cos
+       |  FROM q CROSS JOIN t)
+       |SELECT qid, vec_id, cos, CAST(rn AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |  FROM d) z
+       |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+    val e = Ann.withVec(Tables.embeddings(s, dir))
+    val q = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val t = e.filter(col("vec_id") >= 3).select(col("vec_id"), col("v"))
+    Ann.bruteForceTopK(q, t, 10).orderBy(col("qid"), col("rank"))
+  }
+
+  /** Per-vector squared L2 norm (exact fold) + label. */
+  val q_embed_norm: QueryDef = QueryDef.sqlChecked(
+    "q_embed_norm",
+    """SELECT vec_id, label,
+      |  list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+      |              (a, b) -> a + b) AS norm2
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        expr("aggregate(transform(cast(embedding AS array<double>), x -> x * x), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("norm2"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Multimodal plumbing: treat the text payload as an opaque binary
+    * column and derive deterministic "decoded" metadata (the real decode
+    * is stubbed — see graft.media.Media for the mapPartitions pipeline). */
+  val q_media_meta: QueryDef = QueryDef.sqlChecked(
+    "q_media_meta",
+    s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       |  ${TextOps.hexToLongSql("md5(text)", 8)} AS h8 FROM documents)
+       |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+       |  64 + h8 % 1856 AS width,
+       |  64 + (h8 * 31) % 1016 AS height,
+       |  1 + h8 % 30 AS n_frames
+       |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("h8", TextOps.hexToLong(md5(col("text")), 8))
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("n_bytes"),
+        (lit(64L) + col("h8") % 1856L).as("width"),
+        (lit(64L) + (col("h8") * 31L) % 1016L).as("height"),
+        (lit(1L) + col("h8") % 30L).as("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q_ann_topk, q_embed_norm, q_media_meta)
+}

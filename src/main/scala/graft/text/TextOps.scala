@@ -1,0 +1,131 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis for the training-data pipeline: tokenization, language
+ * guessing, quality scoring, fingerprinting, shingling. Every operator
+ * is a pure Catalyst expression tree (no UDFs — whole-stage codegen
+ * keeps these in the scan pipeline at 100 TB), and each has an exact
+ * DuckDB SQL dual used by the oracle queries.
+ *
+ * Hash convention: cryptographic md5 (identical in Spark and DuckDB)
+ * sliced to n hex chars and read as an integer — `hexToLong`. Spark uses
+ * `conv`; DuckDB lacks hex->int casts, so the dual is an explicit
+ * positional strpos polynomial. Both yield the same BIGINT.
+ */
+object TextOps {
+
+  /** Whitespace tokens, keeping empties — matches DuckDB string_split. */
+  def tokens(text: Column): Column = split(text, " ", -1)
+  def tokensSql(text: String): String = s"string_split($text, ' ')"
+
+  // ---- hex -> long ------------------------------------------------------
+
+  /** First n hex chars of an md5 column as a long (n <= 15). */
+  def hexToLong(hexCol: Column, n: Int): Column = {
+    require(n <= 15)
+    conv(substring(hexCol, 1, n), 16, 10).cast("long")
+  }
+
+  def hexToLongSql(hexExpr: String, n: Int): String = {
+    require(n <= 15)
+    (1 to n).map { i =>
+      val p = math.pow(16.0, (n - i).toDouble).toLong
+      s"(strpos('0123456789abcdef', substr($hexExpr, $i, 1)) - 1) * $p"
+    }.mkString("(", " + ", ")")
+  }
+
+  // ---- language guess ---------------------------------------------------
+
+  /** Marker word per language; score = length delta when the marker is
+    * removed (proportional to occurrence count). Deterministic argmax
+    * with fixed tie-break order. */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the", "de" -> "data", "fr" -> "query", "es" -> "table", "zh" -> "spark")
+
+  def markerScore(text: Column, marker: String): Column =
+    length(text) - length(regexp_replace(text, marker, ""))
+
+  def langGuess(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, m) =>
+      l -> (length(text) - length(replaceLit(text, m)))
+    }
+    // first language whose score >= all later scores wins
+    scores.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((l, s), i), elseCol) =>
+        val laterGte = scores.drop(i + 1).map(_._2).foldLeft(lit(true))((acc, o) => acc && s >= o)
+        when(laterGte, lit(l)).otherwise(elseCol)
+    }
+  }
+
+  private def replaceLit(c: Column, m: String): Column =
+    org.apache.spark.sql.functions.replace(c, lit(m), lit(""))
+
+  def langGuessSql(text: String): String = {
+    def score(m: String) = s"(length($text) - length(replace($text, '$m', '')))"
+    val s = LangMarkers.map { case (l, m) => l -> score(m) }
+    val cases = s.zipWithIndex.dropRight(1).map { case ((l, sc), i) =>
+      val cond = s.drop(i + 1).map(o => s"$sc >= ${o._2}").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE '${s.last._1}' END"
+  }
+
+  // ---- quality ----------------------------------------------------------
+
+  val StopWords: Seq[String] = Seq("the", "a", "data")
+  private def stopList = StopWords.map(w => s"'$w'").mkString(", ")
+
+  /** (n_tokens, n_uniq, stop_ratio, avg_token_len, score) columns. All
+    * built from exact integer counts, so the derived doubles are
+    * bit-identical across engines. */
+  def qualityColumns(df: DataFrame, text: String = "text"): DataFrame =
+    df.withColumn("toks", tokens(col(text)))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop",
+        size(expr(s"filter(toks, t -> t IN ($stopList))")).cast("long"))
+      .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+      .withColumn("avg_token_len",
+        (length(col(text)) - (col("n_tokens") - lit(1L))) / col("n_tokens"))
+      .withColumn("score",
+        least(lit(1.0), col("n_tokens") / lit(200.0)) * lit(0.5)
+          + (col("n_uniq") / col("n_tokens")) * lit(0.3)
+          + col("stop_ratio") * lit(0.2))
+      .drop("toks")
+
+  def qualitySqlColumns(text: String): String = {
+    val t = tokensSql(text)
+    s"""CAST(len($t) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct($t)) AS BIGINT) AS n_uniq,
+       |  CAST(len(list_filter($t, t -> t IN ($stopList))) AS BIGINT) AS n_stop,
+       |  len(list_filter($t, t -> t IN ($stopList))) / len($t) AS stop_ratio,
+       |  (length($text) - (len($t) - 1)) / len($t) AS avg_token_len,
+       |  least(1.0, len($t) / 200.0) * 0.5
+       |    + (len(list_distinct($t)) / len($t)) * 0.3
+       |    + (len(list_filter($t, t -> t IN ($stopList))) / len($t)) * 0.2 AS score""".stripMargin
+  }
+
+  // ---- shingles ---------------------------------------------------------
+
+  /** Word 3-gram shingles as an array column (empty if < 3 tokens). */
+  def shingles3(df: DataFrame, text: String = "text"): DataFrame =
+    df.withColumn("toks", tokens(col(text)))
+      .withColumn("shingles", expr(
+        """CASE WHEN size(toks) >= 3 THEN
+          |  transform(sequence(1, size(toks) - 2), i ->
+          |    concat(element_at(toks, i), ' ', element_at(toks, i + 1),
+          |           ' ', element_at(toks, i + 2)))
+          |ELSE array() END""".stripMargin))
+      .drop("toks")
+
+  /** CTE: documents -> (doc_id, s) one row per 3-gram shingle. */
+  def shingleCteSql: String =
+    s"""toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+       |                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+       |  FROM toks)""".stripMargin
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def synthDocs = {
+    import spark.implicits._
+    // base texts + near-duplicates (one word changed) + exact duplicates
+    val words = Seq("the", "data", "query", "table", "spark", "join", "scan",
+      "merge", "sort", "filter", "agg", "window")
+    def text(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(n)(words(r.nextInt(words.size))).mkString(" ")
+    }
+    val base = (0 until 20).map(i => (i.toLong, text(i, 60)))
+    val nearDups = (0 until 5).map { i =>
+      val t = base(i)._2.split(" ").updated(30, "CHANGED").mkString(" ")
+      (100L + i, t)
+    }
+    val exactDups = (0 until 3).map(i => (200L + i, base(i)._2))
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("dropDuplicatesKeepMin keeps min doc_id per text") {
+    val out = Dedup.dropDuplicatesKeepMin(synthDocs, "text")
+    assert(out.count() == 25) // 20 base + 5 near-dups, exact dups dropped
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(Set(0L, 1L, 2L).subsetOf(kept) && !kept.exists(_ >= 200L))
+  }
+
+  test("minhash LSH finds near-duplicate pairs with high est_sim") {
+    val sigs = Dedup.minhashSignatures(synthDocs)
+    val pairs = Dedup.lshPairs(sigs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every exact dup must pair with its source at est_sim 1.0
+    (0 until 3).foreach { i =>
+      assert(pairs.exists(p => p._1 == i && p._2 == 200L + i && p._3 == 1.0),
+        s"missing exact-dup pair $i <-> ${200 + i}")
+    }
+    // near-dups (1 of 58 shingle positions changed -> 3 shingles differ)
+    val nearFound = (0 until 5).count(i =>
+      pairs.exists(p => p._1 == i && p._2 == 100L + i && p._3 >= 0.5))
+    assert(nearFound >= 4, s"only $nearFound/5 near-dup pairs found")
+    // unrelated docs must not dominate: no pair between distinct base docs
+    // with est_sim 1.0
+    assert(!pairs.exists(p => p._1 < 20 && p._2 < 20 && p._3 == 1.0))
+  }
+
+  test("simhash of near-duplicates is close in hamming distance") {
+    val sh = Dedup.simhash(synthDocs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    (0 until 3).foreach(i => assert(hamming(sh(i.toLong), sh(200L + i)) == 0))
+    (0 until 5).foreach(i => assert(hamming(sh(i.toLong), sh(100L + i)) <= 6))
+  }
+
+  test("lsh topk achieves recall vs brute force on real embeddings") {
+    val e = Ann.withVec(Tables.embeddings(spark, sfSmoke))
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val t = e.filter(col("vec_id") >= 5).select(col("vec_id"), col("v"))
+    val exact = Ann.bruteForceTopK(q, t, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(q, t, 5, dim = 64, nPlanes = 4, nTables = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low for 4-plane 12-table LSH")
+    // LSH results are always true cosines; ranks within bucket are exact
+    assert(approx.nonEmpty)
+  }
+}
