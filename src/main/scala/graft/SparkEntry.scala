@@ -9,7 +9,8 @@ object SparkEntry {
   /** All verifiable engine operations, each a Spark impl + (where SQL can
     * express it) a DuckDB oracle. */
   def defs: Seq[QueryDef] =
-    Relational.all ++ Spatial.all ++ Joins.all ++ TextQueries.all ++ SimilarityQueries.all
+    Relational.all ++ Spatial.all ++ Joins.all ++ TextQueries.all ++
+      SimilarityQueries.all ++ StencilQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * geocode -> cell index -> DSM max-grid (the SHR3D A1 analog). */

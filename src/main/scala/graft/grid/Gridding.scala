@@ -84,13 +84,19 @@ object Gridding {
     s"CAST(floor((($lat) - (${spec.lat0})) / ${spec.gsd}) AS BIGINT)"
 
   /** CTE fragment: documents -> splatted (doc_id, qz, gx, gy). */
-  def splatCte: String = {
+  def splatCte: String = splatCte(WorldGrid)
+
+  def splatCte(spec: GridSpec): String = {
     import graft.core.Geo
     s"""pts AS (SELECT doc_id, ${Geo.lonSql("doc_id")} AS lon,
        |  ${Geo.latSql("doc_id")} AS lat, ${Geo.zSql("doc_id")} AS z FROM documents),
        |base AS (SELECT doc_id, ${Quant.qSql("z")} AS qz,
-       |  ${bxSql("lon")} AS bx, ${bySql("lat")} AS by FROM pts),
+       |  ${bxSql("lon", spec)} AS bx, ${bySql("lat", spec)} AS by FROM pts),
        |splat AS (SELECT doc_id, qz, bx + dx AS gx, by + dy AS gy
        |  FROM base CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) sp(dx, dy))""".stripMargin
   }
+
+  /** Cell-lattice bounds for a spec (with +2 slack for the 2x2 splat). */
+  def boundsFor(spec: GridSpec): (Int, Int) =
+    (math.ceil(360.0 / spec.gsd).toInt + 2, math.ceil(170.0 / spec.gsd).toInt + 2)
 }

@@ -1,0 +1,150 @@
+package graft.stencil
+
+import graft.stencil.TileStencil.Kernel
+
+/**
+ * The reference's stencil family (SURVEY.md §2.5), re-specified over the
+ * sparse int cell table. 0 is void. All neighborhoods are the in-bounds
+ * subset of the (2r+1)^2 block (the reference clamps its loop bounds at
+ * the image edge, pubgeo `src/common/Image.h:144-153` — neighbors are
+ * never duplicated, just omitted).
+ */
+object Kernels {
+
+  /** Iterate in-bounds neighbors incl. center unless skipCenter. */
+  @inline private def foreachNeighbor(
+      get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int, r: Int,
+      skipCenter: Boolean)(f: Int => Unit): Unit = {
+    var yy = math.max(y - r, 0)
+    val yMax = math.min(y + r, h - 1)
+    val xMin = math.max(x - r, 0)
+    val xMax = math.min(x + r, w - 1)
+    while (yy <= yMax) {
+      var xx = xMin
+      while (xx <= xMax) {
+        if (!(skipCenter && xx == x && yy == y)) f(get(xx, yy))
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
+  /** W3 quantileFilter (pubgeo `orthoimage.h:546-566`): replace the cell
+    * with the neighborhood quantile value iff it differs from the cell
+    * by more than dz. Void neighbors skipped; quantile index
+    * ix = min(floor(q*n), n-1) over the sorted non-void neighborhood
+    * (center included, as in the reference's window). Void cells stay
+    * void. */
+  final case class QuantileFilter(radius: Int, q: Double, dz: Int) extends Kernel {
+    def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
+      val me = get(x, y)
+      if (me == 0) return 0
+      val buf = new scala.collection.mutable.ArrayBuffer[Int](
+        (2 * radius + 1) * (2 * radius + 1))
+      foreachNeighbor(get, x, y, w, h, radius, skipCenter = false) { v =>
+        if (v != 0) buf += v
+      }
+      if (buf.isEmpty) return me
+      val arr = buf.toArray
+      java.util.Arrays.sort(arr)
+      val ix = math.min(math.floor(q * arr.length).toInt, arr.length - 1)
+      val qv = arr(ix)
+      if (math.abs(qv - me) > dz) qv else me
+    }
+  }
+
+  def medianFilter(radius: Int, dz: Int): QuantileFilter = QuantileFilter(radius, 0.5, dz)
+
+  /** W4 minFilter / erosion (pubgeo `orthoimage.h:569-578`): replace with
+    * the neighborhood min iff me > min + dz. Voids skipped. */
+  final case class MinFilter(radius: Int, dz: Int) extends Kernel {
+    def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
+      val me = get(x, y)
+      if (me == 0) return 0
+      var mn = Int.MaxValue
+      foreachNeighbor(get, x, y, w, h, radius, skipCenter = false) { v =>
+        if (v != 0 && v < mn) mn = v
+      }
+      if (mn != Int.MaxValue && me > mn + dz) mn else me
+    }
+  }
+
+  /** W5 maxFilter / dilation (pubgeo `orthoimage.h:581-590`). */
+  final case class MaxFilter(radius: Int, dz: Int) extends Kernel {
+    def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
+      val me = get(x, y)
+      if (me == 0) return 0
+      var mx = 0
+      foreachNeighbor(get, x, y, w, h, radius, skipCenter = false) { v =>
+        if (v > mx) mx = v
+      }
+      if (me + dz < mx) mx else me
+    }
+  }
+
+  /** W6 edgeFilter (pubgeo `orthoimage.h:592-600`): void the cell if ANY
+    * neighbor (voids NOT skipped — absent = 0) differs by more than dz.
+    * Used to trim unreliable DSM borders before alignment
+    * (`align3d.cpp:225`). */
+  final case class EdgeFilter(dz: Int) extends Kernel {
+    val radius = 1
+    def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
+      val me = get(x, y)
+      if (me == 0) return 0
+      var kill = false
+      foreachNeighbor(get, x, y, w, h, 1, skipCenter = true) { v =>
+        if (math.abs(v - me) > dz) kill = true
+      }
+      if (kill) 0 else me
+    }
+  }
+
+  /** W7 well filter (pubgeo `shr3d.cpp:107-111`): void if >= 4 of the 8
+    * neighbors exceed the cell by `rise`. */
+  final case class WellFilter(rise: Int) extends Kernel {
+    val radius = 1
+    def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
+      val me = get(x, y)
+      if (me == 0) return 0
+      var n = 0
+      foreachNeighbor(get, x, y, w, h, 1, skipCenter = true) { v =>
+        if (v != 0 && v > me + rise) n += 1
+      }
+      if (n >= 4) 0 else me
+    }
+  }
+
+  /** W12 spike removal (pubgeo `shr3d.cpp:975-994`): the cell is a spike
+    * if min over the 8 non-void neighbors of max(0, me - ngbr) exceeds
+    * dz/2 — i.e. it pokes above ALL its neighbors. */
+  final case class SpikeFilter(dz: Int) extends Kernel {
+    val radius = 1
+    def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
+      val me = get(x, y)
+      if (me == 0) return 0
+      var mn = Int.MaxValue
+      foreachNeighbor(get, x, y, w, h, 1, skipCenter = true) { v =>
+        if (v != 0) { val d = math.max(0, me - v); if (d < mn) mn = d }
+      }
+      if (mn != Int.MaxValue && mn > dz / 2) 0 else me
+    }
+  }
+
+  /** W8 tree filter over var = DSM - MIN (pubgeo `shr3d.cpp:140-164`):
+    * void the cell if its var is <= maxTree but no 3x3 neighbor's var is
+    * below the dz threshold (vegetation canopy detector). Voids not
+    * skipped (absent var = 0 counts as below-threshold). */
+  final case class TreeFilter(maxTree: Int, dz: Int) extends Kernel {
+    val radius = 1
+    def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
+      val me = get(x, y)
+      if (me == 0) return 0
+      if (me > maxTree) return me
+      var anyLow = false
+      foreachNeighbor(get, x, y, w, h, 1, skipCenter = true) { v =>
+        if (v <= dz) anyLow = true
+      }
+      if (anyLow) me else 0
+    }
+  }
+}
