@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.cc.ConnectedComponents
+import graft.core.{Geo, Tables}
+import graft.grid.Gridding
+import graft.stencil.TileStencil.Bounds
+import org.apache.spark.sql.functions._
+
+/**
+ * Connected-component queries (G1/G2) with a recursive-CTE DuckDB
+ * oracle: min-label propagation as a transitive closure pruned to
+ * labels smaller than each cell's own id. Restricted to doc_id < 150 on
+ * the fine world grid so components stay small (the engine runs the
+ * full distributed tile-merge machinery regardless; tileSize 16 forces
+ * many cross-tile merges even at smoke SF).
+ */
+object CcQueries {
+
+  private val (w, h) = Gridding.boundsFor(Gridding.WorldGrid) // (722, 342)
+  private val bounds = Bounds(w, h)
+
+  private def dsmSubset(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Gridding.dsm(Gridding.points(
+      Geo.withGeo(Tables.documents(s, dir).filter(col("doc_id") < 150))))
+
+  private def oracleSql(dzCond: String): String =
+    s"""WITH RECURSIVE ${Gridding.splatCte},
+       |g AS (SELECT gx, gy, max(qz) AS v FROM
+       |  (SELECT * FROM splat WHERE doc_id < 150) s GROUP BY gx, gy),
+       |reach(gx, gy, l) AS (
+       |  SELECT gx, gy, gy * $w + gx FROM g
+       |  UNION
+       |  SELECT n.gx, n.gy, r.l FROM reach r
+       |  JOIN g c ON c.gx = r.gx AND c.gy = r.gy
+       |  JOIN g n ON abs(n.gx - r.gx) <= 1 AND abs(n.gy - r.gy) <= 1
+       |    AND r.l < n.gy * $w + n.gx $dzCond)
+       |SELECT gx, gy, min(l) AS label FROM reach GROUP BY gx, gy
+       |ORDER BY gx, gy""".stripMargin
+
+  /** Plain 8-connected CCL over occupied DSM cells. */
+  val q_cc_labels: QueryDef = QueryDef.sqlChecked(
+    "q_cc_labels", oracleSql("")) { (s, dir) =>
+    ConnectedComponents.label(dsmSubset(s, dir), bounds, tileSize = 16)
+      .select(col("gx"), col("gy"), col("label"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** G2: region growing constrained by |dz| <= 3000 (~1 m). */
+  val q_cc_dz: QueryDef = QueryDef.sqlChecked(
+    "q_cc_dz", oracleSql("AND abs(n.v - c.v) <= 3000")) { (s, dir) =>
+    ConnectedComponents.label(dsmSubset(s, dir), bounds, tileSize = 16,
+        maxDz = Some(3000))
+      .select(col("gx"), col("gy"), col("label"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** A7-style object stats: per component bbox + size. */
+  val q_cc_stats: QueryDef = QueryDef.sqlChecked(
+    "q_cc_stats",
+    s"""WITH RECURSIVE ${Gridding.splatCte},
+       |g AS (SELECT gx, gy, max(qz) AS v FROM
+       |  (SELECT * FROM splat WHERE doc_id < 150) s GROUP BY gx, gy),
+       |reach(gx, gy, l) AS (
+       |  SELECT gx, gy, gy * $w + gx FROM g
+       |  UNION
+       |  SELECT n.gx, n.gy, r.l FROM reach r
+       |  JOIN g n ON abs(n.gx - r.gx) <= 1 AND abs(n.gy - r.gy) <= 1
+       |    AND r.l < n.gy * $w + n.gx),
+       |lbl AS (SELECT gx, gy, min(l) AS label FROM reach GROUP BY gx, gy)
+       |SELECT label, count(*) AS n_cells, min(gx) AS xmin, max(gx) AS xmax,
+       |  min(gy) AS ymin, max(gy) AS ymax
+       |FROM lbl GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+    ConnectedComponents.label(dsmSubset(s, dir), bounds, tileSize = 16)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_cells"), min("gx").as("xmin"), max("gx").as("xmax"),
+        min("gy").as("ymin"), max("gy").as("ymax"))
+      .orderBy(col("label"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q_cc_labels, q_cc_dz, q_cc_stats)
+}

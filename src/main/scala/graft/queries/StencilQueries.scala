@@ -65,5 +65,40 @@ object StencilQueries {
       .orderBy(col("gx"), col("gy"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_edge_filter, q_morph_open)
+  /** M1 fillVoidsPyramid, single level, noSmoothing: every lattice hole
+    * takes its parent's mean value. The SQL dual reproduces the
+    * fine->coarse splat and the parent lookup explicitly. */
+  val q_fill_voids: QueryDef = {
+    val (cw, ch) = (w / 2, h / 2)
+    QueryDef.sqlChecked(
+      "q_fill_voids",
+      s"""WITH ${Gridding.splatCte(spec)},
+         |dsm AS (SELECT gx, gy, CAST(max(qz) AS INT) AS v FROM splat GROUP BY gx, gy),
+         |cand AS (
+         |  SELECT gx, gy, v, (gx - 1) // 2 AS j, (gy - 1) // 2 AS i FROM dsm
+         |  UNION SELECT gx, gy, v, (gx - 1) // 2, gy // 2 FROM dsm
+         |  UNION SELECT gx, gy, v, gx // 2, (gy - 1) // 2 FROM dsm
+         |  UNION SELECT gx, gy, v, gx // 2, gy // 2 FROM dsm),
+         |coarse AS (SELECT j, i, CAST(floor(sum(v) / count(*)) AS INT) AS pv
+         |  FROM cand WHERE j >= 0 AND j < $cw AND i >= 0 AND i < $ch
+         |  GROUP BY j, i),
+         |lattice AS (SELECT x.range AS gx, y.range AS gy FROM range(0, $w) x, range(0, $h) y),
+         |filled AS (SELECT l.gx, l.gy,
+         |    coalesce(d.v, c.pv) AS v
+         |  FROM lattice l LEFT JOIN dsm d ON d.gx = l.gx AND d.gy = l.gy
+         |  LEFT JOIN coarse c ON c.j = l.gx // 2 AND c.i = l.gy // 2 AND d.v IS NULL)
+         |SELECT gx, gy, v FROM filled WHERE v IS NOT NULL ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+      graft.pyramid.FillVoids(dsm10(s, dir), bounds, noSmoothing = true, maxLevel = 1)
+        .orderBy(col("gx"), col("gy"))
+    }
+  }
+
+  /** Full smoothing pyramid (rows-only check; semantics covered by the
+    * dense oracle in PyramidSpec). */
+  val q_fill_pyramid: QueryDef = QueryDef.rowsOnly("q_fill_pyramid") { (s, dir) =>
+    graft.pyramid.FillVoids(dsm10(s, dir), bounds).orderBy(col("gx"), col("gy"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q_edge_filter, q_morph_open, q_fill_voids, q_fill_pyramid)
 }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.cc.ConnectedComponents
+import graft.stencil.TileStencil.Bounds
+
+class CcSpec extends SparkSpec {
+
+  /** Independent BFS labeling. */
+  private def oracle(cells: Seq[(Long, Long, Int)], w: Int,
+                     maxDz: Option[Int]): Map[(Long, Long), Long] = {
+    val m = cells.map(c => (c._1, c._2) -> c._3).toMap
+    val seen = scala.collection.mutable.Set[(Long, Long)]()
+    val out = scala.collection.mutable.Map[(Long, Long), Long]()
+    for (start <- cells.map(c => (c._1, c._2)).sorted; if !seen(start)) {
+      val comp = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val q = scala.collection.mutable.Queue(start)
+      seen += start
+      while (q.nonEmpty) {
+        val cur = q.dequeue(); comp += cur
+        for (dx <- -1 to 1; dy <- -1 to 1; if dx != 0 || dy != 0) {
+          val n = (cur._1 + dx, cur._2 + dy)
+          if (m.contains(n) && !seen(n) &&
+            maxDz.forall(dz => math.abs(m(n) - m(cur)) <= dz)) {
+            seen += n; q.enqueue(n)
+          }
+        }
+      }
+      val lbl = comp.map(c => c._2 * w + c._1).min
+      comp.foreach(c => out(c) = lbl)
+    }
+    out.toMap
+  }
+
+  private def randomCells(seed: Int, w: Int, h: Int, density: Double) = {
+    val r = new scala.util.Random(seed)
+    (for { y <- 0L until h; x <- 0L until w; if r.nextDouble() < density }
+      yield (x, y, 1 + r.nextInt(100))).toSeq
+  }
+
+  for (density <- Seq(0.2, 0.55, 0.95); tile <- Seq(5, 16, 256);
+       dz <- Seq(None, Some(20))) {
+    test(s"ccl == bfs oracle (density=$density, tile=$tile, dz=$dz)") {
+      import spark.implicits._
+      val (w, h) = (41, 29)
+      val cells = randomCells((density * 100).toInt + tile, w, h, density)
+      val got = ConnectedComponents.label(
+          cells.toDF("gx", "gy", "v").repartition(7), Bounds(w, h), tile, dz)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      val want = oracle(cells, w, dz)
+      assert(got.size == want.size)
+      assert(got == want)
+    }
+  }
+
+  test("dz constraint splits a gradient ramp into plateaus") {
+    import spark.implicits._
+    // a 1x12 strip with values 0,0,0,100,100,100,0,0,0,100,100,100
+    val cells = (0L until 12L).map(x => (x, 0L, if ((x / 3) % 2 == 0) 10 else 110))
+    val got = ConnectedComponents.label(cells.toDF("gx", "gy", "v"),
+        Bounds(12, 1), tileSize = 4, maxDz = Some(50))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got.values.toSet.size == 4) // four plateaus
+    assert((0L until 12L).forall(x => got(x) == (x / 3) * 3))
+  }
+}
