@@ -1,0 +1,172 @@
+package graft.align
+
+import graft.core.Quant
+import graft.pyramid.FillVoids
+import graft.stencil.{Kernels, TileStencil}
+import graft.stencil.TileStencil.Bounds
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * ALIGN3D (SURVEY.md §2.10, reference `src/align3d/align3d.cpp`):
+ * estimate the rigid (tx, ty, tz) translation aligning a target point
+ * set to a reference by brute-force offset search minimizing a robust
+ * RMS of DSM differences.
+ *
+ * Pipeline (L1-L6), Spark-first:
+ *  1. grid both point sets to DSMs on a shared local grid (A1 max),
+ *     fill voids (pyramid, noSmoothing, 2 levels), trim edges (W6);
+ *  2. overlap rectangle of the two grids (metadata only);
+ *  3. seeded MT19937-64 samples over the overlap, generated ON THE
+ *     DRIVER (determinism) and broadcast;
+ *  4. offsets x samples: one broadcast join per grid probe, validity =
+ *     both cells non-void; per offset keep the FIRST maxValid valid
+ *     samples in sample order (reference semantics: walk-until-10k,
+ *     `align3d.cpp:54-74` — reproduced exactly with row_number);
+ *  5. per-offset exact median + robust RMS (sorted integer arrays —
+ *     order-independent and bit-stable);
+ *  6. argmin with the reference's tie-break (smaller |offset|), then
+ *     3x3 quadratic peak interpolation on the driver (`align3d.cpp:168-199`).
+ *
+ * At scale: grids are sparse cell tables; the probe joins shuffle only
+ * the (offsets x samples) table, whose size is capped by
+ * numOffsets * maxSamples, independent of the input point count.
+ */
+object Align3d {
+
+  final case class Config(
+      gsd: Double = 1.0, maxT: Double = 10.0, maxDzMeters: Double = 2.0,
+      numSamples: Int = 10000, sampleFactor: Int = 10, seed: Long = 0L)
+
+  final case class GridRef(x0: Double, y0: Double, gsd: Double, w: Int, h: Int)
+
+  final case class Result(
+      tx: Double, ty: Double, tz: Double, rmsMeters: Double,
+      completeness: Double, nValid: Long, bestDx: Int, bestDy: Int)
+
+  /** Quantized DSM over a local grid derived from the point bounds. */
+  def prepGrid(pts: DataFrame, ref: GridRef, cfg: Config): DataFrame = {
+    val cells = pts
+      .withColumn("gx", floor((col("x") - lit(ref.x0)) / lit(ref.gsd)).cast("long"))
+      .withColumn("gy", floor((col("y") - lit(ref.y0)) / lit(ref.gsd)).cast("long"))
+      .filter(col("gx") >= 0 && col("gx") < ref.w && col("gy") >= 0 && col("gy") < ref.h)
+      .withColumn("qz", Quant.q(col("z")))
+      .groupBy("gx", "gy").agg(max("qz").as("v"))
+    val filled = FillVoids(cells, Bounds(ref.w, ref.h), noSmoothing = true, maxLevel = 2)
+    val dzRaw = math.max(1, math.floor(cfg.maxDzMeters / Quant.Scale).toInt)
+    TileStencil(filled, Kernels.EdgeFilter(dzRaw), Bounds(ref.w, ref.h))
+  }
+
+  def gridFor(pts: DataFrame, cfg: Config): GridRef = {
+    val row = pts.agg(min("x"), max("x"), min("y"), max("y")).head()
+    val (x0, x1, y0, y1) = (row.getDouble(0), row.getDouble(1),
+      row.getDouble(2), row.getDouble(3))
+    GridRef(math.floor(x0), math.floor(y0), cfg.gsd,
+      (math.ceil((x1 - math.floor(x0)) / cfg.gsd) + 2).toInt,
+      (math.ceil((y1 - math.floor(y0)) / cfg.gsd) + 2).toInt)
+  }
+
+  /** Full alignment: returns the result and the shifted target points. */
+  def run(spark: SparkSession, refPts: DataFrame, tgtPts: DataFrame,
+          cfg: Config = Config()): (Result, DataFrame) = {
+    import spark.implicits._
+
+    val grid = gridFor(refPts, cfg)
+    val refDsm = prepGrid(refPts, grid, cfg).withColumnRenamed("v", "rv")
+      .persist()
+    val tgtDsm = prepGrid(tgtPts, grid, cfg).withColumnRenamed("v", "tv")
+      .persist()
+
+    // overlap rectangle in grid cells (both DSMs share `grid`)
+    val rB = refDsm.agg(min("gx"), max("gx"), min("gy"), max("gy")).head()
+    val tB = tgtDsm.agg(min("gx"), max("gx"), min("gy"), max("gy")).head()
+    val ox0 = math.max(rB.getLong(0), tB.getLong(0))
+    val ox1 = math.min(rB.getLong(1), tB.getLong(1))
+    val oy0 = math.max(rB.getLong(2), tB.getLong(2))
+    val oy1 = math.min(rB.getLong(3), tB.getLong(3))
+    require(ox1 > ox0 && oy1 > oy0, "grids do not overlap")
+
+    // driver-side seeded samples over the overlap (L3)
+    val rng = new Mt19937_64(cfg.seed)
+    val maxSamples = cfg.numSamples * cfg.sampleFactor
+    val samples = (0 until maxSamples).map { sid =>
+      val gx = ox0 + (rng.nextDouble() * (ox1 - ox0 + 1)).toLong
+      val gy = oy0 + (rng.nextDouble() * (oy1 - oy0 + 1)).toLong
+      (sid, gx, gy)
+    }
+    val sampleDf = samples.toDF("sid", "sgx", "sgy")
+
+    // offsets in integer grid steps
+    val maxSteps = math.ceil(cfg.maxT / cfg.gsd).toInt
+    val offsets = (for (dy <- -maxSteps to maxSteps; dx <- -maxSteps to maxSteps)
+      yield (dx, dy)).toDF("odx", "ody")
+
+    // probe both grids
+    val refProbe = sampleDf.join(refDsm,
+      col("sgx") === col("gx") && col("sgy") === col("gy"))
+      .select(col("sid"), col("sgx"), col("sgy"), col("rv"))
+    val probes = refProbe.crossJoin(broadcast(offsets))
+      .join(tgtDsm,
+        col("gx") === col("sgx") + col("odx") && col("gy") === col("sgy") + col("ody"))
+      .select(col("odx"), col("ody"), col("sid"), (col("rv") - col("tv")).as("diff"))
+
+    // first numSamples valid per offset, in sample order (L4)
+    val w = Window.partitionBy(col("odx"), col("ody")).orderBy(col("sid"))
+    val capped = probes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cfg.numSamples)
+
+    // exact median + robust RMS per offset (A9)
+    val oneMeterRaw = math.floor(1.0 / Quant.Scale)
+    val perOffset = capped.groupBy(col("odx"), col("ody"))
+      .agg(sort_array(collect_list(col("diff"))).as("arr"), count(lit(1)).as("n"))
+      .withColumn("med", element_at(col("arr"), (floor(col("n") / 2) + 1).cast("int")))
+      .withColumn("dev", sort_array(expr("transform(arr, d -> abs(d - med))")))
+      .withColumn("rms", element_at(col("dev"),
+        (floor(col("n") * 0.67) + 1).cast("int")))
+      .withColumn("complete",
+        expr(s"size(filter(dev, x -> x < $oneMeterRaw))").cast("double") / col("n"))
+      .select(col("odx"), col("ody"), col("n"), col("med").cast("long").as("med"),
+        col("rms").cast("long").as("rms"), col("complete"))
+
+    val rows = perOffset.collect()
+    refDsm.unpersist(); tgtDsm.unpersist()
+    require(rows.nonEmpty, "no valid probes at any offset")
+
+    // argmin with tie-break on |offset| then (odx, ody) for full determinism
+    val best = rows.minBy { r =>
+      val dx = r.getInt(0); val dy = r.getInt(1)
+      (r.getLong(4), dx.toLong * dx + dy.toLong * dy, dx.toLong, dy.toLong)
+    }
+    val (bdx, bdy) = (best.getInt(0), best.getInt(1))
+    val rmsAt = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(4)).toMap
+
+    // 3x3 quadratic peak interpolation (skip at search border / flat dens)
+    def interp: (Double, Double) = {
+      val need = for (dy <- -1 to 1; dx <- -1 to 1) yield (bdx + dx, bdy + dy)
+      if (math.abs(bdx) == maxSteps || math.abs(bdy) == maxSteps ||
+        !need.forall(rmsAt.contains)) return (0.0, 0.0)
+      def f(dx: Int, dy: Int): Double = rmsAt((bdx + dx, bdy + dy)).toDouble
+      val dxx = f(1, 0) - 2 * f(0, 0) + f(-1, 0)
+      val dyy = f(0, 1) - 2 * f(0, 0) + f(0, -1)
+      val dx1 = (f(1, 0) - f(-1, 0)) / 2.0
+      val dy1 = (f(0, 1) - f(0, -1)) / 2.0
+      if (dxx <= 0.0 || dyy <= 0.0) (0.0, 0.0)
+      else (clamp(-dx1 / dxx), clamp(-dy1 / dyy))
+    }
+    def clamp(v: Double): Double = math.max(-0.5, math.min(0.5, v))
+    val (sx, sy) = interp
+
+    val tx = -(bdx + sx) * cfg.gsd
+    val ty = -(bdy + sy) * cfg.gsd
+    val tz = best.getLong(3).toDouble * Quant.Scale // median diff, meters
+    val res = Result(tx, ty, tz, best.getLong(4).toDouble * Quant.Scale,
+      best.getDouble(5), best.getLong(2), bdx, bdy)
+
+    val aligned = tgtPts
+      .withColumn("x", col("x") + lit(res.tx))
+      .withColumn("y", col("y") + lit(res.ty))
+      .withColumn("z", col("z") + lit(res.tz))
+    (res, aligned)
+  }
+}

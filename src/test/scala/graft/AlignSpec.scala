@@ -1,0 +1,75 @@
+package graft
+
+import graft.align.{Align3d, Mt19937_64}
+
+class AlignSpec extends SparkSpec {
+
+  test("mt19937-64 reference values (seed 5489 standard test vector)") {
+    // first outputs for the canonical seed 5489 from the published
+    // mt19937-64 reference implementation
+    val r = new Mt19937_64(5489L)
+    val first = Seq.fill(4)(r.nextLong())
+    // unsigned: 14514284786278117030, 4620546740167642908,
+    //           13109570281517897720, 17462938647148434322
+    assert(first == Seq(-3932459287431434586L, 4620546740167642908L,
+      -5337173792191653896L, -983805426561117294L))
+  }
+
+  test("mt19937-64 deterministic across instances") {
+    val a = new Mt19937_64(0); val b = new Mt19937_64(0)
+    assert(Seq.fill(1000)(a.nextLong()) == Seq.fill(1000)(b.nextLong()))
+    val u = new Mt19937_64(0)
+    assert(Seq.fill(1000)(u.nextDouble()).forall(d => d >= 0.0 && d < 1.0))
+  }
+
+  /** F3 fixture: urban-ish scene + target shifted by a known rigid
+    * translation; alignment must recover the negated shift within one
+    * grid step. */
+  test("align recovers an injected shift") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // scene: ground plane + a few boxes, ~60x60 m, 1 pt/m^2
+    val pts = for {
+      i <- 0 until 6000
+      x = rnd.nextDouble() * 60.0
+      y = rnd.nextDouble() * 60.0
+    } yield {
+      val inBox1 = x > 10 && x < 20 && y > 12 && y < 26
+      val inBox2 = x > 35 && x < 52 && y > 30 && y < 44
+      // non-planar terrain: a pure plane is invariant under translation
+      // (the median absorbs the constant dz), so discrimination needs
+      // curvature at wavelengths >> gsd
+      val terrain = 3.0 * math.sin(x * 0.4) + 2.0 * math.cos(y * 0.3)
+      val z = terrain + (if (inBox1) 8.0 else if (inBox2) 14.0 else 0.5)
+      (x, y, z)
+    }
+    val ref = pts.toDF("x", "y", "z")
+    val (sx, sy, sz) = (2.5, -1.5, 0.75)
+    val tgt = pts.map { case (x, y, z) =>
+      (x + sx + (rnd.nextDouble() - 0.5) * 0.1,
+        y + sy + (rnd.nextDouble() - 0.5) * 0.1, z + sz)
+    }.toDF("x", "y", "z")
+
+    val cfg = Align3d.Config(gsd = 1.0, maxT = 5.0, numSamples = 2000)
+    val (res, aligned) = Align3d.run(spark, ref, tgt, cfg)
+    assert(math.abs(res.tx - (-sx)) <= cfg.gsd, s"tx=${res.tx}")
+    assert(math.abs(res.ty - (-sy)) <= cfg.gsd, s"ty=${res.ty}")
+    assert(math.abs(res.tz - (-sz)) <= 0.3, s"tz=${res.tz}")
+    assert(res.nValid > 0 && res.completeness > 0.5)
+    // aligned target coordinates moved by the recovered offsets
+    val m0 = tgt.agg(org.apache.spark.sql.functions.avg("x")).head().getDouble(0)
+    val m1 = aligned.agg(org.apache.spark.sql.functions.avg("x")).head().getDouble(0)
+    assert(math.abs((m1 - m0) - res.tx) < 1e-9)
+  }
+
+  test("align of identical clouds is (0,0,0)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(3000)((rnd.nextDouble() * 40, rnd.nextDouble() * 40,
+      rnd.nextDouble() * 3)).toDF("x", "y", "z")
+    val cfg = Align3d.Config(gsd = 1.0, maxT = 3.0, numSamples = 1000)
+    val (res, _) = Align3d.run(spark, pts, pts, cfg)
+    assert(res.bestDx == 0 && res.bestDy == 0)
+    assert(res.tz == 0.0 && res.rmsMeters < 0.1)
+  }
+}
