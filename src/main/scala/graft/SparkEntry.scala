@@ -10,7 +10,8 @@ object SparkEntry {
     * express it) a DuckDB oracle. */
   def defs: Seq[QueryDef] =
     Relational.all ++ Spatial.all ++ Joins.all ++ TextQueries.all ++
-      SimilarityQueries.all ++ StencilQueries.all ++ CcQueries.all ++ AlignQueries.all
+      SimilarityQueries.all ++ StencilQueries.all ++ CcQueries.all ++
+      AlignQueries.all ++ Shr3dQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * geocode -> cell index -> DSM max-grid (the SHR3D A1 analog). */

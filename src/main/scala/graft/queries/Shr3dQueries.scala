@@ -1,0 +1,28 @@
+package graft.queries
+
+import graft.api.Shr3d
+import graft.core.{Geo, Tables}
+import graft.grid.Gridding
+import org.apache.spark.sql.functions._
+
+/** The full SHR3D product pipeline over the geocoded doc cloud on the
+  * coarse grid (rows-only: the composed semantics are covered by
+  * Shr3dSpec + the per-operator SQL oracles upstream). */
+object Shr3dQueries {
+
+  private def products(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Shr3d.run(s,
+      Geo.withGeo(Tables.documents(s, dir)).select("lon", "lat", "z"),
+      Shr3d.Config(spec = Gridding.GridSpec(gsd = 10.0), tileSize = 16,
+        aglMeters = 6.0, minRegionCells = 2))
+
+  val q_shr3d_class: QueryDef = QueryDef.rowsOnly("q_shr3d_class") { (s, dir) =>
+    products(s, dir).classification.orderBy(col("gx"), col("gy"))
+  }
+
+  val q_shr3d_outlines: QueryDef = QueryDef.rowsOnly("q_shr3d_outlines") { (s, dir) =>
+    products(s, dir).outlines.orderBy(col("label"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q_shr3d_class, q_shr3d_outlines)
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.api.Shr3d
+import graft.grid.Gridding
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.GeometryFactory
+import org.locationtech.jts.io.WKTReader
+
+/** End-to-end SHR3D pipeline on a synthetic urban scene (FIXTURES.md F2):
+  * ground + two buildings + a tree cluster; the pipeline must classify
+  * and outline the buildings. */
+class Shr3dSpec extends SparkSpec {
+
+  // scene in a 32x32-cell corner of a small grid (gsd 1 "degree" here)
+  private val spec = Gridding.GridSpec(lon0 = 0.0, lat0 = 0.0, gsd = 1.0)
+
+  private lazy val scene = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pts = scala.collection.mutable.ArrayBuffer[(Double, Double, Double)]()
+    // ground: 2 points per cell over [0,32)^2, z ~ 0.2 (no returns under
+    // the solid roofs, as with real lidar)
+    for (i <- 0 until 2048) {
+      val x = rnd.nextDouble() * 32; val y = rnd.nextDouble() * 32
+      val underA = x > 7.5 && x < 14.5 && y > 5.5 && y < 12.5
+      val underB = x > 19.5 && x < 29.5 && y > 17.5 && y < 25.5
+      if (!underA && !underB) pts += ((x, y, 0.2 + 0.05 * rnd.nextDouble()))
+    }
+    // building A: 8..14 x 6..12, z = 9; building B: 20..29 x 18..25, z = 14
+    for (i <- 0 until 800) {
+      val x = 8 + rnd.nextDouble() * 6; val y = 6 + rnd.nextDouble() * 6
+      pts += ((x, y, 9.0 + 0.05 * rnd.nextDouble()))
+    }
+    for (i <- 0 until 1200) {
+      val x = 20 + rnd.nextDouble() * 9; val y = 18 + rnd.nextDouble() * 7
+      pts += ((x, y, 14.0 + 0.05 * rnd.nextDouble()))
+    }
+    // spiky trees near (4, 25): high max-min spread within cells
+    for (i <- 0 until 200) {
+      val x = 3 + rnd.nextDouble() * 3; val y = 24 + rnd.nextDouble() * 3
+      pts += ((x, y, rnd.nextDouble() * 12.0))
+    }
+    pts.toSeq.toDF("lon", "lat", "z")
+  }
+
+  private lazy val products = Shr3d.run(spark, scene,
+    Shr3d.Config(spec = spec, tileSize = 16, minRegionCells = 4))
+
+  test("dsm reflects building heights") {
+    val d = products.dsm.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val zA = graft.core.Quant.deq(d((10L, 8L)).toLong)
+    val zG = graft.core.Quant.deq(d((2L, 2L)).toLong)
+    assert(zA > 8.0 && zA < 10.5, s"building A height $zA")
+    assert(zG < 1.5, s"ground height $zG")
+  }
+
+  test("classification marks building cells and keeps ground") {
+    val cls = products.classification.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(cls((10L, 8L)) == products.ClsBuilding)
+    assert(cls((24L, 21L)) == products.ClsBuilding)
+    assert(cls((2L, 2L)) == products.ClsGround)
+    val counts = cls.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts(products.ClsGround) > counts.getOrElse(products.ClsBuilding, 0))
+  }
+
+  test("two building components with valid outlines covering their cells") {
+    val outl = products.outlines.collect()
+    assert(outl.length >= 2, s"got ${outl.length} outlines")
+    val reader = new WKTReader(new GeometryFactory())
+    val geoms = outl.map(r => (r.getLong(0), r.getLong(1), reader.read(r.getString(2))))
+    geoms.foreach { case (label, n, g) =>
+      assert(g.isValid, s"label $label invalid")
+      assert(g.getArea >= n * 0.6, s"label $label simplified area too small")
+    }
+    // the two major components roughly match the two building footprints
+    val biggest = geoms.sortBy(-_._3.getArea).take(2).map(_._3.getArea).sorted
+    assert(biggest(1) >= 40 && biggest(0) >= 20, s"areas ${biggest.toSeq}")
+  }
+
+  test("deterministic across runs") {
+    val a = products.outlines.collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = Shr3d.run(spark, scene.repartition(13),
+        Shr3d.Config(spec = spec, tileSize = 8, minRegionCells = 4))
+      .outlines.collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.toSeq == b.toSeq)
+  }
+}
