@@ -1,0 +1,95 @@
+package graft.meta
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Minimal Iceberg-style snapshot layer over Parquet (SURVEY.md §4.7):
+ * no Iceberg jar ships in this environment, so the engine implements
+ * the part of the contract the north rule needs — atomic commits,
+ * monotonic snapshot ids, lineage recording, and resume-from-last-
+ * committed-snapshot.
+ *
+ * Layout per table:
+ *   root/<table>/snap-<id>/          parquet data
+ *   root/<table>/_manifests/<id>.json  commit record (written via temp +
+ *                                      atomic rename — a crash mid-write
+ *                                      never yields a committed manifest)
+ *
+ * A stage is resumable when a committed manifest exists whose lineage
+ * signature (the caller-supplied description of inputs + transform
+ * version) matches; otherwise the stage recomputes and commits the next
+ * snapshot id. Readers always see the highest committed id.
+ */
+object Snapshots {
+
+  final case class Manifest(
+      table: String, snapshotId: Long, rows: Long, committedAtMs: Long,
+      dataPath: String, lineage: String)
+
+  private def manifestDir(root: String, table: String): Path =
+    Paths.get(root, table, "_manifests")
+
+  private def fmt(m: Manifest): String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    s"""{"table": ${q(m.table)}, "snapshotId": ${m.snapshotId}, "rows": ${m.rows},
+       | "committedAtMs": ${m.committedAtMs}, "dataPath": ${q(m.dataPath)},
+       | "lineage": ${q(m.lineage)}}""".stripMargin
+  }
+
+  private def parse(s: String): Manifest = {
+    def str(k: String) = {
+      val m = ("\"" + k + "\": \"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(s)
+      m.get.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+    }
+    def num(k: String) =
+      ("\"" + k + "\": (-?\\d+)").r.findFirstMatchIn(s).get.group(1).toLong
+    Manifest(str("table"), num("snapshotId"), num("rows"), num("committedAtMs"),
+      str("dataPath"), str("lineage"))
+  }
+
+  def committed(root: String, table: String): Seq[Manifest] = {
+    val dir = manifestDir(root, table)
+    if (!Files.isDirectory(dir)) return Nil
+    val it = Files.list(dir).iterator()
+    val out = scala.collection.mutable.ArrayBuffer[Manifest]()
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.getFileName.toString.endsWith(".json"))
+        out += parse(new String(Files.readAllBytes(p), "UTF-8"))
+    }
+    out.sortBy(_.snapshotId).toSeq
+  }
+
+  def latest(root: String, table: String): Option[Manifest] =
+    committed(root, table).lastOption
+
+  /** Write df as the next snapshot of `table` and commit atomically. */
+  def commit(df: DataFrame, root: String, table: String, lineage: String): Manifest = {
+    val id = latest(root, table).map(_.snapshotId + 1).getOrElse(0L)
+    val dataPath = Paths.get(root, table, s"snap-$id").toString
+    df.write.mode("overwrite").parquet(dataPath)
+    val rows = df.sparkSession.read.parquet(dataPath).count()
+    val m = Manifest(table, id, rows, System.currentTimeMillis(), dataPath, lineage)
+    val dir = manifestDir(root, table)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".$id.json.tmp")
+    Files.write(tmp, fmt(m).getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve(s"$id.json"), StandardCopyOption.ATOMIC_MOVE)
+    m
+  }
+
+  def read(spark: SparkSession, m: Manifest): DataFrame =
+    spark.read.parquet(m.dataPath)
+
+  /** Resume point: reuse the latest committed snapshot whose lineage
+    * matches, else compute + commit. Returns (df, resumed). */
+  def resumeOrCompute(spark: SparkSession, root: String, table: String,
+                      lineage: String)(compute: => DataFrame): (DataFrame, Boolean) =
+    latest(root, table) match {
+      case Some(m) if m.lineage == lineage => (read(spark, m), true)
+      case _ =>
+        val m = commit(compute, root, table, lineage)
+        (read(spark, m), false)
+    }
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming surface (SURVEY.md §2.12: the reference's
+ * closest analog is the per-PointView PDAL plugin; the engine provides
+ * real streaming for the web-event side of the pipeline).
+ *
+ * Ops: watermarked tumbling-window aggregation and stateful
+ * sessionization via flatMapGroupsWithState — the streaming dual of the
+ * batch q_sessionize query (same gap semantics), testable with the
+ * file/memory sources (StreamingSpec drives them with
+ * processAllAvailable).
+ */
+object StreamOps {
+
+  /** Tumbling-window counts/sums per event type with a watermark. */
+  def windowedCounts(events: DataFrame, window: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  final case class Ev(user_id: Long, tsec: Double, event_id: Long)
+  final case class Session(user_id: Long, start: Double, end: Double, n: Long)
+  final case class SessState(start: Double, last: Double, n: Long)
+
+  /** Stateful gap-based sessionization (1h gap): emits a session when
+    * the gap is exceeded (or on timeout in a real stream). */
+  def sessionize(events: Dataset[Ev], gapSec: Double = 3600.0): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tsec, e.event_id))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+          sorted.foreach { e =>
+            if (st == null) st = SessState(e.tsec, e.tsec, 1)
+            else if (e.tsec - st.last > gapSec) {
+              out += Session(uid, st.start, st.last, st.n)
+              st = SessState(e.tsec, e.tsec, 1)
+            } else st = SessState(st.start, e.tsec, st.n + 1)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+}

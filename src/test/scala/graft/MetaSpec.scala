@@ -1,0 +1,72 @@
+package graft
+
+import graft.core.Skew
+import graft.meta.{Lineage, Snapshots}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class MetaSpec extends SparkSpec {
+
+  private def tmpRoot = Files.createTempDirectory("graft-snap").toString
+
+  test("snapshot commit, monotonic ids, latest read") {
+    import spark.implicits._
+    val root = tmpRoot
+    val m0 = Snapshots.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), root, "t", "v1")
+    val m1 = Snapshots.commit(Seq((3, "c")).toDF("k", "v"), root, "t", "v2")
+    assert(m0.snapshotId == 0 && m1.snapshotId == 1)
+    assert(m0.rows == 2 && m1.rows == 1)
+    assert(Snapshots.latest(root, "t").get.snapshotId == 1)
+    assert(Snapshots.read(spark, Snapshots.latest(root, "t").get).count() == 1)
+    assert(Snapshots.committed(root, "t").map(_.snapshotId) == Seq(0, 1))
+  }
+
+  test("resume: matching lineage reuses, changed lineage recomputes") {
+    import spark.implicits._
+    val root = tmpRoot
+    var computes = 0
+    def work = { computes += 1; Seq((1, 10)).toDF("k", "v") }
+    val (_, r0) = Snapshots.resumeOrCompute(spark, root, "s", "sig-A")(work)
+    val (_, r1) = Snapshots.resumeOrCompute(spark, root, "s", "sig-A")(work)
+    assert(!r0 && r1 && computes == 1) // second call resumed
+    val (_, r2) = Snapshots.resumeOrCompute(spark, root, "s", "sig-B")(work)
+    assert(!r2 && computes == 2) // lineage changed -> recompute
+    // resumed data identical
+    val (df, r3) = Snapshots.resumeOrCompute(spark, root, "s", "sig-B")(work)
+    assert(r3 && df.collect().map(_.toSeq).toSeq == Seq(Seq(1, 10)))
+  }
+
+  test("partition lineage metrics reach the metrics table") {
+    import spark.implicits._
+    val root = tmpRoot
+    val df = Lineage.instrument(
+      spark.range(1000).repartition(8).toDF("id"), "stage-x")
+    assert(df.count() == 1000)
+    val m = Lineage.flush(spark, root)
+    assert(m.isDefined)
+    val metrics = Snapshots.read(spark, m.get)
+    assert(metrics.filter(col("stage") === "stage-x").count() == 8)
+    val rowsSum = metrics.agg(sum("rows")).head().getLong(0)
+    assert(rowsSum == 1000)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    import spark.implicits._
+    // heavy skew: key 0 holds 90% of rows
+    val df = spark.range(20000)
+      .select(when(col("id") % 10 < 9, lit(0L)).otherwise(col("id") % 100).as("k"),
+        (col("id") % 7).as("v"), col("id").as("d"))
+    val direct = df.groupBy("k").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(df, col("k"), col("d"), 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+    val directSum = df.groupBy("k").agg(sum("v").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val saltedSum = Skew.saltedSum(df, col("k"), col("v"), col("d"), 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(saltedSum == directSum)
+    val hot = Skew.hotKeys(df, col("k"), 5000).collect().map(_.getLong(0)).toSet
+    assert(hot == Set(0L))
+  }
+}
