@@ -1,0 +1,41 @@
+package graft
+
+import graft.api.Flagship
+import org.apache.spark.sql.SparkSession
+
+/**
+ * BASELINE.md scaling protocol: identical flagship job, identical input,
+ * two parallelism levels (run this with SPARK_GRAFT_CPUS=8 and =32).
+ * 1 warm-up + 3 timed runs; prints one JSON line with the median.
+ *
+ *   efficiency = (docs/sec @ 4N) / (4 * docs/sec @ N)   >= 0.8
+ */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1000000").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    (1 to 3).foreach(_ => Flagship.run(spark, nDocs)) // JIT/codegen warm-up
+    val runs = (1 to 5).map { _ =>
+      System.gc() // measure the job, not the previous run's garbage
+      Flagship.run(spark, nDocs)
+    }
+    val med = runs.map(_.seconds).sorted.apply(2)
+    val chk = runs.map(_.gridChecksum).distinct
+    require(chk.size == 1, s"non-deterministic checksums: $chk")
+    println(
+      s"""{"cpus":$cpus,"docs":$nDocs,"runs_sec":[${runs.map(_.seconds).mkString(",")}],""" +
+        s""""median_sec":$med,"docs_per_sec":${nDocs / med},""" +
+        s""""checksum":${chk.head},"pip_hits":${runs.head.pipHits}}""")
+    spark.stop()
+  }
+}

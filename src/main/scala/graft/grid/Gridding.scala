@@ -47,13 +47,23 @@ object Gridding {
       .drop("sp")
   }
 
-  /** DSM: per-cell max of quantized z over the splatted points. */
-  def dsm(pts: DataFrame): DataFrame =
-    splat2x2(pts).groupBy("gx", "gy").agg(max("qz").as("v"))
+  /** DSM: per-cell max of quantized z over the splatted points.
+    *
+    * max commutes with the splat, so the plan aggregates the raw points
+    * per BASE cell first (map-side partial combine collapses the point
+    * count to <= #occupied cells before any shuffle), then splats the
+    * aggregated cells 4x and re-aggregates — identical result, 4x less
+    * explode fan-out and a shuffle bounded by grid size, not input size. */
+  def dsm(pts: DataFrame): DataFrame = aggThenSplat(pts, max)
 
   /** MIN grid: per-cell min (pubgeo `orthoimage.h:394-398` mode MIN). */
-  def minGrid(pts: DataFrame): DataFrame =
-    splat2x2(pts).groupBy("gx", "gy").agg(min("qz").as("v"))
+  def minGrid(pts: DataFrame): DataFrame = aggThenSplat(pts, min)
+
+  private def aggThenSplat(pts: DataFrame,
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val base = pts.groupBy("bx", "by").agg(f(col("qz")).as("qz"))
+    splat2x2(base).groupBy("gx", "gy").agg(f(col("qz")).as("v"))
+  }
 
   /** Exact per-cell median, upper-middle convention `sorted[n/2]`
     * (pubgeo A8/A9, `src/align3d/align3d.cpp:87`). Exactness requires a
