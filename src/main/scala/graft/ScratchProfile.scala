@@ -1,34 +1,30 @@
 package graft
-import graft.api.Flagship
-import graft.grid.Gridding
-import graft.join.{Aoi, SpatialJoins}
+import graft.core.Tables
+import graft.text.TextOps
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 object ScratchProfile {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", s"${8*1024*1024}")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val path = Flagship.stageInput(spark, sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1000000").toLong)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
     def time(name: String)(f: => Any): Unit = {
-      (1 to 3).foreach { i =>
+      (1 to 2).foreach { i =>
         val t0 = System.nanoTime(); f
         println(f"$name run$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
       }
     }
-    val raw = spark.read.parquet(path)
-    time("scan+md5")(raw.select(col("url"), md5(col("text"))).agg(count(lit(1))).head())
-    val geoNP = Flagship.geocodedFromParquet(spark, path)
-    time("dedup+geocode")(geoNP.agg(count(lit(1))).head())
-    val geo = geoNP.persist()
-    geo.count()
-    time("pip")(SpatialJoins.pointInPolygon(spark, geo, Aoi.defs).count())
-    time("dsm")(Gridding.dsm(Gridding.points(geo)).agg(count(lit(1)), sum(col("v"))).head())
-    geo.unpersist()
+    val sh = TextOps.shingles3(docs).select(col("doc_id"), explode(col("shingles")).as("s"))
+    time("shingles")(sh.agg(count(lit(1))).head())
+    val md = sh.withColumn("m", md5(col("s")))
+    time("shingles+md5")(md.agg(count(lit(1)), max(col("m"))).head())
+    val hv = md.withColumn("hv", conv(substring(col("m"),1,8),16,10).cast("long"))
+    time("+conv")(hv.agg(count(lit(1)), max(col("hv"))).head())
+    val aggs = (0 until 16).map(j => min((lit(graft.dedup.Dedup.hashA(j)) * col("hv") + lit(graft.dedup.Dedup.hashB(j))) % lit(graft.dedup.Dedup.MinHashP)).as(s"m$j"))
+    time("full")(hv.groupBy(col("doc_id")).agg(aggs.head, aggs.tail:_*).agg(count(lit(1))).head())
     spark.stop()
   }
 }

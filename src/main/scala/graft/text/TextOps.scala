@@ -110,16 +110,24 @@ object TextOps {
 
   // ---- shingles ---------------------------------------------------------
 
-  /** Word 3-gram shingles as an array column (empty if < 3 tokens). */
+  /** Word 3-gram shingles as an array column (empty if < 3 tokens).
+    *
+    * Formulated with slice + zip_with so the tokenizing split runs a
+    * constant number of times per ROW. (The obvious
+    * `transform(sequence(...), i -> element_at(toks, i) ...)` form is a
+    * trap: CollapseProject inlines `toks = split(text)` into the lambda
+    * and the regex split re-executes per element — measured 40x slower.) */
   def shingles3(df: DataFrame, text: String = "text"): DataFrame =
-    df.withColumn("toks", tokens(col(text)))
-      .withColumn("shingles", expr(
-        """CASE WHEN size(toks) >= 3 THEN
-          |  transform(sequence(1, size(toks) - 2), i ->
-          |    concat(element_at(toks, i), ' ', element_at(toks, i + 1),
-          |           ' ', element_at(toks, i + 2)))
-          |ELSE array() END""".stripMargin))
-      .drop("toks")
+    df.withColumn("shingles", expr(
+      s"""CASE WHEN size(split($text, ' ', -1)) >= 3 THEN
+         |  zip_with(
+         |    zip_with(
+         |      slice(split($text, ' ', -1), 1, size(split($text, ' ', -1)) - 2),
+         |      slice(split($text, ' ', -1), 2, size(split($text, ' ', -1)) - 2),
+         |      (a, b) -> concat(a, ' ', b)),
+         |    slice(split($text, ' ', -1), 3, size(split($text, ' ', -1)) - 2),
+         |    (ab, c) -> concat(ab, ' ', c))
+         |ELSE array() END""".stripMargin))
 
   /** CTE: documents -> (doc_id, s) one row per 3-gram shingle. */
   def shingleCteSql: String =
