@@ -30,12 +30,12 @@ object ScalingBench {
       Flagship.run(spark, nDocs)
     }
     val med = runs.map(_.seconds).sorted.apply(2)
-    val chk = runs.map(_.gridChecksum).distinct
+    val chk = runs.map(r => (r.gridChecksum, r.keptContentChecksum)).distinct
     require(chk.size == 1, s"non-deterministic checksums: $chk")
     println(
       s"""{"cpus":$cpus,"docs":$nDocs,"runs_sec":[${runs.map(_.seconds).mkString(",")}],""" +
         s""""median_sec":$med,"docs_per_sec":${nDocs / med},""" +
-        s""""checksum":${chk.head},"pip_hits":${runs.head.pipHits}}""")
+        s""""checksum":${chk.head._1},"content_checksum":${chk.head._2},"pip_hits":${runs.head.pipHits}}""")
     spark.stop()
   }
 }

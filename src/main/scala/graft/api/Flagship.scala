@@ -25,7 +25,7 @@ object Flagship {
 
   final case class FlagshipResult(
       docs: Long, dedupedDocs: Long, pipHits: Long, gridCells: Long,
-      gridChecksum: Long, seconds: Double) {
+      gridChecksum: Long, keptContentChecksum: Long, seconds: Double) {
     def docsPerSec: Double = docs / seconds
   }
 
@@ -67,7 +67,13 @@ object Flagship {
       .withColumn("z", (col("h") / 61200000000L % 20000L) / lit(1000.0))
       .withColumn("doc_id", xxhash64(col("url")))
       .withColumn("cell", CellFunctions.cellId(col("lon"), col("lat"), 10))
-      .select("doc_id", "lon", "lat", "z", "cell")
+      // kept_hash stays in the output: the deduped CONTENT is the
+      // pipeline's product, so Catalyst cannot prune text/warc_ts out of
+      // the scan and rewrite the max_by into a bare DISTINCT (it does
+      // exactly that if kept_hash is dropped here — measured and kept as
+      // a regression guard in FlagshipSpec).
+      .select(col("doc_id"), col("lon"), col("lat"), col("z"), col("cell"),
+        col("kept_hash"))
   }
 
   def run(spark: SparkSession, nDocs: Long): FlagshipResult = {
@@ -75,12 +81,15 @@ object Flagship {
     val t0 = System.nanoTime()
     val geo = geocodedFromParquet(spark, path).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val deduped = geo.count()
+      val kept = geo.agg(count(lit(1)).as("n"),
+        sum(conv(substring(col("kept_hash"), 1, 8), 16, 10).cast("long")).as("ksum"))
+        .head()
       val hits = SpatialJoins.pointInPolygon(spark, geo, Aoi.defs).count()
       val dsmRow = Gridding.dsm(Gridding.points(geo))
         .agg(count(lit(1)).as("cells"), sum(col("v")).as("chk")).head()
       val secs = (System.nanoTime() - t0) / 1e9
-      FlagshipResult(nDocs, deduped, hits, dsmRow.getLong(0), dsmRow.getLong(1), secs)
+      FlagshipResult(nDocs, kept.getLong(0), hits, dsmRow.getLong(0),
+        dsmRow.getLong(1), kept.getLong(1), secs)
     } finally { geo.unpersist(blocking = true); () }
   }
 }
