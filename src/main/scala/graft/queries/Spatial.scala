@@ -108,7 +108,19 @@ object Spatial {
       .orderBy(col("gx"), col("gy"))
   }
 
+  /** H3-facade hexagonal index histogram (rows-only: the cube-rounding
+    * hex assignment is covered by HexCellsSpec's nearest-center
+    * property; DuckDB has no hex dual). */
+  val q_hex_hist: QueryDef = QueryDef.rowsOnly("q_hex_hist") { (s, dir) =>
+    docsGeo(s, dir)
+      .withColumn("hex",
+        graft.index.HexCellFunctions.hexCellId(col("lon"), col("lat"), 8))
+      .groupBy(col("hex"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("hex"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q_geocode_cell, q_cell_hist, q_dsm_grid, q_min_grid, q_median_grid,
-    q_grid_zip, q_dsm_meters)
+    q_geocode_cell, q_cell_hist, q_hex_hist, q_dsm_grid, q_min_grid,
+    q_median_grid, q_grid_zip, q_dsm_meters)
 }
