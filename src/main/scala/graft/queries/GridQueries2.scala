@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.core.{Geo, Tables}
+import graft.grid.Gridding
+import org.apache.spark.sql.functions._
+
+/**
+ * Second gridding pack: the reference's conditional aggregations and
+ * resampling (SURVEY.md §2.3 A2/A3, §2.7 M2), all with exact DuckDB
+ * oracles. `n_chars` plays the role of lidar intensity.
+ */
+object GridQueries2 {
+
+  private val DzRaw = 3000L  // ~1 m in raw units
+  private val AglRaw = 6000L // ~2 m
+
+  private def docsPts(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Gridding.points(Geo.withGeo(Tables.documents(s, dir)))
+
+  /** A2 intensity mean-grid (pubgeo `shr3d.cpp:319-370`): per cell,
+    * mean n_chars over splatted points whose qz is within dz of the
+    * cell's DSM; scaled to u16 by the global max mean. */
+  val q_intensity_grid: QueryDef = QueryDef.sqlChecked(
+    "q_intensity_grid",
+    s"""WITH ${Gridding.splatCte},
+       |doc AS (SELECT doc_id, n_chars FROM documents),
+       |sp AS (SELECT s.gx, s.gy, s.qz, d.n_chars FROM splat s JOIN doc d USING (doc_id)),
+       |dsm AS (SELECT gx, gy, max(qz) AS dv FROM splat GROUP BY gx, gy),
+       |acc AS (SELECT sp.gx, sp.gy, sum(sp.n_chars) AS s, count(*) AS c
+       |  FROM sp JOIN dsm ON sp.gx = dsm.gx AND sp.gy = dsm.gy
+       |  WHERE abs(sp.qz - dsm.dv) < $DzRaw GROUP BY sp.gx, sp.gy),
+       |mx AS (SELECT max(s / c) AS m FROM acc)
+       |SELECT gx, gy,
+       |  CAST(floor(65535.0 / mx.m * (s / c)) AS BIGINT) AS v
+       |FROM acc CROSS JOIN mx ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+    val pts = docsPts(s, dir)
+    val sp = Gridding.splat2x2(pts).select("gx", "gy", "qz", "n_chars")
+    val dsm = Gridding.dsm(pts).withColumnRenamed("v", "dv")
+    val acc = sp.join(dsm, Seq("gx", "gy"))
+      .filter(abs(col("qz") - col("dv")) < DzRaw)
+      .groupBy("gx", "gy")
+      .agg(sum("n_chars").as("s"), count(lit(1)).as("c"))
+    val mx = acc.agg(max(col("s") / col("c")).as("m"))
+    acc.crossJoin(broadcast(mx))
+      .select(col("gx"), col("gy"),
+        floor(lit(65535.0) / col("m") * (col("s") / col("c"))).cast("long").as("v"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** A3 minAGL grid (pubgeo `shr3d.cpp:372-415`): per-cell min of qz
+    * restricted to points at least `agl` above the cell's MIN grid.
+    * Runs on the dense 10-degree grid — on the fine world grid the doc
+    * scatter rarely stacks two docs > 2 m apart in one cell. */
+  val q_minagl_grid: QueryDef = QueryDef.sqlChecked(
+    "q_minagl_grid",
+    s"""WITH ${Gridding.splatCte(Gridding.GridSpec(gsd = 10.0))},
+       |mn AS (SELECT gx, gy, min(qz) AS mv FROM splat GROUP BY gx, gy)
+       |SELECT s.gx, s.gy, min(s.qz) AS v
+       |FROM splat s JOIN mn ON s.gx = mn.gx AND s.gy = mn.gy
+       |WHERE s.qz > mn.mv + $AglRaw
+       |GROUP BY s.gx, s.gy ORDER BY s.gx, s.gy""".stripMargin) { (s, dir) =>
+    val pts = Gridding.points(Geo.withGeo(Tables.documents(s, dir)),
+      Gridding.GridSpec(gsd = 10.0))
+    val sp = Gridding.splat2x2(pts)
+    val mn = Gridding.minGrid(pts).withColumnRenamed("v", "mv")
+    sp.join(mn, Seq("gx", "gy"))
+      .filter(col("qz") > col("mv") + AglRaw)
+      .groupBy("gx", "gy").agg(min("qz").as("v"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** M2 nn_upsample x2 (pubgeo `Image.h:329-356`): every cell replicated
+    * into a 2x2 block at doubled resolution. */
+  val q_upsample: QueryDef = QueryDef.sqlChecked(
+    "q_upsample",
+    s"""WITH ${Gridding.splatCte},
+       |dsm AS (SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy)
+       |SELECT gx * 2 + dx AS ux, gy * 2 + dy AS uy, v
+       |FROM dsm CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) o(dx, dy)
+       |ORDER BY ux, uy""".stripMargin) { (s, dir) =>
+    val dsm = Gridding.dsm(docsPts(s, dir))
+    val offs = Seq((0, 0), (0, 1), (1, 0), (1, 1))
+    import s.implicits._
+    dsm.crossJoin(broadcast(offs.toDF("dx", "dy")))
+      .select((col("gx") * 2 + col("dx")).as("ux"),
+        (col("gy") * 2 + col("dy")).as("uy"), col("v"))
+      .orderBy(col("ux"), col("uy"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q_intensity_grid, q_minagl_grid, q_upsample)
+}

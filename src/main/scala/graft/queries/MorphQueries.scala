@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.cc.FillEnclosed
+import graft.core.{Geo, Tables}
+import graft.grid.Gridding
+import graft.stencil.{Kernels, TileStencil}
+import graft.stencil.TileStencil.Bounds
+import org.apache.spark.sql.functions._
+
+/** Classification-morphology pack: W10 majority filter, W13 boundary
+  * gradient, G3 enclosed-region fill — each vs a structurally different
+  * DuckDB oracle. */
+object MorphQueries {
+
+  private val spec = Gridding.GridSpec(gsd = 10.0)
+  private val (w, h) = Gridding.boundsFor(spec)
+  private val bounds = Bounds(w, h)
+  private val BldgT = 35000L
+
+  private def dsm10(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Gridding.dsm(Gridding.points(Geo.withGeo(Tables.documents(s, dir)), spec))
+
+  private val offsets8 =
+    "(VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,1), (1,-1), (1,0), (1,1)) o(dx, dy)"
+
+  /** W10: ground cells with a building majority in their in-bounds
+    * neighborhood flip to building. */
+  val q_majority_filter: QueryDef = QueryDef.sqlChecked(
+    "q_majority_filter",
+    s"""WITH ${Gridding.splatCte(spec)},
+       |dsm AS (SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy),
+       |cls AS (SELECT gx, gy, CASE WHEN v > $BldgT THEN 6 ELSE 2 END AS c FROM dsm),
+       |nb AS (SELECT d.gx, d.gy, d.c,
+       |  (least(d.gx + 1, ${w - 1}) - greatest(d.gx - 1, 0) + 1)
+       |    * (least(d.gy + 1, ${h - 1}) - greatest(d.gy - 1, 0) + 1) - 1 AS positions,
+       |  count(n.gx) FILTER (WHERE n.c = 6) AS nbldg
+       |  FROM cls d CROSS JOIN $offsets8
+       |  LEFT JOIN cls n ON n.gx = d.gx + o.dx AND n.gy = d.gy + o.dy
+       |  GROUP BY d.gx, d.gy, d.c)
+       |SELECT gx, gy,
+       |  CASE WHEN c = 2 AND 2 * nbldg >= positions THEN 6 ELSE c END AS v
+       |FROM nb ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+    val cls = dsm10(s, dir)
+      .select(col("gx"), col("gy"),
+        when(col("v") > BldgT, lit(6)).otherwise(lit(2)).as("v"))
+    TileStencil(cls, Kernels.MajorityFilter(6), bounds, tileSize = 8)
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** W13: slope-corrected boundary steps at strides 1 and 2. */
+  val q_boundary_gradient: QueryDef = QueryDef.sqlChecked(
+    "q_boundary_gradient",
+    s"""WITH ${Gridding.splatCte(spec)},
+       |dsm AS (SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy)
+       |SELECT d.gx, d.gy, 1 AS v FROM dsm d WHERE EXISTS (
+       |  SELECT 1 FROM $offsets8
+       |  JOIN dsm n1 ON n1.gx = d.gx + o.dx AND n1.gy = d.gy + o.dy
+       |  JOIN dsm n2 ON n2.gx = d.gx + 2 * o.dx AND n2.gy = d.gy + 2 * o.dy
+       |  WHERE d.gx + 2 * o.dx BETWEEN 0 AND ${w - 1}
+       |    AND d.gy + 2 * o.dy BETWEEN 0 AND ${h - 1}
+       |    AND (d.v - n1.v) - (n1.v - n2.v) > 3000)
+       |ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+    TileStencil(dsm10(s, dir), Kernels.BoundaryGradient(3000, 1), bounds, tileSize = 8)
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** G3: ground components fully enclosed by building cells flip. Runs
+    * on the fine world grid restricted to doc_id < 150 so the recursive
+    * CTE oracle stays small; the engine side runs the full distributed
+    * CCL + joins. */
+  val q_fill_enclosed: QueryDef = {
+    val (fw, _) = Gridding.boundsFor(Gridding.WorldGrid)
+    QueryDef.sqlChecked(
+      "q_fill_enclosed",
+      s"""WITH RECURSIVE ${Gridding.splatCte},
+         |g AS (SELECT gx, gy, max(qz) AS v FROM
+         |  (SELECT * FROM splat WHERE doc_id < 150) s GROUP BY gx, gy),
+         |cls AS (SELECT gx, gy, CASE WHEN v > 30000 THEN 6 ELSE 2 END AS c FROM g),
+         |t AS (SELECT gx, gy FROM cls WHERE c = 2),
+         |reach(gx, gy, l) AS (
+         |  SELECT gx, gy, gy * $fw + gx FROM t
+         |  UNION
+         |  SELECT n.gx, n.gy, r.l FROM reach r
+         |  JOIN t n ON abs(n.gx - r.gx) <= 1 AND abs(n.gy - r.gy) <= 1
+         |    AND r.l < n.gy * $fw + n.gx),
+         |lbl AS (SELECT gx, gy, min(l) AS label FROM reach GROUP BY gx, gy),
+         |ext AS (SELECT l.label,
+         |    CASE WHEN c2.c = 2 THEN NULL WHEN c2.c = 6 THEN 1 ELSE 0 END AS ok
+         |  FROM lbl l CROSS JOIN $offsets8
+         |  LEFT JOIN cls c2 ON c2.gx = l.gx + o.dx AND c2.gy = l.gy + o.dy),
+         |encl AS (SELECT label FROM ext GROUP BY label HAVING min(ok) = 1)
+         |SELECT c.gx, c.gy,
+         |  CASE WHEN e.label IS NOT NULL THEN 6 ELSE c.c END AS cls
+         |FROM cls c LEFT JOIN lbl ON lbl.gx = c.gx AND lbl.gy = c.gy
+         |LEFT JOIN encl e ON e.label = lbl.label
+         |ORDER BY c.gx, c.gy""".stripMargin) { (s, dir) =>
+      val dsm = Gridding.dsm(Gridding.points(
+        Geo.withGeo(Tables.documents(s, dir).filter(col("doc_id") < 150))))
+      val cls = dsm.select(col("gx"), col("gy"),
+        when(col("v") > 30000L, lit(6)).otherwise(lit(2)).as("cls"))
+      FillEnclosed(cls, target = 2, fill = 6,
+          Bounds(Gridding.boundsFor(Gridding.WorldGrid)._1,
+            Gridding.boundsFor(Gridding.WorldGrid)._2), tileSize = 16)
+        .orderBy(col("gx"), col("gy"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q_majority_filter, q_boundary_gradient, q_fill_enclosed)
+}

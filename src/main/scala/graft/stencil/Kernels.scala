@@ -130,6 +130,51 @@ object Kernels {
     }
   }
 
+  /** W10 majority filter (pubgeo `shr3d.cpp:489-493`) over a class mask
+    * (building = bldg code, other non-void codes pass through): a
+    * non-building cell flips to building when buildings hold at least
+    * half of the in-bounds neighbor POSITIONS (absent cells count as
+    * non-building, like the reference's void class). */
+  final case class MajorityFilter(bldg: Int) extends Kernel {
+    val radius = 1
+    def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
+      val me = get(x, y)
+      if (me == 0 || me == bldg) return me
+      var nb = 0; var positions = 0
+      foreachNeighbor(get, x, y, w, h, 1, skipCenter = true) { v =>
+        positions += 1
+        if (v == bldg) nb += 1
+      }
+      if (2 * nb >= positions) bldg else me
+    }
+  }
+
+  /** W13 boundary gradient detector (pubgeo `shr3d.cpp:592-624`): mark
+    * the cell (value 1) when in any of the 8 directions the
+    * slope-corrected step (me - n1) - (n1 - n2) exceeds dz, probing at
+    * strides dh and 2*dh; both probes must be non-void and in-bounds.
+    * Unmarked cells are dropped (void). */
+  final case class BoundaryGradient(dz: Int, dh: Int) extends Kernel {
+    val radius: Int = 2 * dh
+    def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
+      val me = get(x, y)
+      if (me == 0) return 0
+      val dirs = Array((1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (1, -1), (-1, 1), (-1, -1))
+      var i = 0
+      while (i < dirs.length) {
+        val (dx, dy) = dirs(i)
+        val x1 = x + dx * dh; val y1 = y + dy * dh
+        val x2 = x + 2 * dx * dh; val y2 = y + 2 * dy * dh
+        if (x2 >= 0 && x2 < w && y2 >= 0 && y2 < h) {
+          val n1 = get(x1, y1); val n2 = get(x2, y2)
+          if (n1 != 0 && n2 != 0 && (me - n1) - (n1 - n2) > dz) return 1
+        }
+        i += 1
+      }
+      0
+    }
+  }
+
   /** W8 tree filter over var = DSM - MIN (pubgeo `shr3d.cpp:140-164`):
     * void the cell if its var is <= maxTree but no 3x3 neighbor's var is
     * below the dz threshold (vegetation canopy detector). Voids not
