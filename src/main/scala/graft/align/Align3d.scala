@@ -169,4 +169,58 @@ object Align3d {
       .withColumn("z", col("z") + lit(res.tz))
     (res, aligned)
   }
+
+  /** Coarse-to-fine alignment as a convergent DataFrame loop (the north
+    * star's "iterative xyz-offset alignment ... with checkpointed
+    * residuals"): each pass halves gsd and the search radius, applies
+    * the accumulated translation to the target, and — when a snapshot
+    * root is given — commits the pass's residual summary to the
+    * `align_residuals` table, making the loop resumable mid-sequence
+    * (a re-run skips every pass whose lineage signature already
+    * committed). Converges because the search radius contracts
+    * geometrically while the grid refines. */
+  def runCoarseToFine(spark: SparkSession, refPts: DataFrame, tgtPts: DataFrame,
+                      cfg: Config = Config(), levels: Int = 3,
+                      snapshotRoot: Option[String] = None): (Result, DataFrame) = {
+    import spark.implicits._
+    var acc = (0.0, 0.0, 0.0)
+    var last: Result = null
+    var cur = tgtPts
+    for (lvl <- (levels - 1) to 0 by -1) {
+      val scale = 1 << lvl
+      val passCfg = cfg.copy(
+        gsd = cfg.gsd * scale,
+        maxT = if (lvl == levels - 1) cfg.maxT * scale else 2.0 * cfg.gsd * scale)
+      val lineage = s"align lvl=$lvl gsd=${passCfg.gsd} maxT=${passCfg.maxT} " +
+        s"acc=${acc._1},${acc._2},${acc._3} seed=${cfg.seed}"
+      val resumed = snapshotRoot.flatMap { root =>
+        graft.meta.Snapshots.committed(root, "align_residuals")
+          .reverse.find(_.lineage == lineage)
+          .map(m => graft.meta.Snapshots.read(spark, m).head())
+      }
+      val r = resumed match {
+        case Some(row) => Result(row.getDouble(0), row.getDouble(1), row.getDouble(2),
+          row.getDouble(3), row.getDouble(4), row.getLong(5), row.getInt(6), row.getInt(7))
+        case None =>
+          val (res, _) = run(spark, refPts, cur, passCfg)
+          snapshotRoot.foreach { root =>
+            graft.meta.Snapshots.commit(
+              Seq((res.tx, res.ty, res.tz, res.rmsMeters, res.completeness,
+                res.nValid, res.bestDx, res.bestDy))
+                .toDF("tx", "ty", "tz", "rms", "compl", "n", "bdx", "bdy"),
+              root, "align_residuals", lineage)
+          }
+          res
+      }
+      acc = (acc._1 + r.tx, acc._2 + r.ty, acc._3 + r.tz)
+      cur = tgtPts
+        .withColumn("x", col("x") + lit(acc._1))
+        .withColumn("y", col("y") + lit(acc._2))
+        .withColumn("z", col("z") + lit(acc._3))
+        .localCheckpoint()
+      last = r
+    }
+    val finalRes = last.copy(tx = acc._1, ty = acc._2, tz = acc._3)
+    (finalRes, cur)
+  }
 }

@@ -105,5 +105,41 @@ object MorphQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q_majority_filter, q_boundary_gradient, q_fill_enclosed)
+  /** W9 class-edge fill, 5 iterations: tree cells adjacent to a
+    * building at similar height flip to building; the flip can cascade
+    * one ring per iteration. Engine runs the packed-value kernel; the
+    * oracle chains five explicit self-join rounds. */
+  val q_class_edge_fill: QueryDef = {
+    val dz = 8000
+    def roundSql(k: Int): String =
+      s"""c$k AS (SELECT gx, gy, v,
+         |  CASE WHEN cls = 5 AND nb > 0 THEN 6 ELSE cls END AS cls FROM (
+         |  SELECT d.gx, d.gy, d.v, d.cls,
+         |    count(n.gx) FILTER (WHERE n.cls = 6 AND abs(n.v - d.v) <= $dz) AS nb
+         |  FROM c${k - 1} d CROSS JOIN $offsets8
+         |  LEFT JOIN c${k - 1} n ON n.gx = d.gx + o.dx AND n.gy = d.gy + o.dy
+         |  GROUP BY d.gx, d.gy, d.v, d.cls) t$k)""".stripMargin
+    QueryDef.sqlChecked(
+      "q_class_edge_fill",
+      s"""WITH ${Gridding.splatCte(spec)},
+         |dsm AS (SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy),
+         |c0 AS (SELECT gx, gy, v,
+         |  CASE WHEN v > 45000 THEN 6 WHEN v > 20000 THEN 5 ELSE 2 END AS cls FROM dsm),
+         |${(1 to 5).map(roundSql).mkString(",\n")}
+         |SELECT gx, gy, cls FROM c5 ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+      val packed = dsm10(s, dir).select(col("gx"), col("gy"),
+        (when(col("v") > 45000L, lit(6)).when(col("v") > 20000L, lit(5))
+          .otherwise(lit(2)) * lit(131072) + col("v")).cast("int").as("v"))
+      val out = (1 to 5).foldLeft(packed) { (df, _) =>
+        TileStencil(df, Kernels.ClassEdgeFill(dz, 1, tree = 5, bldg = 6),
+          bounds, tileSize = 8)
+      }
+      out.select(col("gx"), col("gy"),
+        shiftrightunsigned(col("v").cast("long"), 17).cast("int").as("cls"))
+        .orderBy(col("gx"), col("gy"))
+    }
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q_majority_filter, q_boundary_gradient, q_fill_enclosed, q_class_edge_fill)
 }

@@ -130,6 +130,27 @@ object Kernels {
     }
   }
 
+  /** W9 class-edge fill (pubgeo `shr3d.cpp:476-487`): a TREE cell with
+    * any BUILDING neighbor whose DSM value is within dz becomes
+    * BUILDING. Two-grid stencil over values packed as
+    * (cls << 17) | dsmRaw (dsmRaw < 2^17); run it `iterations` times. */
+  final case class ClassEdgeFill(dz: Int, dh: Int, tree: Int, bldg: Int) extends Kernel {
+    val radius: Int = dh
+    def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
+      val me = get(x, y)
+      if (me == 0) return 0
+      val cls = me >>> 17
+      if (cls != tree) return me
+      val dv = me & 0x1FFFF
+      var hit = false
+      foreachNeighbor(get, x, y, w, h, dh, skipCenter = true) { n =>
+        if (n != 0 && (n >>> 17) == bldg && math.abs((n & 0x1FFFF) - dv) <= dz)
+          hit = true
+      }
+      if (hit) (bldg << 17) | dv else me
+    }
+  }
+
   /** W10 majority filter (pubgeo `shr3d.cpp:489-493`) over a class mask
     * (building = bldg code, other non-void codes pass through): a
     * non-building cell flips to building when buildings hold at least

@@ -1,6 +1,7 @@
 package graft
 
 import graft.align.{Align3d, Mt19937_64}
+import org.apache.spark.sql.functions.col
 
 class AlignSpec extends SparkSpec {
 
@@ -60,6 +61,33 @@ class AlignSpec extends SparkSpec {
     val m0 = tgt.agg(org.apache.spark.sql.functions.avg("x")).head().getDouble(0)
     val m1 = aligned.agg(org.apache.spark.sql.functions.avg("x")).head().getDouble(0)
     assert(math.abs((m1 - m0) - res.tx) < 1e-9)
+  }
+
+  test("coarse-to-fine loop converges and resumes from residual snapshots") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pts = (for (i <- 0 until 6000) yield {
+      val x = rnd.nextDouble() * 60.0; val y = rnd.nextDouble() * 60.0
+      (x, y, 3.0 * math.sin(x * 0.4) + 2.0 * math.cos(y * 0.3))
+    }).toDF("x", "y", "z")
+    val (sx, sy, sz) = (5.5, -3.25, 0.4)
+    val tgt = pts.select((col("x") + sx).as("x"), (col("y") + sy).as("y"),
+      (col("z") + sz).as("z"))
+    val root = java.nio.file.Files.createTempDirectory("graft-align").toString
+    val cfg = Align3d.Config(gsd = 0.5, maxT = 2.0, numSamples = 2000)
+    val (res, _) = Align3d.runCoarseToFine(spark, pts, tgt, cfg, levels = 3,
+      snapshotRoot = Some(root))
+    // coarse pass searches maxT*4 = 8 > 5.5; fine passes refine to gsd/2
+    assert(math.abs(res.tx - (-sx)) <= cfg.gsd, s"tx=${res.tx}")
+    assert(math.abs(res.ty - (-sy)) <= cfg.gsd, s"ty=${res.ty}")
+    assert(math.abs(res.tz - (-sz)) <= 0.2, s"tz=${res.tz}")
+    // resume: a second run must reuse every committed pass (same results)
+    val before = graft.meta.Snapshots.committed(root, "align_residuals").size
+    val (res2, _) = Align3d.runCoarseToFine(spark, pts, tgt, cfg, levels = 3,
+      snapshotRoot = Some(root))
+    val after = graft.meta.Snapshots.committed(root, "align_residuals").size
+    assert(res2 == res)
+    assert(after == before, s"recomputed passes: $before -> $after")
   }
 
   test("align of identical clouds is (0,0,0)") {
