@@ -1,0 +1,49 @@
+package graft
+
+/** Physical-plan regression guards: the scale properties we rely on
+  * (pushdown, pruning, broadcast strategy) must survive refactors. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfSmoke).queryExecution.executedPlan.toString
+
+  test("q3: dimension filter is pushed to the parquet scan") {
+    val p = plan("q3_top_revenue")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)")
+      || p.contains("c_mktsegment"), "mktsegment filter not near the scan")
+  }
+
+  test("q1: scan is pruned to the aggregated columns") {
+    val p = plan("q1_agg")
+    assert(!p.contains("l_shipdate"), "q1 must not read l_shipdate")
+    assert(!p.contains("l_partkey"), "q1 must not read l_partkey")
+  }
+
+  test("pip join broadcasts the AOI cell candidates, not the points") {
+    val p = plan("q_pip_join")
+    assert(p.contains("BroadcastHashJoin"), "PIP must be a broadcast join")
+    assert(!p.contains("SortMergeJoin"), "point table must not shuffle-sort")
+  }
+
+  test("geocode+cell: codegen'd expression directly over a pruned scan") {
+    val df = SparkEntry.queries("q_geocode_cell")(spark, sfSmoke)
+    df.collect() // execute THIS plan so AQE finalizes and codegen spans show
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_cell"), "cell expression missing from plan")
+    assert(!p.contains("text"), "geocode must not read the text column")
+    // '*' prefixes mark whole-stage-codegen spans in the final plan
+    assert(p.contains("*(1) Project"),
+      "cell expression fell out of whole-stage codegen")
+  }
+
+  test("dsm grid aggregates before the splat (shuffle bounded by grid)") {
+    val df = SparkEntry.queries("q_dsm_grid")(spark, sfSmoke)
+    val p = df.queryExecution.optimizedPlan.toString
+    // base-cell aggregate must appear below the generator
+    val genIdx = p.indexOf("Generate explode")
+    val aggIdx = p.lastIndexOf("Aggregate")
+    assert(genIdx >= 0 && aggIdx > genIdx,
+      s"expected aggregate below explode:\n$p")
+  }
+}
