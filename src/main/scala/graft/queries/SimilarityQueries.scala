@@ -67,5 +67,14 @@ object SimilarityQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_ann_topk, q_embed_norm, q_media_meta)
+  /** IVF-bucketed ANN (rows-only: approximate by design; exactness at
+    * nProbe = nList and recall bounds are spec-checked in DedupSpec). */
+  val q_ann_ivf: QueryDef = QueryDef.rowsOnly("q_ann_ivf") { (s, dir) =>
+    val e = Ann.withVec(Tables.embeddings(s, dir))
+    val q = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val t = e.filter(col("vec_id") >= 3).select(col("vec_id"), col("v"))
+    Ann.ivfTopK(q, t, 10, nList = 16, nProbe = 4).orderBy(col("qid"), col("rank"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q_ann_topk, q_ann_ivf, q_embed_norm, q_media_meta)
 }

@@ -67,6 +67,58 @@ object Ann {
     aggregate(zip_with(v, plane, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
   }
 
+  /** IVF coarse quantizer: deterministic k-means (init = first nList
+    * corpus vectors by vec_id, a fixed number of Lloyd iterations as a
+    * checkpointed DataFrame loop). Returns (centroids(cid, cv),
+    * assignments(vec_id, cid)). At 100 TB the assignment table is the
+    * partition key: probing touches nProbe/nList of the corpus. */
+  def ivfIndex(corpus: DataFrame, nList: Int, iters: Int = 2): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var centroids = corpus.orderBy(col("vec_id")).limit(nList)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+      .localCheckpoint()
+    var assignments: DataFrame = null
+    for (_ <- 0 until iters) {
+      val scored = corpus.crossJoin(broadcast(centroids))
+        .withColumn("cos", dotExpr("cv", "v"))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+      assignments = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("vec_id"), col("cid"), col("v"))
+        .localCheckpoint()
+      // new centroid = normalized mean of its members (deterministic:
+      // per-dimension sums are order-free after the exact pos explode)
+      val sums = assignments
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(sum("x").as("s"), count(lit(1)).as("n"))
+      centroids = sums.groupBy("cid")
+        .agg(expr("array_sort(collect_list(struct(pos, s / n AS m)))").as("arr"))
+        .select(col("cid"), expr("transform(arr, e -> e.m)").as("raw"))
+        .withColumn("norm", sqrt(dotExpr("raw", "raw")))
+        .select(col("cid"), expr("transform(raw, x -> x / norm)").as("cv"))
+        .localCheckpoint()
+    }
+    (centroids, assignments.select("vec_id", "cid"))
+  }
+
+  /** IVF approximate top-k: score only corpus vectors assigned to the
+    * query's nProbe nearest centroid lists. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nList: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val (centroids, assign) = ivfIndex(corpus, nList, iters)
+    val qc = queries.crossJoin(broadcast(centroids))
+      .withColumn("ccos", dotExpr("cv", "qv"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))
+    val probes = qc.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe).select(col("qid"), col("qv"), col("cid"))
+    val cand = probes.join(assign, Seq("cid")).join(corpus, Seq("vec_id"))
+      .withColumn("cos", dotExpr("qv", "v"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rank"))
+  }
+
   /** Multi-table LSH approximate top-k: candidates = corpus vectors
     * sharing any table's bucket with the query; exact cosine + rank on
     * the candidate set only. Recall grows with nTables

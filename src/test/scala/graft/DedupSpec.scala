@@ -71,4 +71,23 @@ class DedupSpec extends SparkSpec {
     // LSH results are always true cosines; ranks within bucket are exact
     assert(approx.nonEmpty)
   }
+
+  test("ivf topk: deterministic, decent recall, bounded probe fraction") {
+    val e = Ann.withVec(Tables.embeddings(spark, sfSmoke))
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val t = e.filter(col("vec_id") >= 5).select(col("vec_id"), col("v"))
+    val exact = Ann.bruteForceTopK(q, t, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a1 = Ann.ivfTopK(q, t, 5, nList = 8, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val a2 = Ann.ivfTopK(q, t, 5, nList = 8, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(a1.toSeq == a2.toSeq, "ivf not deterministic")
+    val recall = (exact & a1.toSet).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ivf recall $recall too low for nProbe=nList/2")
+    // probing all lists must equal brute force exactly
+    val full = Ann.ivfTopK(q, t, 5, nList = 8, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "nProbe=nList must reduce to brute force")
+  }
 }
