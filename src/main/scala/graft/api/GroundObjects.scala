@@ -1,0 +1,53 @@
+package graft.api
+
+import graft.cc.{ConnectedComponents, ScanlineFill}
+import graft.stencil.{Kernels, TileStencil}
+import graft.stencil.TileStencil.Bounds
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * classifyGround-style object detection (the reference's inner loop,
+ * pubgeo `src/shr3d/shr3d.cpp:900-960`): from a DSM,
+ *   W13 boundary-gradient seeds -> W14 boundary extension (relaxation
+ *   rounds) -> G2 dz-constrained components over the labeled cells ->
+ *   G5 scanline interior fill -> G6 label collapse,
+ * yielding the above-ground object mask whose removal produces the
+ * reference's DTM estimate.
+ */
+object GroundObjects {
+
+  final case class Config(
+      dzRaw: Int = 3000, dh: Int = 1, extensionRounds: Int = 3,
+      minRegionCells: Int = 2, tileSize: Int = 64)
+
+  /** Returns (gx, gy, label) for detected object cells. */
+  def detect(dsm: DataFrame, bounds: Bounds, cfg: Config = Config()): DataFrame = {
+    // W13 seeds
+    val seeds = TileStencil(dsm, Kernels.BoundaryGradient(cfg.dzRaw, cfg.dh),
+      bounds, cfg.tileSize)
+    // pack (label | dsm) and relax W14
+    val packed = dsm.join(seeds.select(col("gx"), col("gy"), lit(1).as("lbl")),
+        Seq("gx", "gy"), "left")
+      .select(col("gx"), col("gy"),
+        (coalesce(col("lbl"), lit(0)) * lit(131072) + col("v")).cast("int").as("v"))
+    val relaxed = (0 until cfg.extensionRounds).foldLeft(packed) { (df, _) =>
+      val marked = TileStencil(df, Kernels.ExtendMark(cfg.dzRaw), bounds, cfg.tileSize)
+      TileStencil(marked, Kernels.ExtendResolve(), bounds, cfg.tileSize)
+        .localCheckpoint()
+    }
+    val objCells = relaxed
+      .filter(shiftrightunsigned(col("v").cast("long"), 17) === 1)
+      .select(col("gx"), col("gy"),
+        col("v").bitwiseAND(lit(0x1FFFF)).cast("int").as("v"))
+    // G2 components constrained by dz
+    val labeled = ConnectedComponents.label(objCells, bounds, cfg.tileSize,
+      maxDz = Some(cfg.dzRaw))
+    val sized = labeled.groupBy("label").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= cfg.minRegionCells).select("label")
+    val kept = labeled.join(sized, Seq("label"), "left_semi")
+      .select("gx", "gy", "label")
+    // G5 interior fill
+    ScanlineFill(kept, dsm, cfg.dzRaw)
+  }
+}

@@ -140,6 +140,15 @@ object MorphQueries {
     }
   }
 
-  val all: Seq[QueryDef] =
-    Seq(q_majority_filter, q_boundary_gradient, q_fill_enclosed, q_class_edge_fill)
+  /** Composed classifyGround object detection (W13 -> W14 -> G2 -> G5;
+    * rows-only: components covered piecewise by SQL oracles upstream and
+    * end-to-end by GroundSpec). */
+  val q_ground_objects: QueryDef = QueryDef.rowsOnly("q_ground_objects") { (s, dir) =>
+    graft.api.GroundObjects.detect(dsm10(s, dir), bounds,
+        graft.api.GroundObjects.Config(tileSize = 8))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q_majority_filter, q_boundary_gradient,
+    q_fill_enclosed, q_class_edge_fill, q_ground_objects)
 }

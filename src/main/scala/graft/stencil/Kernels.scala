@@ -196,6 +196,44 @@ object Kernels {
     }
   }
 
+  /** W14 boundary extension (pubgeo `shr3d.cpp:536-589`), one relaxation
+    * round = two kernel passes over values packed as
+    * (label << 17) | dsmRaw with label in {0 = unlabeled, 1 = object,
+    * 2 = TEMP}:
+    *  - phase 1 [[ExtendMark]]: an unlabeled cell adjacent to an OBJECT
+    *    cell at |dz| <= dz becomes TEMP;
+    *  - phase 2 [[ExtendResolve]]: TEMP becomes OBJECT if it sits higher
+    *    than some neighbor, else reverts to unlabeled.
+    * Run the pair edgeResolution times. */
+  final case class ExtendMark(dz: Int) extends Kernel {
+    val radius = 1
+    def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
+      val me = get(x, y)
+      if (me == 0 || (me >>> 17) != 0) return me
+      val dv = me & 0x1FFFF
+      var mark = false
+      foreachNeighbor(get, x, y, w, h, 1, skipCenter = true) { n =>
+        if (n != 0 && (n >>> 17) == 1 && math.abs((n & 0x1FFFF) - dv) <= dz)
+          mark = true
+      }
+      if (mark) (2 << 17) | dv else me
+    }
+  }
+
+  final case class ExtendResolve() extends Kernel {
+    val radius = 1
+    def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
+      val me = get(x, y)
+      if (me == 0 || (me >>> 17) != 2) return me
+      val dv = me & 0x1FFFF
+      var higher = false
+      foreachNeighbor(get, x, y, w, h, 1, skipCenter = true) { n =>
+        if (n != 0 && dv > (n & 0x1FFFF)) higher = true
+      }
+      if (higher) (1 << 17) | dv else dv
+    }
+  }
+
   /** W8 tree filter over var = DSM - MIN (pubgeo `shr3d.cpp:140-164`):
     * void the cell if its var is <= maxTree but no 3x3 neighbor's var is
     * below the dz threshold (vegetation canopy detector). Voids not
