@@ -50,4 +50,31 @@ object GroundObjects {
     // G5 interior fill
     ScanlineFill(kept, dsm, cfg.dzRaw)
   }
+
+  /** G4 object accept/reject (pubgeo `shr3d.cpp:1037-1087`): per object,
+    * the mean height step from its boundary cells down to adjacent
+    * ground (non-object) cells; objects with 0 < mean < dz/2 are noise
+    * ridges and are rejected. Pure joins + one aggregate per label. */
+  def acceptByGradient(labeled: DataFrame /* gx, gy, label */,
+                       dsm: DataFrame /* gx, gy, v */, dzRaw: Int): DataFrame = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+      .toDF("dx", "dy")
+    val objV = labeled.join(dsm, Seq("gx", "gy"))
+    val nb = objV.crossJoin(broadcast(offs))
+      .select(col("label"), col("v").as("ov"),
+        (col("gx") + col("dx")).as("nx"), (col("gy") + col("dy")).as("ny"))
+      .join(dsm.select(col("gx").as("nx"), col("gy").as("ny"), col("v").as("nv")),
+        Seq("nx", "ny"))
+      .join(labeled.select(col("gx").as("nx"), col("gy").as("ny"),
+        lit(true).as("nObj")), Seq("nx", "ny"), "left")
+      .filter(col("nObj").isNull) // ground neighbors only
+    val stats = nb.groupBy("label")
+      .agg((sum(col("ov") - col("nv")) / count(lit(1))).as("meanGrad"))
+    val keepLabels = stats
+      .filter(!(col("meanGrad") > 0.0 && col("meanGrad") < dzRaw / 2.0))
+      .select("label")
+    labeled.join(keepLabels, Seq("label"), "left_semi")
+  }
 }

@@ -145,10 +145,54 @@ object Vectorize {
     ring
   }
 
-  /** Component cells -> WKT MULTIPOLYGON (shells CCW + their holes). */
-  def toWkt(cells: Set[Pt], minArea: Double = 0.0): String = {
+  /** V3 findCorners (pubgeo `geo_polygon.h:508-553`): a vertex is a
+    * corner when its turn metric (pi - theta) * d1 * d2 reaches
+    * pi * scale^2 / 8 (theta = interior angle via clamped acos, d1/d2 =
+    * adjacent segment lengths); non-max suppression keeps only the
+    * strongest corner within 5/6*scale of ring distance. Returns the
+    * corner-only ring, or the input when fewer than 4 corners survive. */
+  def cornerSimplify(ring: Vector[Double2], scale: Double): Vector[Double2] = {
+    val n = ring.length
+    if (n < 5) return ring
+    def seg(a: Double2, b: Double2) = math.hypot(b._1 - a._1, b._2 - a._2)
+    val metric = Array.tabulate(n) { i =>
+      val p = ring((i - 1 + n) % n); val c = ring(i); val q = ring((i + 1) % n)
+      val d1 = seg(p, c); val d2 = seg(c, q)
+      if (d1 == 0 || d2 == 0) 0.0
+      else {
+        val dot = ((p._1 - c._1) * (q._1 - c._1) + (p._2 - c._2) * (q._2 - c._2)) / (d1 * d2)
+        val theta = math.acos(math.max(-1.0, math.min(1.0, dot)))
+        (math.Pi - theta) * d1 * d2
+      }
+    }
+    val threshold = math.Pi * scale * scale / 8.0
+    val isCorner = Array.tabulate(n)(i => metric(i) >= threshold)
+    // non-max suppression along ring distance
+    val window = 5.0 * scale / 6.0
+    for (i <- 0 until n if isCorner(i)) {
+      var dist = 0.0
+      var j = (i + 1) % n
+      while (dist < window && j != i) {
+        dist += seg(ring((j - 1 + n) % n), ring(j))
+        if (dist < window && isCorner(j)) {
+          if (metric(j) > metric(i) || (metric(j) == metric(i) && j > i))
+            isCorner(i) = false
+          else isCorner(j) = false
+        }
+        j = (j + 1) % n
+      }
+    }
+    val corners = (0 until n).filter(isCorner).map(ring).toVector
+    if (corners.length >= 4) corners else ring
+  }
+
+  /** Component cells -> WKT MULTIPOLYGON (shells CCW + their holes).
+    * `cornerScale` engages the buildingSimplify-style corner pass. */
+  def toWkt(cells: Set[Pt], minArea: Double = 0.0,
+            cornerScale: Double = 0.0): String = {
     val rs = rings(cells).map(r => r.map(p => (p._1.toDouble, p._2.toDouble)))
       .map(mergeCollinear)
+      .map(r => if (cornerScale > 0) cornerSimplify(r, cornerScale) else r)
       .map(r => if (minArea > 0) vwReduce(r, minArea) else r)
     val (shells, holes) = rs.partition(r => signedAreaD(r) > 0)
     def inside(pt: Double2, ring: Vector[Double2]): Boolean = {

@@ -53,6 +53,22 @@ class GroundSpec extends SparkSpec {
     assert((objs & farGround).isEmpty, s"ground mislabeled: ${objs & farGround}")
   }
 
+  test("G4 gradient accept/reject drops low ridges, keeps real objects") {
+    import spark.implicits._
+    // object A: tall box (step 29000); object B: low ridge (step 800 < dz/2)
+    val dsm = ((for (y <- 0L until 24L; x <- 0L until 24L) yield {
+      val v = if (x >= 2 && x <= 5 && y >= 2 && y <= 5) 30000
+      else if (x >= 12 && x <= 15 && y >= 12 && y <= 15) 1800
+      else 1000
+      (x, y, v)
+    })).toDF("gx", "gy", "v")
+    val labeled = ((for (y <- 2L to 5L; x <- 2L to 5L) yield (x, y, 1L)) ++
+      (for (y <- 12L to 15L; x <- 12L to 15L) yield (x, y, 2L))).toDF("gx", "gy", "label")
+    val kept = graft.api.GroundObjects.acceptByGradient(labeled, dsm, dzRaw = 3000)
+      .select("label").distinct().collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"kept $kept")
+  }
+
   test("W14 extension grows labels along close heights, stops at cliffs") {
     import spark.implicits._
     // a 1-D ramp: labeled seed at x=10; heights close until x=15, cliff after

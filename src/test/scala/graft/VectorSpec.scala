@@ -68,6 +68,19 @@ class VectorSpec extends AnyFunSuite {
     assert(math.abs(simp.getArea - full.getArea) / full.getArea < 0.35)
   }
 
+  test("corner simplify reduces a jagged rectangle to ~4 corners") {
+    // a 20x12 rectangle with a one-cell sawtooth on the top edge
+    val cells = (for {
+      y <- 0L until 12L; x <- 0L until 20L
+    } yield (x, y)).toSet ++ (for (x <- 0L until 20L if x % 2 == 0) yield (x, 12L)).toSet
+    val plain = reader.read(Vectorize.toWkt(cells))
+    val simplified = reader.read(Vectorize.toWkt(cells, cornerScale = 4.0))
+    assert(plain.getNumPoints > simplified.getNumPoints)
+    assert(simplified.getNumPoints <= 9, s"still ${simplified.getNumPoints} points")
+    // area stays near the rectangle's
+    assert(math.abs(simplified.getArea - plain.getArea) / plain.getArea < 0.15)
+  }
+
   test("random blob: area == cell count, all cell centers covered") {
     val r = new scala.util.Random(11)
     var cells = Set((10L, 10L))
