@@ -86,6 +86,24 @@ object Shr3d {
         .localCheckpoint()
     }
 
+    /** Above-ground object cells via the classifyGround path
+      * (W13 -> W14 -> G2 -> G5 -> G4), see GroundObjects. */
+    lazy val objectCells: DataFrame =
+      GroundObjects.acceptByGradient(
+        GroundObjects.detect(dsm, bounds,
+          GroundObjects.Config(dzRaw = dzRaw, tileSize = cfg.tileSize,
+            minRegionCells = cfg.minRegionCells)),
+        dsm, dzRaw).localCheckpoint()
+
+    /** DTM via object removal (the reference's classifyGround product,
+      * `shr3d.cpp:900-960`): void the detected object cells out of the
+      * DSM and pyramid-fill the holes from the surrounding ground. */
+    lazy val dtmClassified: DataFrame = {
+      val ground = dsm.join(objectCells.select("gx", "gy"), Seq("gx", "gy"),
+        "left_anti")
+      FillVoids(ground, bounds, noSmoothing = false).localCheckpoint()
+    }
+
     final val ClsGround = 2
     final val ClsTree = 5
     final val ClsBuilding = 6

@@ -78,6 +78,17 @@ class Shr3dSpec extends SparkSpec {
     assert(biggest(1) >= 40 && biggest(0) >= 20, s"areas ${biggest.toSeq}")
   }
 
+  test("classified DTM recovers the ground surface under buildings") {
+    val dtm = products.dtmClassified.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // under building A (10, 8) the classified DTM must be near ground
+    // (~0.2 m), not the 9 m roof
+    val zUnderA = graft.core.Quant.deq(dtm((10L, 8L)).toLong)
+    assert(zUnderA < 2.5, s"DTM under building A is $zUnderA m")
+    val zGround = graft.core.Quant.deq(dtm((2L, 2L)).toLong)
+    assert(zGround < 1.5, s"open ground DTM $zGround m")
+  }
+
   test("deterministic across runs") {
     val a = products.outlines.collect().map(_.toSeq).sortBy(_.head.toString)
     val b = Shr3d.run(spark, scene.repartition(13),
