@@ -24,5 +24,9 @@ object Shr3dQueries {
     products(s, dir).outlines.orderBy(col("label"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_shr3d_class, q_shr3d_outlines)
+  val q_shr3d_dtm: QueryDef = QueryDef.rowsOnly("q_shr3d_dtm") { (s, dir) =>
+    products(s, dir).dtmClassified.orderBy(col("gx"), col("gy"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q_shr3d_class, q_shr3d_outlines, q_shr3d_dtm)
 }
