@@ -48,5 +48,27 @@ object Joins {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q_pip_join, q_knn_join)
+  /** Vector -> raster: burn the AOI set onto the world grid (cell
+    * centers at x.25/x.75 degrees never hit the .0005-offset AOI
+    * boundaries, so JTS covers == the strict SQL predicates). */
+  val q_rasterize_aoi: QueryDef = QueryDef.sqlChecked(
+    "q_rasterize_aoi",
+    s"""WITH lattice AS (
+       |  SELECT x.range AS gx, y.range AS gy,
+       |    -180.0 + (x.range + 0.5) * 0.5 AS lon,
+       |    -85.0 + (y.range + 0.5) * 0.5 AS lat
+       |  FROM range(0, 722) x, range(0, 342) y),
+       |pts AS (SELECT gx AS doc_id, lon, lat, gx, gy FROM lattice)
+       |SELECT aoi_id, gx, gy FROM (
+       |${Aoi.defs.map(a =>
+            s"SELECT ${a.aoiId} AS aoi_id, gx, gy FROM pts WHERE ${a.oracleSqlPredicate}")
+           .mkString("\nUNION ALL\n")}
+       |) hits ORDER BY aoi_id, gx, gy""".stripMargin) { (s, dir) =>
+    graft.vector.Rasterize.geo(s,
+        Aoi.defs.map(a => (a.aoiId.toLong, a.wkt)), -180.0, -85.0, 0.5)
+      .select(col("id").cast("int").as("aoi_id"), col("gx"), col("gy"))
+      .orderBy(col("aoi_id"), col("gx"), col("gy"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q_pip_join, q_knn_join, q_rasterize_aoi)
 }
