@@ -28,7 +28,7 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "300000").toLong
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000").toLong
     val flag = Flagship.run(spark, nDocs)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
