@@ -116,22 +116,30 @@ object Align3d {
     val capped = probes.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= cfg.numSamples)
 
-    // exact median + robust RMS per offset (A9)
+    // exact median + robust RMS per offset (A9). Offsets that fail to
+    // collect numSamples valid probes are skipped entirely — the
+    // reference's computeRMS gate (`align3d.cpp`: 'if (count <
+    // numSamples) return false'), so a border offset with a handful of
+    // probes can never win the argmin; completeness is likewise
+    // normalized by numSamples, not by the probe count.
     val oneMeterRaw = math.floor(1.0 / Quant.Scale)
     val perOffset = capped.groupBy(col("odx"), col("ody"))
       .agg(sort_array(collect_list(col("diff"))).as("arr"), count(lit(1)).as("n"))
+      .filter(col("n") >= cfg.numSamples)
       .withColumn("med", element_at(col("arr"), (floor(col("n") / 2) + 1).cast("int")))
       .withColumn("dev", sort_array(expr("transform(arr, d -> abs(d - med))")))
       .withColumn("rms", element_at(col("dev"),
         (floor(col("n") * 0.67) + 1).cast("int")))
       .withColumn("complete",
-        expr(s"size(filter(dev, x -> x < $oneMeterRaw))").cast("double") / col("n"))
+        expr(s"size(filter(dev, x -> x < $oneMeterRaw))").cast("double")
+          / lit(cfg.numSamples.toDouble))
       .select(col("odx"), col("ody"), col("n"), col("med").cast("long").as("med"),
         col("rms").cast("long").as("rms"), col("complete"))
 
     val rows = perOffset.collect()
     refDsm.unpersist(); tgtDsm.unpersist()
-    require(rows.nonEmpty, "no valid probes at any offset")
+    require(rows.nonEmpty,
+      s"no offset collected >= ${cfg.numSamples} valid probes")
 
     // argmin with tie-break on |offset| then (odx, ody) for full determinism
     val best = rows.minBy { r =>
@@ -141,7 +149,13 @@ object Align3d {
     val (bdx, bdy) = (best.getInt(0), best.getInt(1))
     val rmsAt = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(4)).toMap
 
-    // 3x3 quadratic peak interpolation (skip at search border / flat dens)
+    // 3x3 quadratic peak interpolation — a deliberate re-spec of the
+    // reference's full 2D Newton step (`align3d.cpp:168-199`, which
+    // solves the quadratic with the dxy cross term and no clamping):
+    // this version is separable per-axis, bails out on non-convex
+    // curvature (dxx/dyy <= 0), and clamps the sub-cell shift to ±0.5,
+    // trading exact parity on tilted RMS surfaces for robustness to
+    // degenerate fits. The integer argmin cell is identical either way.
     def interp: (Double, Double) = {
       val need = for (dy <- -1 to 1; dx <- -1 to 1) yield (bdx + dx, bdy + dy)
       if (math.abs(bdx) == maxSteps || math.abs(bdy) == maxSteps ||

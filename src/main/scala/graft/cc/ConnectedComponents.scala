@@ -47,7 +47,7 @@ object ConnectedComponents {
       col("v").cast("int")).as[Cell]
 
     // ---- 1. per-tile local CCL ----
-    val local = ds.groupByKey(c => (c.gx / t) * 1000003L + (c.gy / t))
+    val local = ds.groupByKey(c => ((c.gx / t) << 32) | (c.gy / t))
       .flatMapGroups { (_, it) =>
         val arr = it.toArray
         val idx = new java.util.HashMap[java.lang.Long, java.lang.Integer](arr.length * 2)

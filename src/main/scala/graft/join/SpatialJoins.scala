@@ -77,6 +77,7 @@ object SpatialJoins {
     val ptsC = pts
       .withColumn("cell", CellFunctions.cellId(col("lon"), col("lat"), res))
       .persist()
+    val roundCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       val cellH = 180.0 / (1L << res).toDouble
       val maxR = 1 << res
@@ -97,6 +98,7 @@ object SpatialJoins {
           .filter(col("rank") <= k)
           .select(col("qid"), col("doc_id"), col("d2"), col("rank"))
           .persist()
+        roundCaches += topk
         val stats = topk.groupBy(col("qid"))
           .agg(count(lit(1)).as("n"), max(col("d2")).as("maxd2"))
           .collect()
@@ -115,9 +117,15 @@ object SpatialJoins {
         pending = pending.filterNot(q => finished.exists(_.qid == q.qid))
         r = math.min(r * 2, maxR)
       }
+      // localCheckpoint materializes the result so every per-round cache
+      // (the point cells and each round's topk) can be released here —
+      // a long-lived session would otherwise leak one cache per round
       val out = done.reduce(_ unionByName _).orderBy(col("qid"), col("rank"))
-      out.count() // materialize before unpersisting the point cache
+        .localCheckpoint()
       out
-    } finally ptsC.unpersist()
+    } finally {
+      ptsC.unpersist()
+      roundCaches.foreach(_.unpersist())
+    }
   }
 }

@@ -43,7 +43,7 @@ object Spatial {
   val q_cell_hist: QueryDef = QueryDef.sqlChecked(
     "q_cell_hist",
     s"""WITH $cellCte
-       |SELECT cell, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+       |SELECT cell, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
        |FROM cells GROUP BY cell ORDER BY cell""".stripMargin) { (s, dir) =>
     docsGeo(s, dir)
       .withColumn("cell", CellFunctions.cellId(col("lon"), col("lat"), Res))

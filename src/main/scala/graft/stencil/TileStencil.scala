@@ -66,21 +66,23 @@ object TileStencil {
       for {
         dx <- dxs if tx + dx >= 0 && tx + dx <= maxTx
         dy <- dys if ty + dy >= 0 && ty + dy <= maxTy
-      } yield ((tx + dx) * 1000003L + (ty + dy), c)
+      } yield (((tx + dx) << 32) | (ty + dy), c)
     }
 
+    // keys are (tx << 32 | ty) and (gx << 32 | gy): collision-free for
+    // any grid up to 2^31 cells per side (coords are non-negative)
     replicated.groupByKey(_._1).flatMapGroups { (key, it) =>
       val cellsIn = it.map(_._2).toArray
       if (cellsIn.isEmpty) Iterator.empty
       else {
         // tile coords back from the key of any core cell: recompute from key
-        val tx = Math.floorDiv(key, 1000003L)
-        val ty = key - tx * 1000003L
+        val tx = key >>> 32
+        val ty = key & 0xFFFFFFFFL
         val local = new java.util.HashMap[java.lang.Long, java.lang.Integer](cellsIn.length * 2)
-        cellsIn.foreach(c => local.put(c.gx * 0x100000L + c.gy, c.v))
+        cellsIn.foreach(c => local.put((c.gx << 32) | c.gy, c.v))
         val zero: java.lang.Integer = 0
         def get(x: Int, y: Int): Int =
-          local.getOrDefault(x.toLong * 0x100000L + y.toLong, zero).intValue()
+          local.getOrDefault((x.toLong << 32) | y.toLong, zero).intValue()
         val x0 = (tx * t).toInt; val y0 = (ty * t).toInt
         val out = Array.newBuilder[Cell]
         if (kernel.writesVoids) {
