@@ -18,25 +18,42 @@ import org.apache.spark.sql.functions._
  *  - void DSM cells inside the span are never accepted.
  *
  * Distribution: objects are bbox-bounded and small (G2 caps region
- * size), so each object's bbox block is gathered by a broadcast bbox
- * join and scanned locally in mapGroups (SURVEY.md §2.8 G5 locality).
+ * size), so each object's bbox block is gathered per label and scanned
+ * locally in mapGroups (SURVEY.md §2.8 G5 locality). The gather is a
+ * TILE equi-join, not a range theta-join: each bbox (+1 margin)
+ * explodes to its covering tile keys and DSM cells join on their tile —
+ * O(cells + bbox-covered cells), never O(cells x objects). The exact
+ * bbox containment is a post-filter on the equi-join output.
  */
 object ScanlineFill {
 
   final case class CellIn(label: Long, gx: Long, gy: Long, v: Int, isObj: Boolean)
   final case class Filled(gx: Long, gy: Long, label: Long)
 
+  /** Tile edge for the bbox-cover equi-join. */
+  final val GatherTile = 64
+
   def apply(labeled: DataFrame /* gx, gy, label */, dsm: DataFrame /* gx, gy, v */,
             dzRaw: Int): DataFrame = {
     val spark = labeled.sparkSession
     import spark.implicits._
+    val t = GatherTile
     val bboxes = labeled.groupBy("label")
       .agg(min("gx").as("xmin"), max("gx").as("xmax"),
         min("gy").as("ymin"), max("gy").as("ymax"))
-    // bbox block +1 margin so outside-span ground probes are present
-    val cand = dsm.join(broadcast(bboxes),
-        col("gx") >= col("xmin") - 1 && col("gx") <= col("xmax") + 1 &&
-          col("gy") >= col("ymin") - 1 && col("gy") <= col("ymax") + 1)
+    // bbox (+1 margin, clamped at 0 — grid coords are non-negative)
+    // -> covering tile lattice keys
+    val bboxTiles = bboxes
+      .withColumn("tx", explode(sequence(
+        expr(s"greatest(0L, xmin - 1) div $t"), expr(s"(xmax + 1) div $t"))))
+      .withColumn("ty", explode(sequence(
+        expr(s"greatest(0L, ymin - 1) div $t"), expr(s"(ymax + 1) div $t"))))
+    val dsmTiled = dsm
+      .withColumn("tx", expr(s"cast(gx as long) div $t"))
+      .withColumn("ty", expr(s"cast(gy as long) div $t"))
+    val cand = dsmTiled.join(bboxTiles, Seq("tx", "ty"))
+      .filter(col("gx") >= col("xmin") - 1 && col("gx") <= col("xmax") + 1 &&
+        col("gy") >= col("ymin") - 1 && col("gy") <= col("ymax") + 1)
       .join(labeled.withColumn("isObj", lit(true)), Seq("gx", "gy", "label"), "left")
       .select(col("label"), col("gx"), col("gy"), col("v").cast("int"),
         coalesce(col("isObj"), lit(false)).as("isObj"))

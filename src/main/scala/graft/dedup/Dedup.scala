@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
  * Scale notes: exact dedup is one hash aggregate on the key; MinHash is
  * explode(shingles) -> one hash aggregate (map-side partial min) with
  * signatures as H columns, not rows; LSH pairs self-join only within
- * band buckets (skew-safe: bucket sizes are capped before the join).
+ * band buckets, and bucket populations over `maxBucket` are excluded
+ * from the join (one count + one semi-join), so a degenerate bucket
+ * can never go quadratic.
  */
 object Dedup {
 
@@ -60,18 +62,53 @@ object Dedup {
        |SELECT doc_id, $mins FROM h GROUP BY doc_id""".stripMargin
   }
 
-  /** LSH candidate pairs from signatures: `bands` bands of `rows` hashes;
-    * docs sharing any band bucket pair up; est_sim = matching hash
-    * fraction. Returns (doc1, doc2, est_sim). */
-  def lshPairs(sigs: DataFrame, bands: Int = 4, rows: Int = 4): DataFrame = {
+  /** Default band-bucket population cap for [[lshPairs]]. A bucket this
+    * hot is degenerate (boilerplate / empty / templated docs whose
+    * signatures collide): its self-join contributes O(n²) candidate
+    * pairs while carrying almost no near-dup signal that exact dedup
+    * wouldn't already catch. */
+  final val DefaultMaxBucket = 1000
+
+  /** Band-bucket explosion of the signature table: one row per
+    * (doc, band) with the band's concatenated hash key. */
+  def bandBuckets(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
     require(bands * rows == NumHashes)
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rows).map(r => col(s"m${b * rows + r}").cast("string"))
       struct(lit(b).as("band"), concat_ws("_", cols: _*).as("key")).as(s"b$b")
     }
-    val exploded = sigs
+    sigs
       .withColumn("bk", explode(array(bandCols: _*)))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Buckets [[lshPairs]] will drop at the given cap, with their
+    * populations — run (and log) this alongside a capped dedup so the
+    * dropped volume is observable, per standard LSH practice. */
+  def oversizedBuckets(sigs: DataFrame, bands: Int = 4, rows: Int = 4,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame =
+    bandBuckets(sigs, bands, rows)
+      .groupBy("band", "key").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucket)
+
+  /** LSH candidate pairs from signatures: `bands` bands of `rows` hashes;
+    * docs sharing any band bucket pair up; est_sim = matching hash
+    * fraction. Returns (doc1, doc2, est_sim).
+    *
+    * Skew safety: bucket populations are counted first and buckets over
+    * `maxBucket` are excluded from the self-join, so one degenerate
+    * bucket can never go quadratic. The exclusion is per-bucket, not
+    * per-doc — a doc dropped from a hot band still pairs through its
+    * other bands. Dropped buckets are enumerable via
+    * [[oversizedBuckets]]. */
+  def lshPairs(sigs: DataFrame, bands: Int = 4, rows: Int = 4,
+               maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val all = bandBuckets(sigs, bands, rows)
+    val smallEnough = all.groupBy("band", "key")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+      .select("band", "key")
+    val exploded = all.join(smallEnough, Seq("band", "key"), "left_semi")
     val a = exploded.as("a")
     val b = exploded.as("b")
     val pairs = a.join(b,

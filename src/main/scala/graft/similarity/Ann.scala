@@ -67,38 +67,58 @@ object Ann {
     aggregate(zip_with(v, plane, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
   }
 
+  /** Row-local nearest-centroid assignment: the centroid list (nList x
+    * dim doubles — driver-held, kilobytes) is baked into ONE projection
+    * that scores every centroid and takes the argmax via `greatest` over
+    * (cos, -cid) structs — ties prefer the smaller cid, matching the
+    * (cos desc, cid asc) rank order. Zero shuffles, zero windows: the
+    * per-row argmax of a handful of scores is arithmetic, not a join. */
+  def assignToCentroids(corpus: DataFrame,
+                        cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty)
+    val scored = cents.map { case (cid, cv) =>
+      struct(
+        dotExprCols(col("v"), array(cv.map(lit): _*)).as("cos"),
+        lit(-cid).as("negCid"))
+    }
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    corpus.withColumn("best", best)
+      .select(col("vec_id"), (-col("best.negCid")).as("cid"), col("v"))
+  }
+
   /** IVF coarse quantizer: deterministic k-means (init = first nList
-    * corpus vectors by vec_id, a fixed number of Lloyd iterations as a
-    * checkpointed DataFrame loop). Returns (centroids(cid, cv),
-    * assignments(vec_id, cid)). At 100 TB the assignment table is the
-    * partition key: probing touches nProbe/nList of the corpus. */
+    * corpus vectors by vec_id, a fixed number of Lloyd iterations).
+    * Returns (centroids(cid, cv), assignments(vec_id, cid)). The
+    * centroid set is tiny (nList x dim), so each Lloyd iteration holds
+    * it on the driver and assigns via the shuffle-free row-local argmax
+    * ([[assignToCentroids]]); the only shuffle per iteration is the
+    * centroid-mean aggregate (map-side combined, nList*dim groups). At
+    * 100 TB the assignment table is the partition key: probing touches
+    * nProbe/nList of the corpus. */
   def ivfIndex(corpus: DataFrame, nList: Int, iters: Int = 2): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    var centroids = corpus.orderBy(col("vec_id")).limit(nList)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
-      .localCheckpoint()
+    var cents: Seq[(Int, Seq[Double])] =
+      corpus.orderBy(col("vec_id")).limit(nList)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+        .as[(Int, Seq[Double])].collect().toSeq
     var assignments: DataFrame = null
     for (_ <- 0 until iters) {
-      val scored = corpus.crossJoin(broadcast(centroids))
-        .withColumn("cos", dotExpr("cv", "v"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
-      assignments = scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col("vec_id"), col("cid"), col("v"))
-        .localCheckpoint()
+      assignments = assignToCentroids(corpus, cents).localCheckpoint()
       // new centroid = normalized mean of its members (deterministic:
       // per-dimension sums are order-free after the exact pos explode)
       val sums = assignments
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(sum("x").as("s"), count(lit(1)).as("n"))
-      centroids = sums.groupBy("cid")
+      cents = sums.groupBy("cid")
         .agg(expr("array_sort(collect_list(struct(pos, s / n AS m)))").as("arr"))
         .select(col("cid"), expr("transform(arr, e -> e.m)").as("raw"))
         .withColumn("norm", sqrt(dotExpr("raw", "raw")))
         .select(col("cid"), expr("transform(raw, x -> x / norm)").as("cv"))
-        .localCheckpoint()
+        .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
     }
-    (centroids, assignments.select("vec_id", "cid"))
+    val centroidsDf = cents.toDF("cid", "cv")
+    (centroidsDf, assignments.select("vec_id", "cid"))
   }
 
   /** IVF approximate top-k: score only corpus vectors assigned to the

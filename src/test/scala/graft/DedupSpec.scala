@@ -50,6 +50,42 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 < 20 && p._2 < 20 && p._3 == 1.0))
   }
 
+  test("lshPairs caps degenerate buckets and still finds planted near-dups") {
+    import spark.implicits._
+    // 90%-degenerate corpus: 180 docs share ONE text (all four band
+    // buckets identical -> 16,110 quadratic pairs if uncapped), plus a
+    // planted near-dup pair and some distinct docs
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 8
+    val degenerate = (0 until 180).map(i => (i.toLong, boiler))
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def distinct(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(60)(words(r.nextInt(words.size))).mkString(" ")
+    }
+    val base = (1000 until 1010).map(i => (i.toLong, distinct(i)))
+    val planted = {
+      val t = distinct(1000).split(" ").updated(30, "CHANGED").mkString(" ")
+      Seq((2000L, t))
+    }
+    val docs = (degenerate ++ base ++ planted).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs).localCheckpoint()
+
+    val dropped = Dedup.oversizedBuckets(sigs, maxBucket = 50).collect()
+    assert(dropped.nonEmpty && dropped.forall(_.getLong(2) == 180L),
+      "the degenerate bucket must be reported as dropped")
+
+    val pairs = Dedup.lshPairs(sigs, maxBucket = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // bounded: the 180-doc bucket contributes zero pairs
+    assert(!pairs.exists(p => p._1 < 180 && p._2 < 180),
+      "degenerate bucket leaked quadratic pairs")
+    assert(pairs.length < 100, s"candidate set not bounded: ${pairs.length}")
+    // the planted near-dup still pairs through its (small) buckets
+    assert(pairs.exists(p => p._1 == 1000L && p._2 == 2000L && p._3 >= 0.5),
+      "planted near-dup lost to the cap")
+  }
+
   test("simhash of near-duplicates is close in hamming distance") {
     val sh = Dedup.simhash(synthDocs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -37,6 +37,25 @@ class PlanSpec extends SparkSpec {
       "cell expression fell out of whole-stage codegen")
   }
 
+  test("ivf centroid assignment is shuffle-free (no exchange, no window)") {
+    import spark.implicits._
+    val corpus = (0 until 64).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => math.sin(i * 8 + d).abs + 0.1))
+    }.toDF("vec_id", "v")
+    val cents = (0 until 4).map(c => (c, Seq.tabulate(8)(d => (c + d + 1.0) / 10.0)))
+    val assigned = graft.similarity.Ann.assignToCentroids(corpus, cents)
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"assignment stage shuffles:\n$p")
+    assert(!p.contains("Window"), s"assignment stage uses a window:\n$p")
+    assert(assigned.count() == 64)
+  }
+
+  test("scanline fill gathers candidates by tile equi-join, not BNL") {
+    val p = plan("q_ground_objects")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"bbox gather regressed to a nested-loop range join:\n${p.take(4000)}")
+  }
+
   test("dsm grid aggregates before the splat (shuffle bounded by grid)") {
     val df = SparkEntry.queries("q_dsm_grid")(spark, sfSmoke)
     val p = df.queryExecution.optimizedPlan.toString
