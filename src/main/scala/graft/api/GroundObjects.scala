@@ -19,7 +19,10 @@ object GroundObjects {
 
   final case class Config(
       dzRaw: Int = 3000, dh: Int = 1, extensionRounds: Int = 3,
-      minRegionCells: Int = 2, tileSize: Int = 64)
+      minRegionCells: Int = 2, tileSize: Int = 64,
+      // reference region cap maxCount = 10000/gsd² (shr3d.cpp:913);
+      // 40000 = the cap at the standard 0.5 gsd
+      maxCount: Long = 40000L)
 
   /** Returns (gx, gy, label) for detected object cells. */
   def detect(dsm: DataFrame, bounds: Bounds, cfg: Config = Config()): DataFrame = {
@@ -40,9 +43,10 @@ object GroundObjects {
       .filter(shiftrightunsigned(col("v").cast("long"), 17) === 1)
       .select(col("gx"), col("gy"),
         col("v").bitwiseAND(lit(0x1FFFF)).cast("int").as("v"))
-    // G2 components constrained by dz
+    // G2 components constrained by dz, chunk-capped at maxCount cells
+    // (the crop that bounds every downstream per-object task)
     val labeled = ConnectedComponents.label(objCells, bounds, cfg.tileSize,
-      maxDz = Some(cfg.dzRaw))
+      maxDz = Some(cfg.dzRaw), maxCount = Some(cfg.maxCount))
     val sized = labeled.groupBy("label").agg(count(lit(1)).as("n"))
       .filter(col("n") >= cfg.minRegionCells).select("label")
     val kept = labeled.join(sized, Seq("label"), "left_semi")

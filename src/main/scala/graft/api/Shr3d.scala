@@ -92,7 +92,10 @@ object Shr3d {
       GroundObjects.acceptByGradient(
         GroundObjects.detect(dsm, bounds,
           GroundObjects.Config(dzRaw = dzRaw, tileSize = cfg.tileSize,
-            minRegionCells = cfg.minRegionCells)),
+            minRegionCells = cfg.minRegionCells,
+            // reference maxCount = 10000/gsd² (shr3d.cpp:913)
+            maxCount = math.max(1L,
+              (10000.0 / (cfg.spec.gsd * cfg.spec.gsd)).toLong))),
         dsm, dzRaw).localCheckpoint()
 
     /** DTM via object removal (the reference's classifyGround product,

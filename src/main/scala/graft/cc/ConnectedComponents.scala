@@ -26,6 +26,19 @@ import org.apache.spark.sql.functions._
  *
  * `maxDz`: optional G2 semantics — cells connect only when
  * |v(a) - v(b)| <= maxDz.
+ *
+ * `maxCount`: optional G2 region cap (pubgeo `src/shr3d/shr3d.cpp:
+ * 872-875,913`, maxCount = 10000/gsd²). The reference stops its BFS at
+ * maxCount cells and the scan loop then opens NEW objects for the
+ * remainder, so one giant region becomes several bounded objects. The
+ * deterministic re-spec here: cells of an over-cap component are ranked
+ * in canonical cell-id order and split into chunks of maxCount, each
+ * chunk relabeled by its minimum cell id — same bound (no object
+ * exceeds maxCount, every cell stays labeled), partitioning-independent
+ * chunk membership (unlike the reference's scan-order BFS crops). The
+ * rank runs in a sort-based window, so a continent-sized component
+ * spills to disk instead of materializing in one task — this cap is
+ * what makes every downstream per-object mapGroups memory-safe.
  */
 object ConnectedComponents {
 
@@ -33,7 +46,7 @@ object ConnectedComponents {
   final case class Labeled(gx: Long, gy: Long, v: Int, lbl: Long)
 
   def label(cells: DataFrame, bounds: Bounds, tileSize: Int = 128,
-            maxDz: Option[Int] = None): DataFrame = {
+            maxDz: Option[Int] = None, maxCount: Option[Long] = None): DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
     val t = tileSize
@@ -133,7 +146,21 @@ object ConnectedComponents {
     }
 
     // ---- 4. relabel ----
-    local.join(rep, local("lbl") === rep("l"))
+    val full = local.join(rep, local("lbl") === rep("l"))
       .select(col("gx"), col("gy"), col("v"), col("r").as("label"))
+
+    // ---- 5. optional region cap (canonical chunking, see object doc) ----
+    maxCount match {
+      case None => full
+      case Some(cap) =>
+        require(cap > 0)
+        import org.apache.spark.sql.expressions.Window
+        val perChunk = Window.partitionBy(col("label"), col("chunk"))
+        full.withColumn("cid", col("gy") * w + col("gx"))
+          .withColumn("chunk",
+            expr(s"(row_number() over (partition by label order by cid) - 1) div $cap"))
+          .withColumn("newLabel", min(col("cid")).over(perChunk))
+          .select(col("gx"), col("gy"), col("v"), col("newLabel").as("label"))
+    }
   }
 }

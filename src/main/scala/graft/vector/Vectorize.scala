@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
  * vwReduce, `geo_polygon.h:718-777`).
  *
  * Distribution: one row per (label, cell) -> groupByKey(label) ->
- * per-component pure-Scala trace in mapGroups. Components are bounded
- * by the region-size semantics of the producing pass, so per-group
- * memory is capped (SURVEY.md G5 locality argument).
+ * per-component pure-Scala trace in mapGroups. Per-group memory is
+ * bounded by construction: component sizes are pre-aggregated and any
+ * label above `maxCells` is REFUSED (emitted with its size and a null
+ * wkt) instead of being materialized in one task — callers that need
+ * bounded components chunk them upstream via ConnectedComponents'
+ * maxCount cap (the reference's own region-cap semantics,
+ * `shr3d.cpp:913`).
  */
 object Vectorize {
 
@@ -242,18 +246,34 @@ object Vectorize {
     s
   }
 
-  /** Labeled cells (gx, gy, label) -> one WKT outline row per label. */
-  def outlines(labeled: DataFrame, minArea: Double = 0.0): DataFrame = {
+  /** Default per-component cell cap for [[outlines]] — the reference's
+    * region cap 10000/gsd² at its finest documented gsd (0.05 m). */
+  final val DefaultMaxCells = 4000000L
+
+  /** Labeled cells (gx, gy, label) -> one WKT outline row per label.
+    * Labels with more than `maxCells` cells are refused (null wkt, size
+    * reported) rather than gathered into a single task. */
+  def outlines(labeled: DataFrame, minArea: Double = 0.0,
+               maxCells: Long = DefaultMaxCells): DataFrame = {
     val spark = labeled.sparkSession
     import spark.implicits._
-    labeled.select(col("gx").cast("long"), col("gy").cast("long"),
-        col("label").cast("long"))
+    val cells = labeled.select(col("gx").cast("long"), col("gy").cast("long"),
+      col("label").cast("long"))
+    val sizes = cells.groupBy("label").agg(count(lit(1)).as("n_cells"))
+    val refused = sizes.filter(col("n_cells") > maxCells)
+      .select(col("label"), col("n_cells"),
+        lit(null).cast("string").as("wkt"))
+    val traced = cells
+      .join(sizes.filter(col("n_cells") <= maxCells).select("label"),
+        Seq("label"), "left_semi")
+      .select("gx", "gy", "label") // using-join moves the key first
       .as[(Long, Long, Long)]
       .groupByKey(_._3)
       .mapGroups { (label, it) =>
-        val cells = it.map(c => (c._1, c._2)).toSet
-        (label, cells.size.toLong, toWkt(cells, minArea))
+        val cs = it.map(c => (c._1, c._2)).toSet
+        (label, cs.size.toLong, toWkt(cs, minArea))
       }
       .toDF("label", "n_cells", "wkt")
+    traced.unionByName(refused)
   }
 }

@@ -52,6 +52,46 @@ class CcSpec extends SparkSpec {
     }
   }
 
+  test("maxCount chunks a giant component deterministically and boundedly") {
+    import spark.implicits._
+    // one solid 120x50 block = 6000 cells, plus a small separate blob
+    val (w, h) = (140, 60)
+    val giant = for (y <- 0L until 50L; x <- 0L until 120L) yield (x, y, 1)
+    val blob = Seq((130L, 55L, 1), (131L, 55L, 1), (131L, 56L, 1))
+    val df = (giant ++ blob).toDF("gx", "gy", "v").repartition(13)
+    val cap = 1000L
+    val got = ConnectedComponents.label(df, Bounds(w, h), tileSize = 32,
+      maxCount = Some(cap)).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3)))
+    assert(got.length == giant.size + blob.size, "no cell may be dropped")
+    val bySize = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySize.values.forall(_ <= cap), s"chunk over cap: $bySize")
+    // giant block -> exactly ceil(6000/1000) = 6 chunks + 1 blob label
+    assert(bySize.size == 7, s"expected 7 labels, got ${bySize.size}")
+    // canonical: every label is the min cell id of its chunk
+    val byLabel = got.groupBy(_._2)
+    byLabel.foreach { case (lbl, cs) =>
+      assert(cs.map { case ((x, y), _) => y * w + x }.min == lbl)
+    }
+    // partitioning/tile independence
+    val again = ConnectedComponents.label(df.repartition(3), Bounds(w, h),
+      tileSize = 256, maxCount = Some(cap)).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    assert(again == got.toMap, "chunking depends on partitioning")
+  }
+
+  test("outlines refuses over-cap labels, traces the rest") {
+    import graft.vector.Vectorize
+    import spark.implicits._
+    val giant = for (y <- 0L until 40L; x <- 0L until 40L) yield (x, y, 7L)
+    val small = Seq((50L, 50L, 99L), (51L, 50L, 99L))
+    val df = (giant ++ small).toDF("gx", "gy", "label")
+    val out = Vectorize.outlines(df, maxCells = 100L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.getString(2))))).toMap
+    assert(out(7L)._1 == 1600L && out(7L)._2.isEmpty, "giant label must be refused")
+    assert(out(99L)._1 == 2L && out(99L)._2.exists(_.startsWith("MULTIPOLYGON")))
+  }
+
   test("dz constraint splits a gradient ramp into plateaus") {
     import spark.implicits._
     // a 1x12 strip with values 0,0,0,100,100,100,0,0,0,100,100,100
