@@ -17,11 +17,11 @@ import org.apache.spark.sql.functions._
  * composable Dataset products mirroring the reference's memoized
  * `getX()` accessors (`shr3d.h:153-172`).
  *
- * The DTM here is the morphological path (erosion + median + void fill
- * + DSM clamp) rather than the reference's 5-iteration
- * classifyGround/object-scan loop — same product surface, simplified
- * ground model; the object accept/reject passes are represented by the
- * component-size filter on the building mask.
+ * The DTM is the reference's real classifyGround product: the
+ * 5-iteration detect/remove/fill loop ([[ClassifyGround]],
+ * `shr3d.cpp:899-1013`) wrapped in createDTM0's MIN-void mirror +
+ * median (`shr3d.cpp:239-294`) and createDTM's final small-void fill
+ * (`shr3d.cpp:296-317`).
  */
 object Shr3d {
 
@@ -30,12 +30,16 @@ object Shr3d {
       dzMeters: Double = 0.5,
       aglMeters: Double = 2.0,
       maxTreeMeters: Double = 40.0,
-      dtmErosionRadius: Int = 6,
       minRegionCells: Int = 2,
-      tileSize: Int = 128)
+      tileSize: Int = 128,
+      // raster extent in cells; None = the full world lattice of `spec`.
+      // The reference sizes its raster to the data bbox
+      // (sizeImageFromBox, shr3d.cpp:120), so callers with a local scene
+      // should pass its extent rather than pay world-lattice fills.
+      boundsOpt: Option[(Int, Int)] = None)
 
   final class Products(spark: SparkSession, pts: DataFrame, cfg: Config) {
-    private val (w, h) = Gridding.boundsFor(cfg.spec)
+    private val (w, h) = cfg.boundsOpt.getOrElse(Gridding.boundsFor(cfg.spec))
     private val bounds = Bounds(w, h)
     private val dzRaw = math.max(1, math.floor(cfg.dzMeters / Quant.Scale).toInt)
     private val aglRaw = math.max(1, math.floor(cfg.aglMeters / Quant.Scale).toInt)
@@ -51,12 +55,18 @@ object Shr3d {
       FillVoids(wl, bounds, noSmoothing = false).localCheckpoint()
     }
 
-    /** MIN: min-grid -> median smooth -> void fill. */
-    lazy val minGrid: DataFrame = {
+    /** MIN after the reference's quantile filter, voids NOT yet filled
+      * (shared by [[minGrid]] and the DTM path, which needs the
+      * reference's small-void-only fill). */
+    private lazy val minFiltered: DataFrame = {
       val a1 = Gridding.minGrid(gridded)
-      val q = TileStencil(a1, Kernels.QuantileFilter(2, 0.33, aglRaw), bounds, cfg.tileSize)
-      FillVoids(q, bounds, noSmoothing = false).localCheckpoint()
+      TileStencil(a1, Kernels.QuantileFilter(2, 0.33, aglRaw), bounds, cfg.tileSize)
+        .localCheckpoint()
     }
+
+    /** MIN: min-grid -> median smooth -> void fill. */
+    lazy val minGrid: DataFrame =
+      FillVoids(minFiltered, bounds, noSmoothing = false).localCheckpoint()
 
     /** DSM2: var = DSM - MIN with the tree filter (W8) applied. Solid
       * surfaces have var ~ 0 (roof: min == max within the cell), so var
@@ -70,42 +80,50 @@ object Shr3d {
         .localCheckpoint()
     }
 
-    /** DTM: morphological ground estimate, clamped to <= DSM. */
-    lazy val dtm: DataFrame = {
-      // erosion radius must exceed half the widest building footprint,
-      // or the ground estimate keeps the roof (reference solves this with
-      // its multi-scale classifyGround loop)
-      val eroded = TileStencil(dsm, Kernels.MinFilter(cfg.dtmErosionRadius, 0),
-        bounds, cfg.tileSize)
-      val smooth = TileStencil(eroded, Kernels.medianFilter(1, 0), bounds, cfg.tileSize)
-      val filled = FillVoids(smooth, bounds, noSmoothing = false)
-      filled.withColumnRenamed("v", "tv")
-        .join(dsm.withColumnRenamed("v", "sv"), Seq("gx", "gy"), "left")
-        .select(col("gx"), col("gy"),
-          least(col("tv"), coalesce(col("sv"), col("tv"))).as("v"))
+    /** The reference region cap, maxCount = 10000/gsd² (shr3d.cpp:913). */
+    private val maxCount: Long =
+      math.max(1L, (10000.0 / (cfg.spec.gsd * cfg.spec.gsd)).toLong)
+
+    /** DSM with tree cells voided — the reference's dsm2Image as used by
+      * the DTM restore step (shr3d.cpp:152-163: DSM values, void where
+      * the tree filter fired; engine dsm2 carries the var values, so the
+      * restore surface is DSM masked to the dsm2 cell set). */
+    private lazy val solidDsm: DataFrame =
+      dsm.join(dsm2.select("gx", "gy"), Seq("gx", "gy"), "left_semi")
+
+    /** Raw classifyGround output (dtm, voidMask) — createDTM0's core
+      * (shr3d.cpp:276-280): the loop starts from the small-void-filled
+      * MIN and removes objects against the tree-voided DSM. */
+    lazy val classifyGroundResult: ClassifyGround.Result = {
+      val min2 = FillVoids(minFiltered, bounds, noSmoothing = true, maxLevel = 2)
         .localCheckpoint()
+      ClassifyGround.run(min2, solidDsm, bounds,
+        ClassifyGround.Config(dzRaw = dzRaw, dhBins = 1, iterations = 5,
+          maxCount = maxCount, tileSize = cfg.tileSize))
     }
 
-    /** Above-ground object cells via the classifyGround path
-      * (W13 -> W14 -> G2 -> G5 -> G4), see GroundObjects. */
+    /** DTM: the reference product — classifyGround loop, then
+      * createDTM0's MIN-void mirror + dz-median (shr3d.cpp:282-293) and
+      * createDTM's final small-void fill (shr3d.cpp:316). */
+    lazy val dtm: DataFrame = {
+      val min2 = FillVoids(minFiltered, bounds, noSmoothing = true, maxLevel = 2)
+      val mirrored = classifyGroundResult.dtm
+        .join(min2.select("gx", "gy"), Seq("gx", "gy"), "left_semi")
+      val med = TileStencil(mirrored, Kernels.medianFilter(1, dzRaw),
+        bounds, cfg.tileSize)
+      FillVoids(med, bounds, noSmoothing = true, maxLevel = 2).localCheckpoint()
+    }
+
+    /** Above-ground object cells via the single-pass classifyGround-style
+      * path (W13 -> W14 -> G2 -> G5 -> G4), see GroundObjects — kept as
+      * the cheap one-shot detector; the DTM itself uses the full
+      * 5-iteration loop. */
     lazy val objectCells: DataFrame =
       GroundObjects.acceptByGradient(
         GroundObjects.detect(dsm, bounds,
           GroundObjects.Config(dzRaw = dzRaw, tileSize = cfg.tileSize,
-            minRegionCells = cfg.minRegionCells,
-            // reference maxCount = 10000/gsd² (shr3d.cpp:913)
-            maxCount = math.max(1L,
-              (10000.0 / (cfg.spec.gsd * cfg.spec.gsd)).toLong))),
+            minRegionCells = cfg.minRegionCells, maxCount = maxCount)),
         dsm, dzRaw).localCheckpoint()
-
-    /** DTM via object removal (the reference's classifyGround product,
-      * `shr3d.cpp:900-960`): void the detected object cells out of the
-      * DSM and pyramid-fill the holes from the surrounding ground. */
-    lazy val dtmClassified: DataFrame = {
-      val ground = dsm.join(objectCells.select("gx", "gy"), Seq("gx", "gy"),
-        "left_anti")
-      FillVoids(ground, bounds, noSmoothing = false).localCheckpoint()
-    }
 
     final val ClsGround = 2
     final val ClsTree = 5

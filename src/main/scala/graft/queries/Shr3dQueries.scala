@@ -24,8 +24,12 @@ object Shr3dQueries {
     products(s, dir).outlines.orderBy(col("label"))
   }
 
+  /** The reference DTM (5-iteration classifyGround loop + mirror/median
+    * + final fill). Rows-only for the driver (no SQL dual exists for an
+    * iterative raster loop); exact semantics are pinned by DtmSpec's
+    * dense single-threaded oracle and the committed golden parquet. */
   val q_shr3d_dtm: QueryDef = QueryDef.rowsOnly("q_shr3d_dtm") { (s, dir) =>
-    products(s, dir).dtmClassified.orderBy(col("gx"), col("gy"))
+    products(s, dir).dtm.orderBy(col("gx"), col("gy"))
   }
 
   val all: Seq[QueryDef] = Seq(q_shr3d_class, q_shr3d_outlines, q_shr3d_dtm)

@@ -234,6 +234,83 @@ object Kernels {
     }
   }
 
+  /** W13 boundary gradient, reference-clamped variant
+    * (pubgeo `shr3d.cpp:592-624` exactly): probes at strides dh and 2*dh
+    * in the 8 directions with each coordinate clamped to the image
+    * independently (so border cells probe shortened/aliased strides like
+    * the reference, instead of skipping the direction); mark (1) when
+    * n1 is non-void and (me - n1) - (n1 - n2) > dz. Unmarked -> void. */
+  final case class RefBoundaryGradient(dz: Int, dh: Int) extends Kernel {
+    val radius: Int = 2 * dh
+    def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
+      @inline def cx(v: Int) = math.min(math.max(0, v), w - 1)
+      @inline def cy(v: Int) = math.min(math.max(0, v), h - 1)
+      val me = get(x, y)
+      val dirs = Array((1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (1, -1), (-1, 1), (-1, -1))
+      var i = 0
+      while (i < dirs.length) {
+        val (dx, dy) = dirs(i)
+        val n1 = get(cx(x + dx * dh), cy(y + dy * dh))
+        if (n1 != 0) {
+          val n2 = get(cx(x + 2 * dx * dh), cy(y + 2 * dy * dh))
+          if ((me - n1) - (n1 - n2) > dz) return 1
+        }
+        i += 1
+      }
+      0
+    }
+  }
+
+  /** W14 boundary extension, reference-exact pair
+    * (pubgeo `shr3d.cpp:536-589`), over values packed as
+    * (label << 17) | dtmRaw with label in {0 = ground, 1 = object,
+    * 2 = TEMP}; run the pair dhBins times:
+    *  - [[RefExtendMark]]: a non-object cell becomes TEMP when some
+    *    INTERIOR 8-neighbor n is an object with
+    *    dtm(n) - dtm(me) < dz/2 (the float half-compare done exactly
+    *    in integers as 2*diff < dz);
+    *  - [[RefExtendResolve]]: TEMP becomes object when the cell sits
+    *    higher than some in-bounds 3x3 neighbor by more than dz/2,
+    *    else reverts to ground. */
+  final case class RefExtendMark(dz: Int) extends Kernel {
+    val radius = 1
+    def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
+      val me = get(x, y)
+      if (me == 0 || (me >>> 17) == 1) return me
+      val dv = me & 0x1FFFF
+      var yy = y - 1
+      while (yy <= y + 1) {
+        var xx = x - 1
+        while (xx <= x + 1) {
+          // the reference's phase-1 centers are interior cells only
+          if (xx >= 1 && xx < w - 1 && yy >= 1 && yy < h - 1 &&
+            !(xx == x && yy == y)) {
+            val n = get(xx, yy)
+            if (n != 0 && (n >>> 17) == 1 && 2 * ((n & 0x1FFFF) - dv) < dz)
+              return (2 << 17) | dv
+          }
+          xx += 1
+        }
+        yy += 1
+      }
+      me
+    }
+  }
+
+  final case class RefExtendResolve(dz: Int) extends Kernel {
+    val radius = 1
+    def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
+      val me = get(x, y)
+      if (me == 0 || (me >>> 17) != 2) return me
+      val dv = me & 0x1FFFF
+      var higher = false
+      foreachNeighbor(get, x, y, w, h, 1, skipCenter = true) { n =>
+        if (n != 0 && 2 * (dv - (n & 0x1FFFF)) > dz) higher = true
+      }
+      if (higher) (1 << 17) | dv else dv
+    }
+  }
+
   /** W8 tree filter over var = DSM - MIN (pubgeo `shr3d.cpp:140-164`):
     * void the cell if its var is <= maxTree but no 3x3 neighbor's var is
     * below the dz threshold (vegetation canopy detector). Voids not

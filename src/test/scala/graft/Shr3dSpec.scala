@@ -44,7 +44,8 @@ class Shr3dSpec extends SparkSpec {
   }
 
   private lazy val products = Shr3d.run(spark, scene,
-    Shr3d.Config(spec = spec, tileSize = 16, minRegionCells = 4))
+    Shr3d.Config(spec = spec, tileSize = 16, minRegionCells = 4,
+      boundsOpt = Some((36, 36))))
 
   test("dsm reflects building heights") {
     val d = products.dsm.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
@@ -79,7 +80,7 @@ class Shr3dSpec extends SparkSpec {
   }
 
   test("classified DTM recovers the ground surface under buildings") {
-    val dtm = products.dtmClassified.collect()
+    val dtm = products.dtm.collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     // under building A (10, 8) the classified DTM must be near ground
     // (~0.2 m), not the 9 m roof
@@ -92,7 +93,8 @@ class Shr3dSpec extends SparkSpec {
   test("deterministic across runs") {
     val a = products.outlines.collect().map(_.toSeq).sortBy(_.head.toString)
     val b = Shr3d.run(spark, scene.repartition(13),
-        Shr3d.Config(spec = spec, tileSize = 8, minRegionCells = 4))
+        Shr3d.Config(spec = spec, tileSize = 8, minRegionCells = 4,
+          boundsOpt = Some((36, 36))))
       .outlines.collect().map(_.toSeq).sortBy(_.head.toString)
     assert(a.toSeq == b.toSeq)
   }
