@@ -143,11 +143,14 @@ object Shr3d {
         .localCheckpoint()
     }
 
-    /** Building mask with small regions rejected (G4 min-area). */
+    /** Building mask with narrow objects removed (W15 label erode+dilate,
+      * shr3d.cpp:1091-1139) and small regions rejected (G4 min-area). */
     lazy val buildingLabels: DataFrame = {
       val mask = classification.filter(col("cls") === ClsBuilding)
         .select(col("gx"), col("gy"), lit(1).as("v"))
-      val labeled = ConnectedComponents.label(mask, bounds, cfg.tileSize)
+      val packed = TileStencil(mask, Kernels.MaskErodePack(), bounds, cfg.tileSize)
+      val opened = TileStencil(packed, Kernels.MaskOpenResolve(), bounds, cfg.tileSize)
+      val labeled = ConnectedComponents.label(opened, bounds, cfg.tileSize)
       val sizes = labeled.groupBy("label").agg(count(lit(1)).as("n"))
         .filter(col("n") >= cfg.minRegionCells)
       labeled.join(sizes.select("label"), Seq("label"), "left_semi")

@@ -69,6 +69,42 @@ object GridQueries2 {
       .orderBy(col("gx"), col("gy"))
   }
 
+  /** W11: the MINAGL product's r=2 median filter (pubgeo
+    * `shr3d.cpp:420-432`): replace a cell with the neighborhood median
+    * (quantile 0.5 over the sorted NON-VOID in-bounds 5x5 window, self
+    * included, index min(floor(0.5*n), n-1) = n//2) only when it differs
+    * from the cell by more than the AGL threshold. Void cells stay void
+    * (the reference's `ref &&` guard + skipVoids). */
+  val q_minagl_filtered: QueryDef = QueryDef.sqlChecked(
+    "q_minagl_filtered",
+    s"""WITH ${Gridding.splatCte(Gridding.GridSpec(gsd = 10.0))},
+       |mn AS (SELECT gx, gy, min(qz) AS mv FROM splat GROUP BY gx, gy),
+       |magl AS (SELECT s.gx, s.gy, min(s.qz) AS v
+       |  FROM splat s JOIN mn ON s.gx = mn.gx AND s.gy = mn.gy
+       |  WHERE s.qz > mn.mv + $AglRaw GROUP BY s.gx, s.gy),
+       |nb AS (SELECT a.gx, a.gy, a.v, b.v AS nv
+       |  FROM magl a JOIN magl b
+       |  ON abs(a.gx - b.gx) <= 2 AND abs(a.gy - b.gy) <= 2),
+       |agg AS (SELECT gx, gy, v,
+       |  list_sort(list(nv))[CAST(count(*) // 2 AS INT) + 1] AS qv
+       |  FROM nb GROUP BY gx, gy, v)
+       |SELECT gx, gy,
+       |  CAST(CASE WHEN abs(qv - v) > $AglRaw THEN qv ELSE v END AS INT) AS v
+       |FROM agg ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+    val spec10 = Gridding.GridSpec(gsd = 10.0)
+    val pts = Gridding.points(Geo.withGeo(Tables.documents(s, dir)), spec10)
+    val sp = Gridding.splat2x2(pts)
+    val mn = Gridding.minGrid(pts).withColumnRenamed("v", "mv")
+    val magl = sp.join(mn, Seq("gx", "gy"))
+      .filter(col("qz") > col("mv") + AglRaw)
+      .groupBy("gx", "gy").agg(min("qz").as("v"))
+    val (w, h) = Gridding.boundsFor(spec10)
+    graft.stencil.TileStencil(magl,
+        graft.stencil.Kernels.QuantileFilter(2, 0.5, AglRaw.toInt),
+        graft.stencil.TileStencil.Bounds(w, h), tileSize = 8)
+      .orderBy(col("gx"), col("gy"))
+  }
+
   /** M2 nn_upsample x2 (pubgeo `Image.h:329-356`): every cell replicated
     * into a 2x2 block at doubled resolution. */
   val q_upsample: QueryDef = QueryDef.sqlChecked(
@@ -87,5 +123,6 @@ object GridQueries2 {
       .orderBy(col("ux"), col("uy"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_intensity_grid, q_minagl_grid, q_upsample)
+  val all: Seq[QueryDef] =
+    Seq(q_intensity_grid, q_minagl_grid, q_minagl_filtered, q_upsample)
 }

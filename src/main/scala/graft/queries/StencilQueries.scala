@@ -65,6 +65,32 @@ object StencilQueries {
       .orderBy(col("gx"), col("gy"))
   }
 
+  /** W15 label erode+dilate (pubgeo `shr3d.cpp:1091-1139`): mask
+    * morphology on a 0/1 label mask — erosion keeps a cell iff every
+    * in-bounds 3x3 neighbor is labeled; a cell survives the pass iff
+    * any in-bounds 3x3 cell (incl. itself) survived erosion. Removes
+    * narrow/1-px objects, keeps bodies >= 3 wide with their rims. */
+  val q_mask_open: QueryDef = QueryDef.sqlChecked(
+    "q_mask_open",
+    s"""WITH ${Gridding.splatCte(spec)},
+       |dsm AS (SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy),
+       |mask AS (SELECT gx, gy FROM dsm WHERE v > 40000),
+       |er AS (SELECT m.gx, m.gy FROM mask m JOIN mask n
+       |    ON abs(m.gx - n.gx) <= 1 AND abs(m.gy - n.gy) <= 1
+       |  GROUP BY m.gx, m.gy
+       |  HAVING count(*) = (least(m.gx + 1, ${w - 1}) - greatest(m.gx - 1, 0) + 1)
+       |                  * (least(m.gy + 1, ${h - 1}) - greatest(m.gy - 1, 0) + 1)),
+       |keep AS (SELECT DISTINCT m.gx, m.gy FROM mask m JOIN er e
+       |    ON abs(m.gx - e.gx) <= 1 AND abs(m.gy - e.gy) <= 1)
+       |SELECT gx, gy, 1 AS v FROM keep ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+    val mask = dsm10(s, dir).filter(col("v") > 40000)
+      .select(col("gx"), col("gy"), lit(1).as("v"))
+    val packed = TileStencil(mask, Kernels.MaskErodePack(), bounds, tileSize = 8)
+    TileStencil(packed, Kernels.MaskOpenResolve(), bounds, tileSize = 8)
+      .select(col("gx"), col("gy"), col("v").cast("int").as("v"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
   /** M1 fillVoidsPyramid, single level, noSmoothing: every lattice hole
     * takes its parent's mean value. The SQL dual reproduces the
     * fine->coarse splat and the parent lookup explicitly. */
@@ -100,5 +126,5 @@ object StencilQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(q_edge_filter, q_morph_open, q_fill_voids, q_fill_pyramid)
+    Seq(q_edge_filter, q_morph_open, q_mask_open, q_fill_voids, q_fill_pyramid)
 }

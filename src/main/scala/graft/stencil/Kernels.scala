@@ -311,6 +311,42 @@ object Kernels {
     }
   }
 
+  /** W15 label erode+dilate pass (pubgeo `shr3d.cpp:1091-1139` exactly),
+    * as a two-kernel pipeline over the 0/1 label MASK (this is mask
+    * morphology on labels, NOT value morphology — a labeled cell
+    * survives iff some in-bounds 3x3 neighborhood cell, itself
+    * included, survived erosion; erosion keeps a cell iff every
+    * in-bounds 3x3 neighbor is labeled):
+    *  1. [[MaskErodePack]]: mask cell -> 3 when it survives erosion
+    *     (bit0 = mask, bit1 = eroded), else 1;
+    *  2. [[MaskOpenResolve]]: mask cell -> 1 when any in-bounds 3x3
+    *     cell (incl. self) carries bit1, else void (removed). */
+  final case class MaskErodePack() extends Kernel {
+    val radius = 1
+    def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
+      val me = get(x, y)
+      if (me == 0) return 0
+      var allIn = true
+      foreachNeighbor(get, x, y, w, h, 1, skipCenter = true) { v =>
+        if (v == 0) allIn = false
+      }
+      if (allIn) 3 else 1
+    }
+  }
+
+  final case class MaskOpenResolve() extends Kernel {
+    val radius = 1
+    def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
+      val me = get(x, y)
+      if (me == 0) return 0
+      var any = (me & 2) != 0
+      foreachNeighbor(get, x, y, w, h, 1, skipCenter = true) { v =>
+        if ((v & 2) != 0) any = true
+      }
+      if (any) 1 else 0
+    }
+  }
+
   /** W8 tree filter over var = DSM - MIN (pubgeo `shr3d.cpp:140-164`):
     * void the cell if its var is <= maxTree but no 3x3 neighbor's var is
     * below the dz threshold (vegetation canopy detector). Voids not

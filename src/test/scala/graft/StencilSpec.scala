@@ -53,6 +53,53 @@ class StencilSpec extends SparkSpec {
     }
   }
 
+  // W13/W14 reference-exact kernels get the same dense-equivalence sweep
+  for ((name, k) <- Seq[(String, Kernel)](
+    "refBoundaryGradient" -> Kernels.RefBoundaryGradient(5000, 1),
+    "refBoundaryGradient(dh=2)" -> Kernels.RefBoundaryGradient(5000, 2));
+       density <- Seq(0.3, 1.0); tile <- Seq(7, 32)) {
+    test(s"$name == dense (density=$density, tile=$tile)") {
+      import spark.implicits._
+      val b = Bounds(41, 33)
+      val cells = randomCells(7 + name.length, b.w, b.h, density)
+      val df = cells.toDF("gx", "gy", "v").repartition(5)
+      val got = TileStencil(df, k, b, tileSize = tile)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      assert(got == dense(cells, k, b, all = false).sorted)
+    }
+  }
+
+  test("W15 mask erode+dilate == dense oracle, removes narrow keeps wide") {
+    import spark.implicits._
+    val b = Bounds(24, 16)
+    // a 5x4 block, a 1-wide line, an L of width 1, a 3x3 block
+    val block = for (y <- 2L to 5L; x <- 2L to 6L) yield (x, y)
+    val line = for (x <- 10L to 18L) yield (x, 3L)
+    val ell = (for (y <- 8L to 13L) yield (2L, y)) ++ (for (x <- 3L to 7L) yield (x, 13L))
+    val small = for (y <- 9L to 11L; x <- 12L to 14L) yield (x, y)
+    val mask = (block ++ line ++ ell ++ small).distinct
+    val df = mask.map { case (x, y) => (x, y, 1) }.toDF("gx", "gy", "v")
+      .repartition(3)
+    val packed = TileStencil(df, Kernels.MaskErodePack(), b, tileSize = 8)
+    val got = TileStencil(packed, Kernels.MaskOpenResolve(), b, tileSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // dense oracle straight from shr3d.cpp:1091-1139 semantics
+    val m = mask.toSet
+    def inb(x: Long, y: Long) = x >= 0 && x < b.w && y >= 0 && y < b.h
+    val eroded = m.filter { case (x, y) =>
+      (for (dx <- -1 to 1; dy <- -1 to 1; if dx != 0 || dy != 0)
+        yield (x + dx, y + dy)).forall(p => !inb(p._1, p._2) || m(p))
+    }
+    val want = m.filter { case (x, y) =>
+      (for (dx <- -1 to 1; dy <- -1 to 1)
+        yield (x + dx, y + dy)).exists(p => inb(p._1, p._2) && eroded(p))
+    }
+    assert(got == want)
+    // the 5x4 and 3x3 blocks survive whole; the 1-wide line and L vanish
+    assert(block.toSet.subsetOf(got) && small.toSet.subsetOf(got))
+    assert(line.forall(!got.contains(_)) && ell.forall(!got.contains(_)))
+  }
+
   test("edge filter at image border clamps like the reference") {
     import spark.implicits._
     val b = Bounds(4, 4)
