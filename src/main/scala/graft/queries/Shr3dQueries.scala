@@ -32,5 +32,28 @@ object Shr3dQueries {
     products(s, dir).dtm.orderBy(col("gx"), col("gy"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_shr3d_class, q_shr3d_outlines, q_shr3d_dtm)
+  /** V3 buildingSimplify outlines (findCorners -> addMissingPoints ->
+    * improvePoints least-squares refit -> vwReduce) over the opened
+    * high-cell mask. Rows-only: the pipeline's exact geometry is pinned
+    * by VectorStressSpec's rectilinear exact-WKT fixpoint tests. */
+  val q_outlines_v3: QueryDef = QueryDef.rowsOnly("q_outlines_v3") { (s, dir) =>
+    import graft.cc.ConnectedComponents
+    import graft.grid.Gridding
+    import graft.stencil.{Kernels, TileStencil}
+    val spec10 = Gridding.GridSpec(gsd = 10.0)
+    val (w, h) = Gridding.boundsFor(spec10)
+    val bounds = TileStencil.Bounds(w, h)
+    val dsm = Gridding.dsm(Gridding.points(
+      Geo.withGeo(Tables.documents(s, dir)), spec10))
+    val mask = dsm.filter(col("v") > 40000)
+      .select(col("gx"), col("gy"), org.apache.spark.sql.functions.lit(1).as("v"))
+    val packed = TileStencil(mask, Kernels.MaskErodePack(), bounds, 8)
+    val opened = TileStencil(packed, Kernels.MaskOpenResolve(), bounds, 8)
+    val labeled = ConnectedComponents.label(opened, bounds, 16)
+    graft.vector.Vectorize.outlinesSimplified(labeled, scale = 4)
+      .orderBy(col("label"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q_shr3d_class, q_shr3d_outlines, q_outlines_v3, q_shr3d_dtm)
 }
