@@ -32,6 +32,11 @@ object Shr3d {
       maxTreeMeters: Double = 40.0,
       minRegionCells: Int = 2,
       tileSize: Int = 128,
+      // W15 label opening before building labeling (classifyNonGround,
+      // shr3d.cpp:1091-1139). The reference default; disable for inputs
+      // whose "buildings" are sparse scatter with no solid 3x3 core
+      // (opening a point scatter removes everything).
+      openLabels: Boolean = true,
       // raster extent in cells; None = the full world lattice of `spec`.
       // The reference sizes its raster to the data bbox
       // (sizeImageFromBox, shr3d.cpp:120), so callers with a local scene
@@ -148,8 +153,11 @@ object Shr3d {
     lazy val buildingLabels: DataFrame = {
       val mask = classification.filter(col("cls") === ClsBuilding)
         .select(col("gx"), col("gy"), lit(1).as("v"))
-      val packed = TileStencil(mask, Kernels.MaskErodePack(), bounds, cfg.tileSize)
-      val opened = TileStencil(packed, Kernels.MaskOpenResolve(), bounds, cfg.tileSize)
+      val opened =
+        if (cfg.openLabels) {
+          val packed = TileStencil(mask, Kernels.MaskErodePack(), bounds, cfg.tileSize)
+          TileStencil(packed, Kernels.MaskOpenResolve(), bounds, cfg.tileSize)
+        } else mask
       val labeled = ConnectedComponents.label(opened, bounds, cfg.tileSize)
       val sizes = labeled.groupBy("label").agg(count(lit(1)).as("n"))
         .filter(col("n") >= cfg.minRegionCells)

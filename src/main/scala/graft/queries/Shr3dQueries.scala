@@ -14,7 +14,10 @@ object Shr3dQueries {
     Shr3d.run(s,
       Geo.withGeo(Tables.documents(s, dir)).select("lon", "lat", "z"),
       Shr3d.Config(spec = Gridding.GridSpec(gsd = 10.0), tileSize = 16,
-        aglMeters = 6.0, minRegionCells = 2))
+        aglMeters = 6.0, minRegionCells = 2,
+        // the doc cloud's building cells are scatter, not solid masks —
+        // W15 opening would (correctly) erase them all
+        openLabels = false))
 
   val q_shr3d_class: QueryDef = QueryDef.rowsOnly("q_shr3d_class") { (s, dir) =>
     products(s, dir).classification.orderBy(col("gx"), col("gy"))

@@ -35,7 +35,7 @@ class DtmSpec extends SparkSpec {
   private def runEngine(minG: Map[(Long, Long), Int],
                         solid: Map[(Long, Long), Int], w: Int, h: Int,
                         dz: Int, dh: Int, maxCount: Long, tile: Int,
-                        parts: Int)
+                        parts: Int, denseThreshold: Long = 0L)
   : (Map[(Long, Long), Int], Set[(Long, Long)]) = {
     import spark.implicits._
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -47,7 +47,8 @@ class DtmSpec extends SparkSpec {
         .toDF("gx", "gy", "v").repartition(parts)
       val res = ClassifyGround.run(minDf, solidDf, Bounds(w, h),
         ClassifyGround.Config(dzRaw = dz, dhBins = dh, iterations = 5,
-          maxCount = maxCount, tileSize = tile))
+          maxCount = maxCount, tileSize = tile,
+          denseThreshold = denseThreshold))
       val dtm = res.dtm.collect()
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
       val mask = res.voidMask.collect()
@@ -80,6 +81,22 @@ class DtmSpec extends SparkSpec {
       dz = 900, dh = 2, iters = 5, maxCount = 60L)
     assert(mask == oMask)
     assert(dtm == oDtm)
+  }
+
+  test("dense single-task strategy == tiled distributed strategy") {
+    val (w, h) = (44, 36)
+    val (minG, solid) = scene(w, h, seed = 51)
+    val tiled = runEngine(minG, solid, w, h, 900, 1, 100000L, tile = 16,
+      parts = 4, denseThreshold = 0L)
+    val dense = runEngine(minG, solid, w, h, 900, 1, 100000L, tile = 16,
+      parts = 4, denseThreshold = Long.MaxValue)
+    assert(dense == tiled, "strategy gate changes the product")
+    // and with chunking engaged
+    val tiled2 = runEngine(minG, solid, w, h, 900, 2, 60L, tile = 8,
+      parts = 4, denseThreshold = 0L)
+    val dense2 = runEngine(minG, solid, w, h, 900, 2, 60L, tile = 8,
+      parts = 4, denseThreshold = Long.MaxValue)
+    assert(dense2 == tiled2)
   }
 
   test("dtm identical at parallelism 2 vs 8") {
