@@ -41,37 +41,89 @@ object Shr3d {
       // The reference sizes its raster to the data bbox
       // (sizeImageFromBox, shr3d.cpp:120), so callers with a local scene
       // should pass its extent rather than pay world-lattice fills.
-      boundsOpt: Option[(Int, Int)] = None)
+      boundsOpt: Option[(Int, Int)] = None,
+      // external prior DTM (setDTM0, shr3d.cpp:180-237): a raw u16 grid
+      // in ITS OWN quantization. When present, the DSM/MIN products are
+      // re-quantized to the reconciled common fit, MIN is clamped to
+      // >= DTM0, and the DTM is the (adjusted, small-void-filled) prior
+      // — the classifyGround loop is skipped, exactly like the
+      // reference's memoized getDTM0 short-circuit.
+      dtm0: Option[Dtm0] = None)
+
+  /** An external prior DTM: raw grid + the quantization it was written
+    * with. */
+  final case class Dtm0(grid: DataFrame /* gx, gy, v */, fit: Quant.Fit)
 
   final class Products(spark: SparkSession, pts: DataFrame, cfg: Config) {
     private val (w, h) = cfg.boundsOpt.getOrElse(Gridding.boundsFor(cfg.spec))
     private val bounds = Bounds(w, h)
-    private val dzRaw = math.max(1, math.floor(cfg.dzMeters / Quant.Scale).toInt)
-    private val aglRaw = math.max(1, math.floor(cfg.aglMeters / Quant.Scale).toInt)
-    private val maxTreeRaw = math.floor(cfg.maxTreeMeters / Quant.Scale).toInt
+    private val stdFit = Quant.Fit(Quant.Offset, Quant.Scale)
+    /** The working quantization: the reconciled common fit when a prior
+      * DTM is mixed in (shr3d.cpp:213-222), else the standard one. */
+    private val activeFit =
+      cfg.dtm0.map(d => Quant.reconcile(stdFit, d.fit)).getOrElse(stdFit)
+    // build-time thresholds (the DSM/MIN builders run at the standard
+    // scale — the reference filters BEFORE setDTM0's adjust_scale)
+    private val buildAglRaw = math.max(1, math.floor(cfg.aglMeters / Quant.Scale).toInt)
+    // post-adjust thresholds (everything downstream of the adjusted
+    // grids, dz_short = dz_meters / dsmImage.scale at the ACTIVE scale)
+    private val dzRaw = math.max(1, math.floor(cfg.dzMeters / activeFit.scale).toInt)
+    private val aglRaw = math.max(1, math.floor(cfg.aglMeters / activeFit.scale).toInt)
+    private val maxTreeRaw = math.floor(cfg.maxTreeMeters / activeFit.scale).toInt
 
     private val gridded = Gridding.points(pts, cfg.spec)
 
-    /** DSM: max-grid -> despike (quantile + well) -> void fill. */
-    lazy val dsm: DataFrame = {
+    /** Re-quantize a standard-fit grid to the active fit (identity when
+      * no prior is mixed in — adjust_scale's own no-op check,
+      * shr3d.cpp:167-168). */
+    private def toActive(df: DataFrame): DataFrame =
+      if (cfg.dtm0.isEmpty) df
+      else df.select(col("gx"), col("gy"),
+        Quant.adjustScale(col("v"), stdFit, activeFit).cast("int").as("v"))
+
+    /** DSM at build scale: max-grid -> despike (quantile + well) -> fill. */
+    private lazy val dsmStd: DataFrame = {
       val a1 = Gridding.dsm(gridded)
-      val q = TileStencil(a1, Kernels.QuantileFilter(1, 0.4, aglRaw), bounds, cfg.tileSize)
-      val wl = TileStencil(q, Kernels.WellFilter(aglRaw), bounds, cfg.tileSize)
+      val q = TileStencil(a1, Kernels.QuantileFilter(1, 0.4, buildAglRaw), bounds, cfg.tileSize)
+      val wl = TileStencil(q, Kernels.WellFilter(buildAglRaw), bounds, cfg.tileSize)
       FillVoids(wl, bounds, noSmoothing = false).localCheckpoint()
     }
+
+    /** DSM in the active quantization. */
+    lazy val dsm: DataFrame = toActive(dsmStd)
 
     /** MIN after the reference's quantile filter, voids NOT yet filled
       * (shared by [[minGrid]] and the DTM path, which needs the
       * reference's small-void-only fill). */
     private lazy val minFiltered: DataFrame = {
       val a1 = Gridding.minGrid(gridded)
-      TileStencil(a1, Kernels.QuantileFilter(2, 0.33, aglRaw), bounds, cfg.tileSize)
+      TileStencil(a1, Kernels.QuantileFilter(2, 0.33, buildAglRaw), bounds, cfg.tileSize)
         .localCheckpoint()
     }
 
-    /** MIN: min-grid -> median smooth -> void fill. */
-    lazy val minGrid: DataFrame =
-      FillVoids(minFiltered, bounds, noSmoothing = false).localCheckpoint()
+    /** The adjusted prior DTM (active fit), when configured. */
+    private lazy val dtm0Adj: Option[DataFrame] = cfg.dtm0.map { d =>
+      d.grid.select(col("gx"), col("gy"),
+        Quant.adjustScale(col("v"), d.fit, activeFit).cast("int").as("v"))
+        .localCheckpoint()
+    }
+
+    /** MIN: min-grid -> median smooth -> void fill; with a prior DTM,
+      * re-quantized and clamped to >= DTM0 where both are non-void
+      * (shr3d.cpp:224-231). */
+    lazy val minGrid: DataFrame = {
+      val base = toActive(
+        FillVoids(minFiltered, bounds, noSmoothing = false).localCheckpoint())
+      dtm0Adj match {
+        case None => base
+        case Some(prior) =>
+          base.join(prior.select(col("gx"), col("gy"), col("v").as("pv")),
+              Seq("gx", "gy"), "left")
+            .select(col("gx"), col("gy"),
+              when(col("pv").isNotNull && col("v") < col("pv"), col("pv"))
+                .otherwise(col("v")).cast("int").as("v"))
+      }
+    }
 
     /** DSM2: var = DSM - MIN with the tree filter (W8) applied. Solid
       * surfaces have var ~ 0 (roof: min == max within the cell), so var
@@ -109,14 +161,20 @@ object Shr3d {
 
     /** DTM: the reference product — classifyGround loop, then
       * createDTM0's MIN-void mirror + dz-median (shr3d.cpp:282-293) and
-      * createDTM's final small-void fill (shr3d.cpp:316). */
-    lazy val dtm: DataFrame = {
-      val min2 = FillVoids(minFiltered, bounds, noSmoothing = true, maxLevel = 2)
-      val mirrored = classifyGroundResult.dtm
-        .join(min2.select("gx", "gy"), Seq("gx", "gy"), "left_semi")
-      val med = TileStencil(mirrored, Kernels.medianFilter(1, dzRaw),
-        bounds, cfg.tileSize)
-      FillVoids(med, bounds, noSmoothing = true, maxLevel = 2).localCheckpoint()
+      * createDTM's final small-void fill (shr3d.cpp:316). With an
+      * external prior, the loop is skipped and the DTM is the adjusted,
+      * small-void-filled prior (getDTM0 memoization short-circuit). */
+    lazy val dtm: DataFrame = dtm0Adj match {
+      case Some(prior) =>
+        FillVoids(prior, bounds, noSmoothing = true, maxLevel = 2)
+          .localCheckpoint()
+      case None =>
+        val min2 = FillVoids(minFiltered, bounds, noSmoothing = true, maxLevel = 2)
+        val mirrored = classifyGroundResult.dtm
+          .join(min2.select("gx", "gy"), Seq("gx", "gy"), "left_semi")
+        val med = TileStencil(mirrored, Kernels.medianFilter(1, dzRaw),
+          bounds, cfg.tileSize)
+        FillVoids(med, bounds, noSmoothing = true, maxLevel = 2).localCheckpoint()
     }
 
     /** Above-ground object cells via the single-pass classifyGround-style

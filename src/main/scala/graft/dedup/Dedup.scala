@@ -160,6 +160,46 @@ object Dedup {
        |SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM bits""".stripMargin
   }
 
+  // ---- embedding-cosine near-dup -------------------------------------------
+
+  /** Exact embedding near-dup pairs: (v1, v2, cos) with cosine >= tau
+    * over all pairs — the small-set VERIFIER (same positioning as
+    * [[ngramJaccardPairs]]); the corpus-scale path is
+    * [[embeddingNearDupPairs]]. Embeddings are L2-normalized so cosine
+    * is the plain dot fold (bit-exact vs the DuckDB list_reduce dual). */
+  def embeddingNearDupPairsExact(emb: DataFrame /* vec_id, v */,
+                                 tau: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("v1"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("v2"), col("v").as("vb"))
+    a.join(b, col("v1") < col("v2"))
+      .withColumn("cos",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .filter(col("cos") >= tau)
+      .select(col("v1"), col("v2"), col("cos"))
+  }
+
+  /** Corpus-scale embedding near-dup candidates: sign-LSH band buckets
+    * replace the all-pairs cross join (same-bucket-in-any-table pairs
+    * only), then the exact cosine filter. Probabilistic recall — spec'd
+    * against the exact verifier on planted near-dups; at 100 TB the
+    * bucket equi-join is the only shuffle and no pair of dissimilar
+    * docs is ever scored. */
+  def embeddingNearDupPairs(emb: DataFrame, tau: Double, dim: Int,
+                            nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
+    val buckets = graft.similarity.Ann.signBuckets(emb, dim, nPlanes, nTables)
+      .select(col("vec_id"), col("v"), col("table"), col("bucket"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("v1", "v2")
+    cand.withColumn("cos",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .filter(col("cos") >= tau)
+      .select(col("v1"), col("v2"), col("cos"))
+  }
+
   // ---- n-gram Jaccard -----------------------------------------------------
 
   /** Exact Jaccard over distinct 3-gram shingle sets for all pairs within

@@ -81,5 +81,64 @@ object QuantQueries {
       .orderBy(col("gx"), col("gy"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_quant_fit, q_adjust_scale)
+  /** The full setDTM0 mixing rule (shr3d.cpp:212-231): an external prior
+    * DTM (here the fitted-z2 grid standing in for a read-from-file
+    * prior) and the standard MIN grid are re-quantized to the reconciled
+    * common fit, and MIN is clamped to >= DTM0 where both are non-void.
+    * Exactly the ops Shr3d wires when Config.dtm0 is set (Shr3dSpec
+    * covers the product path; this query pins the arithmetic). */
+  val q_dtm0_mix: QueryDef = QueryDef.sqlChecked(
+    "q_dtm0_mix",
+    s"""WITH $ptsCte,
+       |prior AS (SELECT ${Gridding.bxSql("lon", spec)} AS bx,
+       |  ${Gridding.bySql("lat", spec)} AS by,
+       |  CAST(floor((z2 - (zmin - 1.0))
+       |    / ((zmax + 1.0 - (zmin - 1.0)) / 65535.0)) AS BIGINT) AS qz
+       |  FROM pts CROSS JOIN f),
+       |priorSplat AS (SELECT qz, bx + dx AS gx, by + dy AS gy
+       |  FROM prior CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) sp(dx, dy)),
+       |dtm0 AS (SELECT gx, gy, max(qz) AS v FROM priorSplat GROUP BY gx, gy),
+       |base AS (SELECT ${Quant.qSql("z")} AS qz,
+       |  ${Gridding.bxSql("lon", spec)} AS bx,
+       |  ${Gridding.bySql("lat", spec)} AS by FROM pts),
+       |baseSplat AS (SELECT qz, bx + dx AS gx, by + dy AS gy
+       |  FROM base CROSS JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) sp(dx, dy)),
+       |mn AS (SELECT gx, gy, min(qz) AS v FROM baseSplat GROUP BY gx, gy),
+       |params AS (SELECT
+       |  least(-1.0, zmin - 1.0) AS t_off,
+       |  (greatest((-1.0) + 65535.0 * (22.0 / 65535.0),
+       |            (zmin - 1.0) + 65535.0 * ((zmax + 1.0 - (zmin - 1.0)) / 65535.0))
+       |   - least(-1.0, zmin - 1.0)) / 65535.0 AS t_scale,
+       |  zmin - 1.0 AS p_off,
+       |  (zmax + 1.0 - (zmin - 1.0)) / 65535.0 AS p_scale FROM f),
+       |adj AS (SELECT mn.gx, mn.gy,
+       |  ${Quant.adjustScaleSql("mn.v", "-1.0", "(22.0 / 65535.0)", "t_off", "t_scale")} AS v_min,
+       |  ${Quant.adjustScaleSql("d.v", "p_off", "p_scale", "t_off", "t_scale")} AS v_dtm0
+       |  FROM mn CROSS JOIN params LEFT JOIN dtm0 d ON mn.gx = d.gx AND mn.gy = d.gy)
+       |SELECT gx, gy,
+       |  CASE WHEN v_dtm0 IS NOT NULL AND v_min < v_dtm0 THEN v_dtm0
+       |       ELSE v_min END AS v_min, v_dtm0
+       |FROM adj ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+    val pts = ptsZ2(s, dir)
+    val f0 = Quant.Fit(Quant.Offset, Quant.Scale)
+    val f1 = Quant.fit(pts, "z2")
+    val t = Quant.reconcile(f0, f1)
+    val based = pts
+      .withColumn("bx", floor((col("lon") - lit(spec.lon0)) / lit(spec.gsd)).cast("long"))
+      .withColumn("by", floor((col("lat") - lit(spec.lat0)) / lit(spec.gsd)).cast("long"))
+    val dtm0 = Gridding.splat2x2(based.withColumn("qz", Quant.q(col("z2"), f1)))
+      .groupBy("gx", "gy").agg(max("qz").as("v"))
+      .select(col("gx"), col("gy"), Quant.adjustScale(col("v"), f1, t).as("pv"))
+    val mn = Gridding.splat2x2(based.withColumn("qz", Quant.q(col("z"))))
+      .groupBy("gx", "gy").agg(min("qz").as("v"))
+      .select(col("gx"), col("gy"), Quant.adjustScale(col("v"), f0, t).as("mv"))
+    mn.join(dtm0, Seq("gx", "gy"), "left")
+      .select(col("gx"), col("gy"),
+        when(col("pv").isNotNull && col("mv") < col("pv"), col("pv"))
+          .otherwise(col("mv")).as("v_min"),
+        col("pv").as("v_dtm0"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q_quant_fit, q_adjust_scale, q_dtm0_mix)
 }

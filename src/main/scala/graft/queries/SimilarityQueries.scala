@@ -67,6 +67,23 @@ object SimilarityQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Embedding-cosine near-dup pairs (the dedup family's embedding
+    * member): all pairs at cosine >= 0.3 — exact verifier shape, the
+    * LSH-bucketed corpus path is spec'd in DedupSpec. */
+  val q_embed_neardup: QueryDef = QueryDef.sqlChecked(
+    "q_embed_neardup",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |d AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+       |  list_reduce(list_transform(range(1, ${Dim + 1}), i -> a.v[i] * b.v[i]),
+       |              (x, y) -> x + y) AS cos
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |SELECT v1, v2, cos FROM d WHERE cos >= 0.3
+       |ORDER BY v1, v2""".stripMargin) { (s, dir) =>
+    graft.dedup.Dedup.embeddingNearDupPairsExact(
+      Ann.withVec(Tables.embeddings(s, dir)).select(col("vec_id"), col("v")),
+      tau = 0.3).orderBy(col("v1"), col("v2"))
+  }
+
   /** IVF-bucketed ANN (rows-only: approximate by design; exactness at
     * nProbe = nList and recall bounds are spec-checked in DedupSpec). */
   val q_ann_ivf: QueryDef = QueryDef.rowsOnly("q_ann_ivf") { (s, dir) =>
@@ -76,5 +93,6 @@ object SimilarityQueries {
     Ann.ivfTopK(q, t, 10, nList = 16, nProbe = 4).orderBy(col("qid"), col("rank"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_ann_topk, q_ann_ivf, q_embed_norm, q_media_meta)
+  val all: Seq[QueryDef] =
+    Seq(q_ann_topk, q_ann_ivf, q_embed_norm, q_embed_neardup, q_media_meta)
 }

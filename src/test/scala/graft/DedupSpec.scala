@@ -108,6 +108,41 @@ class DedupSpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("embedding near-dup: bucketed path finds planted dups, subset of exact") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(5)
+    def unit(seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(dim)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def perturb(v: Array[Double], eps: Double): Array[Double] = {
+      val w = v.map(_ + rnd.nextGaussian() * eps)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      w.map(_ / n)
+    }
+    val base = (0 until 40).map(i => (i.toLong, unit(i).toSeq))
+    // planted near-dups: ids 100+i are tiny perturbations of ids 0..9
+    val dups = (0 until 10).map(i =>
+      (100L + i, perturb(base(i)._2.toArray, 0.02).toSeq))
+    val emb = (base ++ dups).toDF("vec_id", "v")
+    val tau = 0.95
+    val exact = Dedup.embeddingNearDupPairsExact(emb, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Dedup.embeddingNearDupPairs(emb, tau, dim,
+      nPlanes = 4, nTables = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted pair is a true near-dup
+    (0 until 10).foreach(i => assert(exact((i.toLong, 100L + i)), s"planted $i"))
+    // bucketed candidates never invent pairs...
+    assert(bucketed.subsetOf(exact), "bucketed produced a non-near-dup pair")
+    // ...and recall the planted ones at these LSH settings
+    val found = (0 until 10).count(i => bucketed((i.toLong, 100L + i)))
+    assert(found >= 8, s"only $found/10 planted near-dups recalled")
+  }
+
   test("ivf topk: deterministic, decent recall, bounded probe fraction") {
     val e = Ann.withVec(Tables.embeddings(spark, sfSmoke))
     val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))

@@ -90,6 +90,34 @@ class Shr3dSpec extends SparkSpec {
     assert(zGround < 1.5, s"open ground DTM $zGround m")
   }
 
+  test("external prior DTM (setDTM0): scales reconciled, MIN clamped, DTM = prior") {
+    import spark.implicits._
+    // flat prior at 0.4 m over the scene, written with a DIFFERENT fit
+    val priorFit = graft.core.Quant.Fit(-2.0, 30.0 / 65535.0)
+    val priorRaw = math.floor((0.4 - priorFit.offset) / priorFit.scale).toLong
+    val prior = (for (y <- 0L until 36L; x <- 0L until 36L)
+      yield (x, y, priorRaw)).toDF("gx", "gy", "v")
+    val p = Shr3d.run(spark, scene,
+      Shr3d.Config(spec = spec, tileSize = 16, minRegionCells = 4,
+        boundsOpt = Some((36, 36)),
+        dtm0 = Some(Shr3d.Dtm0(prior, priorFit))))
+    val common = graft.core.Quant.reconcile(
+      graft.core.Quant.Fit(graft.core.Quant.Offset, graft.core.Quant.Scale), priorFit)
+    // DTM == adjusted prior everywhere (flat ~0.4 m in the common fit)
+    val dtmVals = p.dtm.select("v").distinct().collect().map(_.getInt(0))
+    assert(dtmVals.length == 1, s"prior DTM not flat: ${dtmVals.toSeq}")
+    val zBack = dtmVals.head * common.scale + common.offset
+    assert(math.abs(zBack - 0.4) < 0.01, s"prior height $zBack")
+    // MIN is clamped to >= DTM0 where both exist
+    val minBelow = p.minGrid.filter(col("v") < dtmVals.head).count()
+    assert(minBelow == 0, s"$minBelow MIN cells below the prior")
+    // classification still finds the buildings against the prior ground
+    val cls = p.classification.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(cls((10L, 8L)) == p.ClsBuilding)
+    assert(cls((2L, 2L)) == p.ClsGround)
+  }
+
   test("deterministic across runs") {
     val a = products.outlines.collect().map(_.toSeq).sortBy(_.head.toString)
     val b = Shr3d.run(spark, scene.repartition(13),
