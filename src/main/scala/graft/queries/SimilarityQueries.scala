@@ -68,11 +68,13 @@ object SimilarityQueries {
   }
 
   /** Embedding-cosine near-dup pairs (the dedup family's embedding
-    * member): all pairs at cosine >= 0.3 — exact verifier shape, the
-    * LSH-bucketed corpus path is spec'd in DedupSpec. */
+    * member) over a bounded verifier subset (vec_id < 1000 — all-pairs
+    * is the VERIFIER shape, like q_ngram_jaccard's pre-filtered set);
+    * the LSH-bucketed corpus path is spec'd in DedupSpec. */
   val q_embed_neardup: QueryDef = QueryDef.sqlChecked(
     "q_embed_neardup",
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE vec_id < 1000),
        |d AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
        |  list_reduce(list_transform(range(1, ${Dim + 1}), i -> a.v[i] * b.v[i]),
        |              (x, y) -> x + y) AS cos
@@ -80,7 +82,8 @@ object SimilarityQueries {
        |SELECT v1, v2, cos FROM d WHERE cos >= 0.3
        |ORDER BY v1, v2""".stripMargin) { (s, dir) =>
     graft.dedup.Dedup.embeddingNearDupPairsExact(
-      Ann.withVec(Tables.embeddings(s, dir)).select(col("vec_id"), col("v")),
+      Ann.withVec(Tables.embeddings(s, dir)).filter(col("vec_id") < 1000)
+        .select(col("vec_id"), col("v")),
       tau = 0.3).orderBy(col("v1"), col("v2"))
   }
 
