@@ -68,7 +68,8 @@ object ClassifyGround {
     val dz = cfg.dzRaw
     val tile = cfg.tileSize
 
-    var dtm = FillVoids(minGrid, bounds, noSmoothing = true).localCheckpoint()
+    var dtm = FillVoids(minGrid, bounds, noSmoothing = true,
+      denseThreshold = 0L).localCheckpoint()
     var voidMask = Seq.empty[(Long, Long)].toDF("gx", "gy").localCheckpoint()
     var maskCount = 0L
     var converged = false
@@ -91,9 +92,10 @@ object ClassifyGround {
         .filter(shiftrightunsigned(col("v").cast("long"), 17) === 1)
         .select(col("gx"), col("gy"),
           col("v").bitwiseAND(lit(0x1FFFF)).cast("int").as("v"))
-      // G2: dz-connected labels with the region cap
+      // G2: dz-connected labels with the region cap (distributed — the
+      // dense/tiled choice is runTiled-vs-runDense's, made once above)
       val labeled = ConnectedComponents.label(objCells, bounds, tile,
-        maxDz = Some(dz), maxCount = Some(cfg.maxCount))
+        maxDz = Some(dz), maxCount = Some(cfg.maxCount), denseThreshold = 0L)
       // G5: per-object interior fill -> this iteration's void cells
       val voided = FillObjectBounds(labeled.select("gx", "gy", "label"),
         dtm, bounds, cfg.dhBins)
@@ -108,7 +110,8 @@ object ClassifyGround {
       maskCount = n
       val ground = dtm.join(voidMask, Seq("gx", "gy"), "left_anti")
       dtm = FillVoids(ground, bounds,
-        noSmoothing = !converged && k < cfg.iterations - 1).localCheckpoint()
+        noSmoothing = !converged && k < cfg.iterations - 1,
+        denseThreshold = 0L).localCheckpoint()
     }
 
     // DSM-restore (dtm >= dsm and dsm non-void -> take dsm, leave mask)
@@ -132,8 +135,8 @@ object ClassifyGround {
 
     // final: re-void every masked cell, fill with smoothing
     val finalGround = restoredDtm.join(voidMask, Seq("gx", "gy"), "left_anti")
-    val dtmFinal = FillVoids(finalGround, bounds, noSmoothing = false)
-      .localCheckpoint()
+    val dtmFinal = FillVoids(finalGround, bounds, noSmoothing = false,
+      denseThreshold = 0L).localCheckpoint()
     Result(dtmFinal, voidMask)
   }
 
@@ -142,81 +145,12 @@ object ClassifyGround {
   private type LMap = java.util.HashMap[java.lang.Long, java.lang.Integer]
   @inline private def key(x: Long, y: Long): Long = (x << 32) | y
 
-  /** Dense FillVoids — the exact sparse spec (graft.pyramid.FillVoids)
-    * over local maps. */
-  private[api] def denseFill(g0: LMap, w: Int, h: Int,
-                             noSmoothing: Boolean): LMap = {
-    var levels = List((g0, w, h))
-    while (levels.head._2 / 2 >= 1 && levels.head._3 / 2 >= 1 &&
-      levels.head._1.size < levels.head._2.toLong * levels.head._3) {
-      val (g, lw, lh) = levels.head
-      val cw = lw / 2; val ch = lh / 2
-      val coarse = new LMap()
-      var j = 0L
-      while (j < cw) {
-        var i = 0L
-        while (i < ch) {
-          var sum = 0L; var cnt = 0
-          var dx = -1
-          while (dx <= 1) {
-            var dy = -1
-            while (dy <= 1) {
-              val x = 2 * j + 1 + dx; val y = 2 * i + 1 + dy
-              if (x >= 0 && x < lw && y >= 0 && y < lh) {
-                val v = g.get(key(x, y))
-                if (v != null) { sum += v.intValue(); cnt += 1 }
-              }
-              dy += 1
-            }
-            dx += 1
-          }
-          if (cnt > 0) coarse.put(key(j, i), Math.floorDiv(sum, cnt).toInt)
-          i += 1
-        }
-        j += 1
-      }
-      levels ::= ((coarse, cw, ch))
-    }
-    var filled = levels.head._1
-    for ((g, lw, lh) <- levels.tail) {
-      val out = new LMap(g)
-      var y = 0L
-      while (y < lh) {
-        var x = 0L
-        while (x < lw) {
-          if (!g.containsKey(key(x, y))) {
-            if (noSmoothing) {
-              val p = filled.get(key(x / 2, y / 2))
-              if (p != null) out.put(key(x, y), p)
-            } else {
-              var sw = 0L; var swv = 0L
-              val offs = Array((-1, -1, 1), (0, -1, 2), (1, -1, 1), (-1, 0, 2),
-                (0, 0, 4), (1, 0, 2), (-1, 1, 1), (0, 1, 2), (1, 1, 1))
-              var oi = 0
-              while (oi < offs.length) {
-                val (dx, dy, wt) = offs(oi)
-                val p = filled.get(key(x / 2 + dx, y / 2 + dy))
-                if (p != null) { sw += wt; swv += wt.toLong * p.intValue() }
-                oi += 1
-              }
-              if (sw > 0) out.put(key(x, y), Math.floorDiv(swv, sw).toInt)
-            }
-          }
-          x += 1
-        }
-        y += 1
-      }
-      filled = out
-    }
-    filled
-  }
-
   /** The full loop over local maps, reusing the SAME kernel objects and
     * the same per-object fill as the tiled path. */
   private[api] def denseLoop(min: LMap, solid: LMap, w: Int, h: Int,
                              cfg: Config): (LMap, java.util.HashSet[java.lang.Long]) = {
     val dz = cfg.dzRaw
-    var dtm = denseFill(min, w, h, noSmoothing = true)
+    var dtm = FillVoids.dense(min, w, h, noSmoothing = true)
     val voidMask = new java.util.HashSet[java.lang.Long]()
     def get(m: LMap)(x: Int, y: Int): Int = {
       val v = m.get(key(x, y)); if (v == null) 0 else v.intValue()
@@ -332,7 +266,7 @@ object ClassifyGround {
       val ground = new LMap(dtm)
       val vIt = voidMask.iterator()
       while (vIt.hasNext) ground.remove(vIt.next())
-      dtm = denseFill(ground, w, h,
+      dtm = FillVoids.dense(ground, w, h,
         noSmoothing = !converged && k < cfg.iterations - 1)
     }
     // restore, spikes, final fill — identical order to the tiled path
@@ -356,7 +290,7 @@ object ClassifyGround {
     val finalGround = new LMap(dtm)
     val fIt = voidMask.iterator()
     while (fIt.hasNext) finalGround.remove(fIt.next())
-    (denseFill(finalGround, w, h, noSmoothing = false), voidMask)
+    (FillVoids.dense(finalGround, w, h, noSmoothing = false), voidMask)
   }
 
   private def runDense(minGrid: DataFrame, solidDsm: DataFrame,

@@ -45,8 +45,15 @@ object ConnectedComponents {
   final case class Cell(gx: Long, gy: Long, v: Int)
   final case class Labeled(gx: Long, gy: Long, v: Int, lbl: Long)
 
+  /** Default strategy-gate size (lattice cells): grids below it label
+    * in ONE task (single union-find sweep — a 722-cell raster should
+    * not pay tile shuffles + pointer-jump rounds); larger grids take
+    * the tiled distributed path. Both asserted equal in CcSpec. */
+  final val DefaultDenseThreshold: Long = 1L << 20
+
   def label(cells: DataFrame, bounds: Bounds, tileSize: Int = 128,
-            maxDz: Option[Int] = None, maxCount: Option[Long] = None): DataFrame = {
+            maxDz: Option[Int] = None, maxCount: Option[Long] = None,
+            denseThreshold: Long = DefaultDenseThreshold): DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
     val t = tileSize
@@ -58,6 +65,9 @@ object ConnectedComponents {
 
     val ds = cells.select(col("gx").cast("long"), col("gy").cast("long"),
       col("v").cast("int")).as[Cell]
+
+    if (bounds.w.toLong * bounds.h <= denseThreshold)
+      return labelDense(ds, bounds, dzOk, maxCount)
 
     // ---- 1. per-tile local CCL ----
     val local = ds.groupByKey(c => ((c.gx / t) << 32) | (c.gy / t))
@@ -150,6 +160,11 @@ object ConnectedComponents {
       .select(col("gx"), col("gy"), col("v"), col("r").as("label"))
 
     // ---- 5. optional region cap (canonical chunking, see object doc) ----
+    applyCap(full, w, maxCount)
+  }
+
+  private def applyCap(full: DataFrame, w: Long,
+                       maxCount: Option[Long]): DataFrame = {
     maxCount match {
       case None => full
       case Some(cap) =>
@@ -162,5 +177,72 @@ object ConnectedComponents {
           .withColumn("newLabel", min(col("cid")).over(perChunk))
           .select(col("gx"), col("gy"), col("v"), col("newLabel").as("label"))
     }
+  }
+
+  /** Dense single-task strategy: one union-find sweep over the whole
+    * (small) grid, same canonical labels and chunk semantics. */
+  private def labelDense(ds: org.apache.spark.sql.Dataset[Cell], bounds: Bounds,
+                         dzOk: (Int, Int) => Boolean,
+                         maxCount: Option[Long]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val w = bounds.w.toLong
+    ds.repartition(1).mapPartitions { it =>
+      val arr = it.toArray
+      if (arr.isEmpty) Iterator.empty
+      else {
+        val idx = new java.util.HashMap[java.lang.Long, java.lang.Integer](arr.length * 2)
+        arr.zipWithIndex.foreach { case (c, i) => idx.put(c.gy * w + c.gx, i) }
+        val parent = Array.tabulate(arr.length)(identity)
+        def find(i: Int): Int = {
+          var r = i
+          while (parent(r) != r) r = parent(r)
+          var c = i
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        def union(a: Int, b: Int): Unit = {
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val offs = Seq((1, -1), (1, 0), (1, 1), (0, 1))
+        arr.zipWithIndex.foreach { case (c, i) =>
+          offs.foreach { case (dx, dy) =>
+            val nx = c.gx + dx; val ny = c.gy + dy
+            if (nx >= 0 && nx < w && ny >= 0) {
+              val j = idx.get(ny * w + nx)
+              if (j != null && dzOk(c.v, arr(j.intValue()).v))
+                union(i, j.intValue())
+            }
+          }
+        }
+        // canonical labels + optional chunk crop in cell-id order
+        val byRoot = new java.util.HashMap[Integer, java.util.ArrayList[Int]]()
+        arr.indices.foreach { i =>
+          val r = find(i)
+          var l = byRoot.get(r)
+          if (l == null) { l = new java.util.ArrayList[Int](); byRoot.put(r, l) }
+          l.add(i)
+        }
+        val out = Array.newBuilder[Labeled]
+        val rIt = byRoot.values().iterator()
+        while (rIt.hasNext) {
+          val members = rIt.next()
+          val sorted = (0 until members.size()).map(members.get)
+            .sortBy(i => arr(i).gy * w + arr(i).gx)
+          val groups = maxCount match {
+            case Some(cap) => sorted.grouped(cap.toInt)
+            case None => Iterator(sorted)
+          }
+          groups.foreach { g =>
+            val lbl = arr(g.head).gy * w + arr(g.head).gx
+            g.foreach { i =>
+              out += Labeled(arr(i).gx, arr(i).gy, arr(i).v, lbl)
+            }
+          }
+        }
+        out.result().iterator
+      }
+    }.toDF("gx", "gy", "v", "label")
   }
 }

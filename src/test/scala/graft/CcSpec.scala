@@ -38,13 +38,17 @@ class CcSpec extends SparkSpec {
   }
 
   for (density <- Seq(0.2, 0.55, 0.95); tile <- Seq(5, 16, 256);
-       dz <- Seq(None, Some(20))) {
-    test(s"ccl == bfs oracle (density=$density, tile=$tile, dz=$dz)") {
+       dz <- Seq(None, Some(20));
+       // 0 = force the tiled distributed path; MaxValue = dense strategy
+       thresh <- Seq(0L, Long.MaxValue)) {
+    val strat = if (thresh == 0L) "tiled" else "dense"
+    test(s"ccl == bfs oracle (density=$density, tile=$tile, dz=$dz, $strat)") {
       import spark.implicits._
       val (w, h) = (41, 29)
       val cells = randomCells((density * 100).toInt + tile, w, h, density)
       val got = ConnectedComponents.label(
-          cells.toDF("gx", "gy", "v").repartition(7), Bounds(w, h), tile, dz)
+          cells.toDF("gx", "gy", "v").repartition(7), Bounds(w, h), tile, dz,
+          denseThreshold = thresh)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
       val want = oracle(cells, w, dz)
       assert(got.size == want.size)
@@ -61,7 +65,7 @@ class CcSpec extends SparkSpec {
     val df = (giant ++ blob).toDF("gx", "gy", "v").repartition(13)
     val cap = 1000L
     val got = ConnectedComponents.label(df, Bounds(w, h), tileSize = 32,
-      maxCount = Some(cap)).collect()
+      maxCount = Some(cap), denseThreshold = 0L).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3)))
     assert(got.length == giant.size + blob.size, "no cell may be dropped")
     val bySize = got.groupBy(_._2).view.mapValues(_.length).toMap
@@ -75,9 +79,14 @@ class CcSpec extends SparkSpec {
     }
     // partitioning/tile independence
     val again = ConnectedComponents.label(df.repartition(3), Bounds(w, h),
-      tileSize = 256, maxCount = Some(cap)).collect()
+      tileSize = 256, maxCount = Some(cap), denseThreshold = 0L).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
     assert(again == got.toMap, "chunking depends on partitioning")
+    // dense strategy: identical chunked labels
+    val dense = ConnectedComponents.label(df, Bounds(w, h), tileSize = 32,
+      maxCount = Some(cap), denseThreshold = Long.MaxValue).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    assert(dense == got.toMap, "dense strategy diverges from tiled")
   }
 
   test("outlines refuses over-cap labels, traces the rest") {

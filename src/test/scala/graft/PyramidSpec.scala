@@ -54,12 +54,17 @@ class PyramidSpec extends SparkSpec {
   private def runBoth(cells: Seq[(Long, Long, Int)], w: Int, h: Int,
                       noSmoothing: Boolean, maxLevel: Int): Unit = {
     import spark.implicits._
-    val got = FillVoids(cells.toDF("gx", "gy", "v").repartition(5),
-        Bounds(w, h), noSmoothing, maxLevel)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     val want = oracle(cells.map(c => (c._1, c._2) -> c._3).toMap, w, h,
       noSmoothing, maxLevel)
-    assert(got == want, s"engine ${got.size} cells vs oracle ${want.size}")
+    // both strategies: 0 forces the distributed pyramid, MaxValue the
+    // dense single-task one
+    for (thresh <- Seq(0L, Long.MaxValue)) {
+      val got = FillVoids(cells.toDF("gx", "gy", "v").repartition(5),
+          Bounds(w, h), noSmoothing, maxLevel, denseThreshold = thresh)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(got == want,
+        s"thresh=$thresh: engine ${got.size} cells vs oracle ${want.size}")
+    }
   }
 
   private def randomCells(seed: Int, w: Int, h: Int, density: Double) = {
