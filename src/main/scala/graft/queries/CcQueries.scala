@@ -54,6 +54,36 @@ object CcQueries {
       .orderBy(col("gx"), col("gy"))
   }
 
+  /** G2 with the region cap engaged (maxCount = 4, far below the real
+    * 10000/gsd² so the canonical chunk crop actually fires at smoke SF):
+    * over-cap components split into cell-id-order chunks of 4, each
+    * relabeled by its min cell id. The oracle reproduces the chunking
+    * with a row_number window over the recursive-CTE labels. */
+  val q_cc_chunked: QueryDef = QueryDef.sqlChecked(
+    "q_cc_chunked",
+    s"""WITH RECURSIVE ${Gridding.splatCte},
+       |g AS (SELECT gx, gy, max(qz) AS v FROM
+       |  (SELECT * FROM splat WHERE doc_id < 150) s GROUP BY gx, gy),
+       |reach(gx, gy, l) AS (
+       |  SELECT gx, gy, gy * $w + gx FROM g
+       |  UNION
+       |  SELECT n.gx, n.gy, r.l FROM reach r
+       |  JOIN g c ON c.gx = r.gx AND c.gy = r.gy
+       |  JOIN g n ON abs(n.gx - r.gx) <= 1 AND abs(n.gy - r.gy) <= 1
+       |    AND r.l < n.gy * $w + n.gx),
+       |lbl AS (SELECT gx, gy, min(l) AS label FROM reach GROUP BY gx, gy),
+       |chunked AS (SELECT gx, gy, label,
+       |  (row_number() OVER (PARTITION BY label ORDER BY gy * $w + gx) - 1) // 4
+       |    AS chunk FROM lbl)
+       |SELECT gx, gy,
+       |  min(gy * $w + gx) OVER (PARTITION BY label, chunk) AS label
+       |FROM chunked ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+    ConnectedComponents.label(dsmSubset(s, dir), bounds, tileSize = 16,
+        maxCount = Some(4L))
+      .select(col("gx"), col("gy"), col("label"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
   /** A7-style object stats: per component bbox + size. */
   val q_cc_stats: QueryDef = QueryDef.sqlChecked(
     "q_cc_stats",
@@ -77,5 +107,5 @@ object CcQueries {
       .orderBy(col("label"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_cc_labels, q_cc_dz, q_cc_stats)
+  val all: Seq[QueryDef] = Seq(q_cc_labels, q_cc_dz, q_cc_chunked, q_cc_stats)
 }

@@ -27,6 +27,32 @@ object StreamOps {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  final case class Page(url: String, warc_ts: Long, th: String)
+  final case class Latest(url: String, warc_ts: Long, th: String)
+
+  /** Streaming latest-capture url-dedup (the flagship's J6 as a stream):
+    * per url, keep the max (warc_ts, content-hash) seen so far and emit
+    * the current winner on every update — OutputMode.Update gives the
+    * Delta-style upsert stream; the final state equals the batch max_by
+    * aggregate (asserted in StreamingSpec). State is one (ts, hash) pair
+    * per live url — the same memory shape Kafka-compacted dedup keeps. */
+  def latestCapture(pages: Dataset[Page]): Dataset[Latest] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.groupByKey(_.url)
+      .mapGroupsWithState[Latest, Latest](GroupStateTimeout.NoTimeout) {
+        (url: String, ps: Iterator[Page], state: GroupState[Latest]) =>
+          val incoming = ps.map(p => (p.warc_ts, p.th)).reduce((a, b) =>
+            if (a._1 > b._1 || (a._1 == b._1 && a._2 >= b._2)) a else b)
+          val best = state.getOption
+            .filter(cur => cur.warc_ts > incoming._1 ||
+              (cur.warc_ts == incoming._1 && cur.th >= incoming._2))
+            .getOrElse(Latest(url, incoming._1, incoming._2))
+          state.update(best)
+          best
+      }
+  }
+
   final case class Ev(user_id: Long, tsec: Double, event_id: Long)
   final case class Session(user_id: Long, start: Double, end: Double, n: Long)
   final case class SessState(start: Double, last: Double, n: Long)

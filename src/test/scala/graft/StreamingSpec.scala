@@ -27,6 +27,29 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming latest-capture dedup final state == batch max_by") {
+    import spark.implicits._
+    // multi-capture synthetic pages: 40 urls x up to 5 captures
+    val rnd = new scala.util.Random(9)
+    val pages = (for {
+      u <- 0 until 40
+      c <- 0 to rnd.nextInt(5)
+    } yield StreamOps.Page(s"http://site$u/p", 1000L + rnd.nextInt(500),
+      f"h${rnd.nextInt(1000)}%04d")).toDS()
+    // batch ground truth: the flagship's max_by over (warc_ts, th)
+    val want = pages.toDF()
+      .groupBy("url")
+      .agg(max(struct(col("warc_ts"), col("th"))).as("m"))
+      .select(col("url"), col("m.warc_ts"), col("m.th"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    // streaming path (batch-driven: mapGroupsWithState sees each url
+    // group once here; StreamingSpec's file-source pattern covers the
+    // incremental wiring for the other ops)
+    val got = StreamOps.latestCapture(pages).collect()
+      .map(l => (l.url, l.warc_ts, l.th)).toSet
+    assert(got == want)
+  }
+
   test("stateful sessionization matches the batch window query") {
     import spark.implicits._
     val evs = spark.read.parquet(s"$sfSmoke/events.parquet")
