@@ -206,17 +206,32 @@ object Shr3d {
         .localCheckpoint()
     }
 
-    /** Building mask with narrow objects removed (W15 label erode+dilate,
-      * shr3d.cpp:1091-1139) and small regions rejected (G4 min-area). */
+    /** Building labels via the full classifyNonGround order
+      * (shr3d.cpp:1015-1174): building mask -> dz/2-constrained grouping
+      * over DSM heights -> G4 boundary-gradient accept/reject -> W15
+      * label erode+dilate -> plain regrouping -> min-area reject. The
+      * G4 and W15 passes are skippable for scatter inputs
+      * (openLabels = false disables both — a point scatter has neither
+      * solid cores nor meaningful boundary gradients). */
     lazy val buildingLabels: DataFrame = {
       val mask = classification.filter(col("cls") === ClsBuilding)
-        .select(col("gx"), col("gy"), lit(1).as("v"))
-      val opened =
+        .select("gx", "gy")
+      val cleaned =
         if (cfg.openLabels) {
-          val packed = TileStencil(mask, Kernels.MaskErodePack(), bounds, cfg.tileSize)
+          // group on height similarity (dz/2, groupObjects at :1039)
+          val withV = mask.join(dsm, Seq("gx", "gy"))
+          val grouped = ConnectedComponents.label(withV, bounds, cfg.tileSize,
+            maxDz = Some(dzRaw / 2))
+          // G4: reject low-ridge objects by mean boundary gradient
+          val accepted = GroundObjects
+            .acceptByGradient(grouped.select("gx", "gy", "label"), dsm, dzRaw)
+            .select(col("gx"), col("gy"), lit(1).as("v"))
+          // W15: erode+dilate the surviving label mask
+          val packed = TileStencil(accepted, Kernels.MaskErodePack(), bounds, cfg.tileSize)
           TileStencil(packed, Kernels.MaskOpenResolve(), bounds, cfg.tileSize)
-        } else mask
-      val labeled = ConnectedComponents.label(opened, bounds, cfg.tileSize)
+        } else mask.withColumn("v", lit(1))
+      // final plain regrouping + min-area reject (:1148-1173)
+      val labeled = ConnectedComponents.label(cleaned, bounds, cfg.tileSize)
       val sizes = labeled.groupBy("label").agg(count(lit(1)).as("n"))
         .filter(col("n") >= cfg.minRegionCells)
       labeled.join(sizes.select("label"), Seq("label"), "left_semi")
