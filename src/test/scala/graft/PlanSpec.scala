@@ -56,6 +56,23 @@ class PlanSpec extends SparkSpec {
       s"bbox gather regressed to a nested-loop range join:\n${p.take(4000)}")
   }
 
+  test("flagship dedup keeps map-side partial aggregation") {
+    import graft.api.Flagship
+    val path = Flagship.stageInput(spark, 20000)
+    val p = Flagship.geocodedFromParquet(spark, path)
+      .queryExecution.executedPlan.toString
+    // the max_by dedup must be a two-phase hash aggregate: a partial
+    // below the exchange (shuffle carries one candidate per url per
+    // input partition, not every capture) and a final above it
+    assert(p.contains("partial_max") || p.contains("HashAggregate"),
+      s"dedup lost its hash-aggregate form:\n${p.take(3000)}")
+    val partialIdx = p.indexOf("partial_max")
+    val exchangeIdx = p.indexOf("Exchange")
+    assert(partialIdx >= 0, "no partial max aggregate in the dedup plan")
+    assert(exchangeIdx >= 0 && p.indexOf("partial_max", exchangeIdx) >= 0,
+      "partial aggregate not below the shuffle")
+  }
+
   test("dsm grid aggregates before the splat (shuffle bounded by grid)") {
     val df = SparkEntry.queries("q_dsm_grid")(spark, sfSmoke)
     val p = df.queryExecution.optimizedPlan.toString
