@@ -57,9 +57,9 @@ class DtmSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  test("classifyGround == dense oracle (dh=1)") {
+  for (seed <- Seq(11, 77)) test(s"classifyGround == dense oracle (dh=1, seed=$seed)") {
     val (w, h) = (44, 36)
-    val (minG, solid) = scene(w, h, seed = 11)
+    val (minG, solid) = scene(w, h, seed)
     val (dtm, mask) = runEngine(minG, solid, w, h, dz = 900, dh = 1,
       maxCount = 100000L, tile = 16, parts = 4)
     val (oDtm, oMask) = DtmOracle.classifyGround(minG, solid, w, h,
