@@ -108,16 +108,43 @@ object Spatial {
       .orderBy(col("gx"), col("gy"))
   }
 
-  /** H3-facade hexagonal index histogram (rows-only: the cube-rounding
-    * hex assignment is covered by HexCellsSpec's nearest-center
-    * property; DuckDB has no hex dual). */
-  val q_hex_hist: QueryDef = QueryDef.rowsOnly("q_hex_hist") { (s, dir) =>
-    docsGeo(s, dir)
-      .withColumn("hex",
-        graft.index.HexCellFunctions.hexCellId(col("lon"), col("lat"), 8))
-      .groupBy(col("hex"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("hex"))
+  /** H3-facade hexagonal index histogram, bit-exact DuckDB dual: the
+    * axial transform + cube rounding re-expressed in SQL with the SAME
+    * IEEE op sequence. Two portability traps: Java Math.round(double)
+    * is floor(x + 0.5) — NOT DuckDB round()'s half-away-from-zero — and
+    * the branch reassignments use the ORIGINAL rounded values. */
+  val q_hex_hist: QueryDef = {
+    val hexRes = 8
+    val s8 = s"(360.0 / ${4.0 * (1L << hexRes)})" // hex circumradius
+    val off = 1L << 27
+    QueryDef.sqlChecked(
+      "q_hex_hist",
+      s"""WITH pts AS (SELECT doc_id, ${Geo.lonSql("doc_id")} AS lon,
+         |  ${Geo.latSql("doc_id")} AS lat FROM documents),
+         |frac AS (SELECT doc_id,
+         |  ((sqrt(3.0) / 3.0 * lon - 1.0 / 3.0 * lat) / $s8) AS xf,
+         |  ((2.0 / 3.0 * lat) / $s8) AS zf FROM pts),
+         |rounded AS (SELECT doc_id, xf, zf, -xf - zf AS yf,
+         |  floor(xf + 0.5) AS rx, floor(-xf - zf + 0.5) AS ry,
+         |  floor(zf + 0.5) AS rz FROM frac),
+         |fixed AS (SELECT doc_id,
+         |  CASE WHEN abs(rx - xf) > abs(ry - yf) AND abs(rx - xf) > abs(rz - zf)
+         |       THEN -ry - rz ELSE rx END AS q,
+         |  CASE WHEN NOT (abs(rx - xf) > abs(ry - yf) AND abs(rx - xf) > abs(rz - zf))
+         |        AND NOT (abs(ry - yf) > abs(rz - zf))
+         |       THEN -rx - ry ELSE rz END AS r FROM rounded),
+         |cells AS (SELECT doc_id,
+         |  ${hexRes.toLong << 56} + (CAST(q AS BIGINT) + $off) * ${1L << 28}
+         |    + (CAST(r AS BIGINT) + $off) AS hex FROM fixed)
+         |SELECT hex, COUNT(*) AS n_docs FROM cells GROUP BY hex
+         |ORDER BY hex""".stripMargin) { (s, dir) =>
+      docsGeo(s, dir)
+        .withColumn("hex",
+          graft.index.HexCellFunctions.hexCellId(col("lon"), col("lat"), hexRes))
+        .groupBy(col("hex"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("hex"))
+    }
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -119,10 +119,62 @@ object StencilQueries {
     }
   }
 
-  /** Full smoothing pyramid (rows-only check; semantics covered by the
-    * dense oracle in PyramidSpec). */
-  val q_fill_pyramid: QueryDef = QueryDef.rowsOnly("q_fill_pyramid") { (s, dir) =>
-    graft.pyramid.FillVoids(dsm10(s, dir), bounds).orderBy(col("gx"), col("gy"))
+  /** Full smoothing pyramid with a bit-exact DuckDB dual: the 38x19
+    * grid's pyramid has a FIXED level chain (19x9 -> 9x4 -> 4x2 -> 2x1),
+    * so the up/down phases unroll into a static CTE chain. Building a
+    * coarse level the engine would have skipped (no voids below) is
+    * harmless — with no holes at the finer level nothing reads it. */
+  val q_fill_pyramid: QueryDef = {
+    // (w, h) per level, level 0 = the base grid
+    val dims = Seq((w, h), (w / 2, h / 2), (w / 4, h / 4), (w / 8, h / 8),
+      (w / 16, h / 16))
+    // coarsen src -> level k grid (the engine's 4-way parent-cover trick)
+    def coarsenCte(src: String, out: String, k: Int): String = {
+      val (cw, ch) = dims(k)
+      // UNION (distinct) carries (gx, gy) so a fine cell feeding the
+      // same coarse cell via two formulas is counted once, like the
+      // engine's Set-based parent cover
+      s"""$out AS (SELECT j AS gx, i AS gy,
+         |  CAST(floor(sum(v) / count(*)) AS INT) AS v FROM (
+         |    SELECT gx, gy, v, (gx - 1) // 2 AS j, (gy - 1) // 2 AS i FROM $src
+         |    UNION SELECT gx, gy, v, (gx - 1) // 2, gy // 2 FROM $src
+         |    UNION SELECT gx, gy, v, gx // 2, (gy - 1) // 2 FROM $src
+         |    UNION SELECT gx, gy, v, gx // 2, gy // 2 FROM $src)
+         |  WHERE j >= 0 AND j < $cw AND i >= 0 AND i < $ch
+         |  GROUP BY j, i)""".stripMargin
+    }
+    // fill level k holes from the FILLED parent (9-weight smoothing)
+    def fillCte(src: String, parent: String, out: String, k: Int): String = {
+      val (lw, lh) = dims(k)
+      s"""$out AS (
+         |  SELECT gx, gy, v FROM $src
+         |  UNION ALL
+         |  SELECT l.gx, l.gy,
+         |    CAST(floor(sum(o.wt * p.v) / sum(o.wt)) AS INT) AS v
+         |  FROM (SELECT x.range AS gx, y.range AS gy
+         |        FROM range(0, $lw) x, range(0, $lh) y) l
+         |  LEFT JOIN $src s ON s.gx = l.gx AND s.gy = l.gy
+         |  CROSS JOIN (VALUES (-1,-1,1),(0,-1,2),(1,-1,1),(-1,0,2),(0,0,4),
+         |    (1,0,2),(-1,1,1),(0,1,2),(1,1,1)) o(dx, dy, wt)
+         |  JOIN $parent p ON p.gx = l.gx // 2 + o.dx AND p.gy = l.gy // 2 + o.dy
+         |  WHERE s.v IS NULL
+         |  GROUP BY l.gx, l.gy)""".stripMargin
+    }
+    val sql =
+      s"""WITH ${Gridding.splatCte(spec)},
+         |g0 AS (SELECT gx, gy, CAST(max(qz) AS INT) AS v FROM splat GROUP BY gx, gy),
+         |${coarsenCte("g0", "g1", 1)},
+         |${coarsenCte("g1", "g2", 2)},
+         |${coarsenCte("g2", "g3", 3)},
+         |${coarsenCte("g3", "g4", 4)},
+         |${fillCte("g3", "g4", "f3", 3)},
+         |${fillCte("g2", "f3", "f2", 2)},
+         |${fillCte("g1", "f2", "f1", 1)},
+         |${fillCte("g0", "f1", "f0", 0)}
+         |SELECT gx, gy, v FROM f0 ORDER BY gx, gy""".stripMargin
+    QueryDef.sqlChecked("q_fill_pyramid", sql) { (s, dir) =>
+      graft.pyramid.FillVoids(dsm10(s, dir), bounds).orderBy(col("gx"), col("gy"))
+    }
   }
 
   val all: Seq[QueryDef] =
