@@ -225,7 +225,7 @@ object ClassifyGround {
             }
           }
           comp.sortInPlaceBy(kk => (kk & 0xFFFFFFFFL) * w + (kk >>> 32))
-          objects ++= comp.grouped(cfg.maxCount.toInt).map(_.toArray)
+          objects ++= comp.grouped(math.min(cfg.maxCount, Int.MaxValue).toInt).map(_.toArray)
         }
       }
       // per-object fill via the shared fillOne

@@ -231,7 +231,7 @@ object ConnectedComponents {
           val sorted = (0 until members.size()).map(members.get)
             .sortBy(i => arr(i).gy * w + arr(i).gx)
           val groups = maxCount match {
-            case Some(cap) => sorted.grouped(cap.toInt)
+            case Some(cap) => sorted.grouped(math.min(cap, Int.MaxValue).toInt)
             case None => Iterator(sorted)
           }
           groups.foreach { g =>

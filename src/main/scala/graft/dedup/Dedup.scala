@@ -178,24 +178,53 @@ object Dedup {
       .select(col("v1"), col("v2"), col("cos"))
   }
 
+  /** Sign-LSH buckets [[embeddingNearDupPairs]] will drop at the given
+    * cap, with their populations — the audit twin of
+    * [[oversizedBuckets]] for the embedding path. */
+  def oversizedEmbeddingBuckets(emb: DataFrame, dim: Int,
+                                nPlanes: Int = 6, nTables: Int = 8,
+                                maxBucket: Int = DefaultMaxBucket): DataFrame =
+    graft.similarity.Ann.signBuckets(emb, dim, nPlanes, nTables)
+      .groupBy("table", "bucket").agg(count(lit(1)).as("n_vecs"))
+      .filter(col("n_vecs") > maxBucket)
+
   /** Corpus-scale embedding near-dup candidates: sign-LSH band buckets
     * replace the all-pairs cross join (same-bucket-in-any-table pairs
     * only), then the exact cosine filter. Probabilistic recall — spec'd
     * against the exact verifier on planted near-dups; at 100 TB the
     * bucket equi-join is the only shuffle and no pair of dissimilar
-    * docs is ever scored. */
+    * docs is ever scored.
+    *
+    * Skew safety (same pattern as [[lshPairs]]): bucket populations are
+    * counted first and (table, bucket) groups over `maxBucket` are
+    * excluded from the self-join — a near-dup corpus is by definition
+    * full of colliding embeddings, exactly the input that would send one
+    * bucket quadratic. A vector dropped from one hot table still pairs
+    * through its other tables; dropped buckets are enumerable via
+    * [[oversizedEmbeddingBuckets]]. Candidate pairs are deduplicated on
+    * the id pair BEFORE the vectors are joined back, so the multi-table
+    * distinct shuffles two longs per pair, not two embedding arrays. */
   def embeddingNearDupPairs(emb: DataFrame, tau: Double, dim: Int,
-                            nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
-    val buckets = graft.similarity.Ann.signBuckets(emb, dim, nPlanes, nTables)
-      .select(col("vec_id"), col("v"), col("table"), col("bucket"))
-    val cand = buckets.as("a").join(buckets.as("b"),
+                            nPlanes: Int = 6, nTables: Int = 8,
+                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val all = graft.similarity.Ann.signBuckets(emb, dim, nPlanes, nTables)
+      .select(col("vec_id"), col("table"), col("bucket"))
+    val smallEnough = all.groupBy("table", "bucket")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+      .select("table", "bucket")
+    val buckets = all.join(smallEnough, Seq("table", "bucket"), "left_semi")
+    val pairs = buckets.as("a").join(buckets.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      .dropDuplicates("v1", "v2")
-    cand.withColumn("cos",
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .distinct()
+    val vecs = emb.select(col("vec_id"), col("v"))
+    pairs
+      .join(vecs.as("ea"), col("v1") === col("ea.vec_id"))
+      .join(vecs.as("eb"), col("v2") === col("eb.vec_id"))
+      .withColumn("cos",
+        expr("aggregate(zip_with(ea.v, eb.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
       .filter(col("cos") >= tau)
       .select(col("v1"), col("v2"), col("cos"))
   }

@@ -73,7 +73,9 @@ object GridQueries2 {
     * `shr3d.cpp:420-432`): replace a cell with the neighborhood median
     * (quantile 0.5 over the sorted NON-VOID in-bounds 5x5 window, self
     * included, index min(floor(0.5*n), n-1) = n//2) only when it differs
-    * from the cell by more than the AGL threshold. Void cells stay void
+    * from the cell by more than the DZ threshold — the reference's
+    * active branch compares against `dz_short` (the `agl_short` variant
+    * at shr3d.cpp:418 is commented out there). Void cells stay void
     * (the reference's `ref &&` guard + skipVoids). */
   val q_minagl_filtered: QueryDef = QueryDef.sqlChecked(
     "q_minagl_filtered",
@@ -89,7 +91,7 @@ object GridQueries2 {
        |  list_sort(list(nv))[CAST(count(*) // 2 AS INT) + 1] AS qv
        |  FROM nb GROUP BY gx, gy, v)
        |SELECT gx, gy,
-       |  CAST(CASE WHEN abs(qv - v) > $AglRaw THEN qv ELSE v END AS INT) AS v
+       |  CAST(CASE WHEN abs(qv - v) > $DzRaw THEN qv ELSE v END AS INT) AS v
        |FROM agg ORDER BY gx, gy""".stripMargin) { (s, dir) =>
     val spec10 = Gridding.GridSpec(gsd = 10.0)
     val pts = Gridding.points(Geo.withGeo(Tables.documents(s, dir)), spec10)
@@ -100,7 +102,7 @@ object GridQueries2 {
       .groupBy("gx", "gy").agg(min("qz").as("v"))
     val (w, h) = Gridding.boundsFor(spec10)
     graft.stencil.TileStencil(magl,
-        graft.stencil.Kernels.QuantileFilter(2, 0.5, AglRaw.toInt),
+        graft.stencil.Kernels.QuantileFilter(2, 0.5, DzRaw.toInt),
         graft.stencil.TileStencil.Bounds(w, h), tileSize = 8)
       .orderBy(col("gx"), col("gy"))
   }

@@ -116,12 +116,27 @@ object Kernels {
 
   /** W12 spike removal (pubgeo `shr3d.cpp:975-994`): the cell is a spike
     * if min over the 8 non-void neighbors of max(0, me - ngbr) exceeds
-    * dz/2 — i.e. it pokes above ALL its neighbors. */
+    * dz/2 — i.e. it pokes above ALL its neighbors.
+    *
+    * Border parity with the reference: its neighbor indices are clamped
+    * per-axis (`MAX(0, MIN(dim-1, …))`), so every border cell aliases to
+    * itself (diff 0) and can NEVER be a spike — replicated here by
+    * keeping border cells unconditionally.
+    *
+    * Documented deviations from the C++ scan (also noted in
+    * ClassifyGround's determinism note): (1) the reference zeroes spikes
+    * in-place mid-scan, so a zeroed cell can cascade into its scan-order
+    * successors; this kernel evaluates all cells against the SAME input
+    * grid (deterministic, partitioning-independent — a sequential
+    * cascade has no parallel equivalent). (2) a non-void cell whose
+    * neighbors are ALL void keeps its value here, while the reference's
+    * raw diffs against 0 would spike it. */
   final case class SpikeFilter(dz: Int) extends Kernel {
     val radius = 1
     def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
       val me = get(x, y)
       if (me == 0) return 0
+      if (x == 0 || y == 0 || x == w - 1 || y == h - 1) return me
       var mn = Int.MaxValue
       foreachNeighbor(get, x, y, w, h, 1, skipCenter = true) { v =>
         if (v != 0) { val d = math.max(0, me - v); if (d < mn) mn = d }

@@ -27,29 +27,56 @@ object StreamOps {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
-  final case class Page(url: String, warc_ts: Long, th: String)
-  final case class Latest(url: String, warc_ts: Long, th: String)
+  /** `th` is the content hash as xxhash64 (signed Long) — the SAME
+    * encoding and ordering Flagship's batch `max_by` tie-break uses, so
+    * the streaming final state is equivalent to the batch dedup for any
+    * input, not just string-ordered hashes. */
+  final case class Page(url: String, warc_ts: Long, th: Long)
+  final case class Latest(url: String, warc_ts: Long, th: Long)
 
   /** Streaming latest-capture url-dedup (the flagship's J6 as a stream):
     * per url, keep the max (warc_ts, content-hash) seen so far and emit
     * the current winner on every update — OutputMode.Update gives the
     * Delta-style upsert stream; the final state equals the batch max_by
-    * aggregate (asserted in StreamingSpec). State is one (ts, hash) pair
-    * per live url — the same memory shape Kafka-compacted dedup keeps. */
-  def latestCapture(pages: Dataset[Page]): Dataset[Latest] = {
+    * aggregate (asserted in StreamingSpec).
+    *
+    * State bound: one (ts, hash) pair per url would otherwise be the
+    * whole 10^12-key space. A watermark on warc_ts (`evictAfter` delay)
+    * plus EventTimeTimeout evicts a url's state once the watermark
+    * passes its last capture + `evictAfter`. The watermark also drops
+    * late input older than itself, so eviction never changes an answer
+    * the operator would still accept: any re-capture young enough to
+    * pass the watermark re-seeds state and wins exactly as the batch
+    * aggregate over the retained horizon would. State is therefore
+    * bounded by the urls captured within one eviction window. */
+  def latestCapture(pages: Dataset[Page],
+                    evictAfter: String = "7 days"): Dataset[Latest] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages.groupByKey(_.url)
-      .mapGroupsWithState[Latest, Latest](GroupStateTimeout.NoTimeout) {
+    pages
+      .withColumn("ets", col("warc_ts").cast("timestamp"))
+      .withWatermark("ets", evictAfter)
+      .as[Page]
+      .groupByKey(_.url)
+      .flatMapGroupsWithState[Latest, Latest](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (url: String, ps: Iterator[Page], state: GroupState[Latest]) =>
-          val incoming = ps.map(p => (p.warc_ts, p.th)).reduce((a, b) =>
-            if (a._1 > b._1 || (a._1 == b._1 && a._2 >= b._2)) a else b)
-          val best = state.getOption
-            .filter(cur => cur.warc_ts > incoming._1 ||
-              (cur.warc_ts == incoming._1 && cur.th >= incoming._2))
-            .getOrElse(Latest(url, incoming._1, incoming._2))
-          state.update(best)
-          best
+          if (!ps.hasNext) { // timeout fired: watermark passed last capture + TTL
+            state.remove()
+            Iterator.empty
+          } else {
+            val incoming = ps.map(p => (p.warc_ts, p.th)).reduce((a, b) =>
+              if (a._1 > b._1 || (a._1 == b._1 && a._2 >= b._2)) a else b)
+            val best = state.getOption
+              .filter(cur => cur.warc_ts > incoming._1 ||
+                (cur.warc_ts == incoming._1 && cur.th >= incoming._2))
+              .getOrElse(Latest(url, incoming._1, incoming._2))
+            state.update(best)
+            // input passed the watermark filter, so best.ts*1000 >= wm and
+            // the timeout is always in the watermark's future
+            state.setTimeoutTimestamp(best.warc_ts * 1000L, evictAfter)
+            Iterator.single(best)
+          }
       }
   }
 

@@ -143,6 +143,48 @@ class DedupSpec extends SparkSpec {
     assert(found >= 8, s"only $found/10 planted near-dups recalled")
   }
 
+  test("embedding near-dup: degenerate corpus is capped, planted dups survive") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    def unit(seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(dim)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    def perturb(v: Array[Double], eps: Double): Array[Double] = {
+      val w = v.map(_ + rnd.nextGaussian() * eps)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      w.map(_ / n)
+    }
+    // 90%-degenerate corpus: 180 copies of ONE embedding (every table's
+    // bucket holds all 180 -> 16,110 quadratic pairs per table if
+    // uncapped), plus 10 base vectors and 10 planted near-dups of them
+    val boiler = unit(999).toSeq
+    val degenerate = (0 until 180).map(i => (i.toLong, boiler))
+    val base = (0 until 10).map(i => (1000L + i, unit(i).toSeq))
+    val dups = (0 until 10).map(i =>
+      (2000L + i, perturb(base(i)._2.toArray, 0.02).toSeq))
+    val emb = (degenerate ++ base ++ dups).toDF("vec_id", "v").localCheckpoint()
+
+    val dropped = Dedup.oversizedEmbeddingBuckets(emb, dim,
+      nPlanes = 4, nTables = 12, maxBucket = 50).collect()
+    assert(dropped.nonEmpty && dropped.forall(_.getLong(2) >= 180L),
+      "the degenerate buckets must be reported as dropped")
+
+    val pairs = Dedup.embeddingNearDupPairs(emb, tau = 0.95, dim = dim,
+      nPlanes = 4, nTables = 12, maxBucket = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bounded: the 180-copy cluster contributes zero pairs
+    assert(!pairs.exists(p => p._1 < 180 && p._2 < 180),
+      "degenerate bucket leaked quadratic pairs")
+    assert(pairs.size < 100, s"candidate set not bounded: ${pairs.size}")
+    // planted near-dups still pair through their (small) buckets
+    val found = (0 until 10).count(i => pairs((1000L + i, 2000L + i)))
+    assert(found >= 8, s"only $found/10 planted near-dups survived the cap")
+  }
+
   test("ivf topk: deterministic, decent recall, bounded probe fraction") {
     val e = Ann.withVec(Tables.embeddings(spark, sfSmoke))
     val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))

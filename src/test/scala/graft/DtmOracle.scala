@@ -204,10 +204,12 @@ object DtmOracle {
     }
     dtm = dtm ++ restoredPts.map(p => p -> solidDsm(p))
     voidMask --= restoredPts
-    // W12 spikes (engine SpikeFilter semantics: in-bounds non-void nbrs)
+    // W12 spikes (engine SpikeFilter semantics: in-bounds non-void nbrs;
+    // border cells self-alias in the reference's clamped loop and are
+    // never spiked)
     val spikes = dtm.keySet.filter { case (x, y) =>
       val me = dtm((x, y))
-      me != 0 && {
+      me != 0 && x != 0 && y != 0 && x != w - 1 && y != h - 1 && {
         val diffs = for {
           dx <- -1 to 1; dy <- -1 to 1; if dx != 0 || dy != 0
           nx = x + dx; ny = y + dy

@@ -27,27 +27,66 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("streaming latest-capture dedup final state == batch max_by") {
+  test("streaming latest-capture dedup == batch max_by, state evicted by watermark") {
     import spark.implicits._
-    // multi-capture synthetic pages: 40 urls x up to 5 captures
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // multi-capture synthetic pages: 40 urls x up to 5 captures,
+    // delivered over two micro-batches (captures split arbitrarily)
     val rnd = new scala.util.Random(9)
     val pages = (for {
       u <- 0 until 40
-      c <- 0 to rnd.nextInt(5)
+      _ <- 0 to rnd.nextInt(5)
     } yield StreamOps.Page(s"http://site$u/p", 1000L + rnd.nextInt(500),
-      f"h${rnd.nextInt(1000)}%04d")).toDS()
-    // batch ground truth: the flagship's max_by over (warc_ts, th)
-    val want = pages.toDF()
-      .groupBy("url")
-      .agg(max(struct(col("warc_ts"), col("th"))).as("m"))
-      .select(col("url"), col("m.warc_ts"), col("m.th"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
-    // streaming path (batch-driven: mapGroupsWithState sees each url
-    // group once here; StreamingSpec's file-source pattern covers the
-    // incremental wiring for the other ops)
-    val got = StreamOps.latestCapture(pages).collect()
-      .map(l => (l.url, l.warc_ts, l.th)).toSet
-    assert(got == want)
+      rnd.nextInt(1000).toLong - 500L)).toVector
+    val (b1, b2) = pages.splitAt(pages.size / 2)
+
+    val input = MemoryStream[StreamOps.Page]
+    val out = StreamOps.latestCapture(input.toDS(), evictAfter = "600 seconds")
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("lc_out").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+
+      // per url, the emissions are a running max — their max equals the
+      // batch max_by over (warc_ts, th) with th a SIGNED LONG (xxhash64
+      // encoding), same tie-break as the flagship
+      val want = pages.toDF("url", "warc_ts", "th")
+        .groupBy("url")
+        .agg(max(struct(col("warc_ts"), col("th"))).as("m"))
+        .select(col("url"), col("m.warc_ts"), col("m.th"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val got = spark.sql(
+        """SELECT url, m.warc_ts, m.th FROM (
+          |  SELECT url, max(struct(warc_ts, th)) AS m FROM lc_out GROUP BY url
+          |)""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want)
+
+      val stateAfterLoad =
+        q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateAfterLoad == 40L, s"expected 40 live urls, got $stateAfterLoad")
+
+      // advance the event-time watermark far past every capture + TTL:
+      // all 40 urls must be evicted from state (plus the new one lives)
+      input.addData(StreamOps.Page("http://late/trigger", 100000L, 0L))
+      q.processAllAvailable()
+      input.addData(StreamOps.Page("http://late/trigger2", 100001L, 0L))
+      q.processAllAvailable()
+      val stateAfterEvict =
+        q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateAfterEvict <= 2L,
+        s"watermark eviction left $stateAfterEvict state rows")
+
+      // a re-capture older than the watermark is dropped as late input:
+      // no emission with the stale timestamp ever appears
+      input.addData(StreamOps.Page("http://site0/p", 900L, 999L))
+      q.processAllAvailable()
+      val stale = spark.sql(
+        "SELECT count(*) FROM lc_out WHERE warc_ts = 900").head().getLong(0)
+      assert(stale == 0L, "late re-capture leaked past the watermark")
+    } finally q.stop()
   }
 
   test("stateful sessionization matches the batch window query") {
