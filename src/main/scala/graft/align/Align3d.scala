@@ -37,7 +37,44 @@ object Align3d {
 
   final case class Config(
       gsd: Double = 1.0, maxT: Double = 10.0, maxDzMeters: Double = 2.0,
-      numSamples: Int = 10000, sampleFactor: Int = 10, seed: Long = 0L)
+      numSamples: Int = 10000, sampleFactor: Int = 10, seed: Long = 0L,
+      /** true (default) = the reference's full 2D Newton peak step with
+        * the dxy cross term and no clamping (`align3d.cpp:168-184`);
+        * false = the legacy separable per-axis step that bails on
+        * non-convex curvature and clamps to ±0.5 (robust to degenerate
+        * fits, not reference-parity on tilted RMS surfaces). */
+      newtonInterp: Boolean = true)
+
+  /** Reference-exact 3x3 Newton peak localization
+    * (`align3d.cpp:168-184`): gradient + full Hessian including the dxy
+    * cross term, sub-cell shift = -H⁻¹g, NO clamp and NO convexity
+    * check — the only guard is det != 0, exactly as the C++. `f` must
+    * return the RMS at the 3x3 neighborhood of the argmin cell, with
+    * offsets whose computeRMS failed contributing 0.0 (the reference's
+    * rmsArray stays zero-initialized there). Double precision where the
+    * reference uses float — same formula, tighter arithmetic. */
+  def newtonPeak(f: (Int, Int) => Double): (Double, Double) = {
+    val gx = (f(1, 0) - f(-1, 0)) / 2.0
+    val gy = (f(0, 1) - f(0, -1)) / 2.0
+    val dxx = f(1, 0) + f(-1, 0) - 2.0 * f(0, 0)
+    val dyy = f(0, 1) + f(0, -1) - 2.0 * f(0, 0)
+    val dxy = (f(1, 1) - f(1, -1) - f(-1, 1) + f(-1, -1)) / 4.0
+    val det = dxx * dyy - dxy * dxy
+    if (det == 0.0) (0.0, 0.0)
+    else (-(dyy * gx - dxy * gy) / det, -(dxx * gy - dxy * gx) / det)
+  }
+
+  /** Legacy separable peak step (config `newtonInterp = false`): per-axis
+    * quadratic, bails on non-convex curvature, clamps to ±0.5. */
+  def clampedPeak(f: (Int, Int) => Double): (Double, Double) = {
+    def clamp(v: Double): Double = math.max(-0.5, math.min(0.5, v))
+    val dxx = f(1, 0) - 2 * f(0, 0) + f(-1, 0)
+    val dyy = f(0, 1) - 2 * f(0, 0) + f(0, -1)
+    val dx1 = (f(1, 0) - f(-1, 0)) / 2.0
+    val dy1 = (f(0, 1) - f(0, -1)) / 2.0
+    if (dxx <= 0.0 || dyy <= 0.0) (0.0, 0.0)
+    else (clamp(-dx1 / dxx), clamp(-dy1 / dyy))
+  }
 
   final case class GridRef(x0: Double, y0: Double, gsd: Double, w: Int, h: Int)
 
@@ -67,11 +104,17 @@ object Align3d {
       (math.ceil((y1 - math.floor(y0)) / cfg.gsd) + 2).toInt)
   }
 
-  /** Full alignment: returns the result and the shifted target points. */
-  def run(spark: SparkSession, refPts: DataFrame, tgtPts: DataFrame,
-          cfg: Config = Config()): (Result, DataFrame) = {
-    import spark.implicits._
+  /** The staged inputs of the offset search: both DSMs on the shared
+    * grid, the seeded sample list, and the offset lattice. */
+  final case class Staged(refDsm: DataFrame, tgtDsm: DataFrame,
+                          samples: DataFrame, offsets: DataFrame)
 
+  /** Steps 1-3: grids, overlap, driver-side seeded samples, offsets.
+    * Exposed so the per-offset stats can be oracle-checked end to end
+    * (the staged tables are plain parquet-writable cell tables). */
+  def stage(spark: SparkSession, refPts: DataFrame, tgtPts: DataFrame,
+            cfg: Config = Config()): Staged = {
+    import spark.implicits._
     val grid = gridFor(refPts, cfg)
     val refDsm = prepGrid(refPts, grid, cfg).withColumnRenamed("v", "rv")
       .persist()
@@ -101,13 +144,19 @@ object Align3d {
     val maxSteps = math.ceil(cfg.maxT / cfg.gsd).toInt
     val offsets = (for (dy <- -maxSteps to maxSteps; dx <- -maxSteps to maxSteps)
       yield (dx, dy)).toDF("odx", "ody")
+    Staged(refDsm, tgtDsm, sampleDf, offsets)
+  }
 
-    // probe both grids
-    val refProbe = sampleDf.join(refDsm,
+  /** Steps 4-5 (L4 + A9): probe both grids per (offset, sample), keep
+    * the first numSamples valid probes in sample order, and reduce to
+    * the per-offset stats table (odx, ody, n, med, rms, complete).
+    * SQL-expressible — oracle-checked bit-exactly by q_align_rms. */
+  def offsetStats(st: Staged, cfg: Config): DataFrame = {
+    val refProbe = st.samples.join(st.refDsm,
       col("sgx") === col("gx") && col("sgy") === col("gy"))
       .select(col("sid"), col("sgx"), col("sgy"), col("rv"))
-    val probes = refProbe.crossJoin(broadcast(offsets))
-      .join(tgtDsm,
+    val probes = refProbe.crossJoin(broadcast(st.offsets))
+      .join(st.tgtDsm,
         col("gx") === col("sgx") + col("odx") && col("gy") === col("sgy") + col("ody"))
       .select(col("odx"), col("ody"), col("sid"), (col("rv") - col("tv")).as("diff"))
 
@@ -123,7 +172,7 @@ object Align3d {
     // probes can never win the argmin; completeness is likewise
     // normalized by numSamples, not by the probe count.
     val oneMeterRaw = math.floor(1.0 / Quant.Scale)
-    val perOffset = capped.groupBy(col("odx"), col("ody"))
+    capped.groupBy(col("odx"), col("ody"))
       .agg(sort_array(collect_list(col("diff"))).as("arr"), count(lit(1)).as("n"))
       .filter(col("n") >= cfg.numSamples)
       .withColumn("med", element_at(col("arr"), (floor(col("n") / 2) + 1).cast("int")))
@@ -135,9 +184,17 @@ object Align3d {
           / lit(cfg.numSamples.toDouble))
       .select(col("odx"), col("ody"), col("n"), col("med").cast("long").as("med"),
         col("rms").cast("long").as("rms"), col("complete"))
+  }
+
+  /** Full alignment: returns the result and the shifted target points. */
+  def run(spark: SparkSession, refPts: DataFrame, tgtPts: DataFrame,
+          cfg: Config = Config()): (Result, DataFrame) = {
+    val st = stage(spark, refPts, tgtPts, cfg)
+    val maxSteps = math.ceil(cfg.maxT / cfg.gsd).toInt
+    val perOffset = offsetStats(st, cfg)
 
     val rows = perOffset.collect()
-    refDsm.unpersist(); tgtDsm.unpersist()
+    st.refDsm.unpersist(); st.tgtDsm.unpersist()
     require(rows.nonEmpty,
       s"no offset collected >= ${cfg.numSamples} valid probes")
 
@@ -149,27 +206,23 @@ object Align3d {
     val (bdx, bdy) = (best.getInt(0), best.getInt(1))
     val rmsAt = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(4)).toMap
 
-    // 3x3 quadratic peak interpolation — a deliberate re-spec of the
-    // reference's full 2D Newton step (`align3d.cpp:168-199`, which
-    // solves the quadratic with the dxy cross term and no clamping):
-    // this version is separable per-axis, bails out on non-convex
-    // curvature (dxx/dyy <= 0), and clamps the sub-cell shift to ±0.5,
-    // trading exact parity on tilted RMS surfaces for robustness to
-    // degenerate fits. The integer argmin cell is identical either way.
-    def interp: (Double, Double) = {
-      val need = for (dy <- -1 to 1; dx <- -1 to 1) yield (bdx + dx, bdy + dy)
-      if (math.abs(bdx) == maxSteps || math.abs(bdy) == maxSteps ||
-        !need.forall(rmsAt.contains)) return (0.0, 0.0)
-      def f(dx: Int, dy: Int): Double = rmsAt((bdx + dx, bdy + dy)).toDouble
-      val dxx = f(1, 0) - 2 * f(0, 0) + f(-1, 0)
-      val dyy = f(0, 1) - 2 * f(0, 0) + f(0, -1)
-      val dx1 = (f(1, 0) - f(-1, 0)) / 2.0
-      val dy1 = (f(0, 1) - f(0, -1)) / 2.0
-      if (dxx <= 0.0 || dyy <= 0.0) (0.0, 0.0)
-      else (clamp(-dx1 / dxx), clamp(-dy1 / dyy))
+    // 3x3 peak interpolation, only when the argmin is interior to the
+    // offset lattice (the reference's `besti/bestj in (0, bins-1)`
+    // guard). Default: the reference-exact Newton step (newtonPeak) —
+    // offsets whose computeRMS gate failed contribute 0.0 exactly as
+    // the reference's zero-initialized rmsArray does. The legacy
+    // clamped separable step additionally requires all 9 neighbors to
+    // have passed the gate.
+    val (sx, sy) = {
+      if (math.abs(bdx) == maxSteps || math.abs(bdy) == maxSteps) (0.0, 0.0)
+      else if (cfg.newtonInterp)
+        newtonPeak((dx, dy) => rmsAt.getOrElse((bdx + dx, bdy + dy), 0L).toDouble)
+      else {
+        val need = for (dy <- -1 to 1; dx <- -1 to 1) yield (bdx + dx, bdy + dy)
+        if (!need.forall(rmsAt.contains)) (0.0, 0.0)
+        else clampedPeak((dx, dy) => rmsAt((bdx + dx, bdy + dy)).toDouble)
+      }
     }
-    def clamp(v: Double): Double = math.max(-0.5, math.min(0.5, v))
-    val (sx, sy) = interp
 
     val tx = -(bdx + sx) * cfg.gsd
     val ty = -(bdy + sy) * cfg.gsd

@@ -241,6 +241,56 @@ object Shr3d {
     /** Outline polygons (V1-V3) of the building components. */
     lazy val outlines: DataFrame =
       Vectorize.outlines(buildingLabels, minArea = 0.25)
+
+    /** INT product (createIntensity, shr3d.cpp:319-368): per cell, the
+      * mean point intensity over splatted points whose z is within dz of
+      * the cell's DSM, scaled to u16 by the global max mean, then the
+      * trailing small-void fill (`intImage.fillVoidsPyramid(true, 2)`,
+      * shr3d.cpp:368). Requires `pts` to carry an `intensity` column
+      * (the reference's pset.i).
+      *
+      * Documented re-spec: the reference tracks max_i over its
+      * scan-order RUNNING means (order-dependent); this product scales
+      * by the max FINAL mean — deterministic and partition-independent.
+      * Computed against the despiked/filled DSM product like the
+      * reference's getDSM(), at the build quantization. */
+    lazy val intensity: DataFrame = {
+      require(pts.columns.contains("intensity"),
+        "intensity product needs an 'intensity' column on the input points")
+      val buildDzRaw = math.max(1, math.floor(cfg.dzMeters / Quant.Scale).toInt)
+      val sp = Gridding.splat2x2(gridded)
+        .select(col("gx"), col("gy"), col("qz"), col("intensity"))
+      val acc = sp
+        .join(dsmStd.withColumnRenamed("v", "dv"), Seq("gx", "gy"))
+        .filter(abs(col("qz") - col("dv")) < buildDzRaw)
+        .groupBy("gx", "gy")
+        .agg(sum("intensity").as("s"), count(lit(1)).as("c"))
+      val mx = acc.agg(max(col("s") / col("c")).as("m"))
+      val scaled = acc.crossJoin(broadcast(mx))
+        .select(col("gx"), col("gy"),
+          floor(lit(65535.0) / col("m") * (col("s") / col("c"))).cast("int").as("v"))
+      FillVoids(scaled, bounds, noSmoothing = true, maxLevel = 2).localCheckpoint()
+    }
+
+    /** MINAGL product (createMinAGL, shr3d.cpp:372-434): per cell, the
+      * min splatted z strictly above DTM + agl (only where the DTM is
+      * non-void), then the W11 r=2 median filter that replaces a cell
+      * when the neighborhood median differs by more than dz (the
+      * reference's active `dz_short` branch). The trailing
+      * fillVoidsPyramid is commented out in the reference
+      * (shr3d.cpp:434) and is likewise omitted here. */
+    lazy val minAgl: DataFrame = {
+      val sp = Gridding.splat2x2(gridded).select(col("gx"), col("gy"),
+        (if (cfg.dtm0.isEmpty) col("qz")
+         else Quant.adjustScale(col("qz"), stdFit, activeFit)).cast("long").as("qz"))
+      val withDtm = sp.join(
+        dtm.select(col("gx"), col("gy"), col("v").as("dtmV")), Seq("gx", "gy"))
+      val raw = withDtm
+        .filter(col("qz") > col("dtmV") + aglRaw)
+        .groupBy("gx", "gy").agg(min("qz").cast("int").as("v"))
+      TileStencil(raw, Kernels.QuantileFilter(2, 0.5, dzRaw), bounds, cfg.tileSize)
+        .localCheckpoint()
+    }
   }
 
   def run(spark: SparkSession, pts: DataFrame, cfg: Config = Config()): Products =

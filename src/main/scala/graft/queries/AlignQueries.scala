@@ -4,29 +4,84 @@ import graft.align.Align3d
 import graft.core.{Geo, Tables}
 import org.apache.spark.sql.functions._
 
-/** ALIGN3D as a driver-visible query: the geocoded doc points are the
+/** ALIGN3D as driver-visible queries: the geocoded doc points are the
   * reference; the target is the same cloud with a known injected shift.
-  * Output is one row with the recovered translation (rows-only check —
-  * the full offset-search semantics are covered by AlignSpec; the result
-  * is deterministic by construction). */
+  *
+  * - q_align_offset: the end-to-end result row (rows-only — the argmin
+  *   + Newton interpolation are driver-side scalars).
+  * - q_align_rms: the per-offset stats table (odx, ody, n, med, rms,
+  *   complete) — the L4 walk-until-valid cap, A9 median + robust RMS,
+  *   and J2/J7 probe joins, BIT-EXACTLY oracle-checked: the staged DSMs
+  *   and the seeded sample list are dumped to parquet side-tables that
+  *   the DuckDB dual replays with row_number + list_sort.
+  */
 object AlignQueries {
 
-  val q_align_offset: QueryDef = QueryDef.rowsOnly("q_align_offset") { (s, dir) =>
-    import s.implicits._
+  private val cfg = Align3d.Config(gsd = 120.0, maxT = 360.0, numSamples = 2000,
+    maxDzMeters = 25.0)
+
+  private def clouds(s: org.apache.spark.sql.SparkSession, dir: String) = {
     // local metric-ish frame from a dense doc subregion
     val pts = Geo.withGeo(Tables.documents(s, dir))
       .select((col("lon") * 10.0).as("x"), (col("lat") * 10.0).as("y"), col("z"))
     // inject exactly (+2, -1) grid cells and +0.5 m
     val tgt = pts.select((col("x") + 240.0).as("x"), (col("y") - 120.0).as("y"),
       (col("z") + 0.5).as("z"))
-    // doc z is high-variance (not smooth terrain): open up the edge
-    // filter so the DSMs keep their cells
-    val cfg = Align3d.Config(gsd = 120.0, maxT = 360.0, numSamples = 2000,
-      maxDzMeters = 25.0)
+    (pts, tgt)
+  }
+
+  val q_align_offset: QueryDef = QueryDef.rowsOnly("q_align_offset") { (s, dir) =>
+    import s.implicits._
+    val (pts, tgt) = clouds(s, dir)
     val (res, _) = Align3d.run(s, pts, tgt, cfg)
     Seq((res.tx, res.ty, res.tz, res.rmsMeters, res.completeness, res.nValid))
       .toDF("tx", "ty", "tz", "rms_m", "completeness", "n_valid")
   }
 
-  val all: Seq[QueryDef] = Seq(q_align_offset)
+  /** Fixed side-table root the oracle SQL reads back (the engine query
+    * overwrites it on every run, before the oracle executes). */
+  final val SideRoot = "/tmp/graft_align_side"
+
+  val q_align_rms: QueryDef = {
+    val maxSteps = math.ceil(cfg.maxT / cfg.gsd).toInt // 3 -> 7x7 offsets
+    val n = cfg.numSamples
+    val oneMeterRaw = math.floor(1.0 / graft.core.Quant.Scale)
+    QueryDef.sqlChecked(
+      "q_align_rms",
+      s"""WITH ref AS (SELECT * FROM '$SideRoot/ref_dsm/*.parquet'),
+         |tgt AS (SELECT * FROM '$SideRoot/tgt_dsm/*.parquet'),
+         |smp AS (SELECT * FROM '$SideRoot/samples/*.parquet'),
+         |offs AS (SELECT x.range AS odx, y.range AS ody
+         |  FROM range(${-maxSteps}, ${maxSteps + 1}) x,
+         |       range(${-maxSteps}, ${maxSteps + 1}) y),
+         |probe AS (SELECT o.odx, o.ody, s.sid, r.rv - t.tv AS diff
+         |  FROM smp s
+         |  JOIN ref r ON r.gx = s.sgx AND r.gy = s.sgy
+         |  CROSS JOIN offs o
+         |  JOIN tgt t ON t.gx = s.sgx + o.odx AND t.gy = s.sgy + o.ody),
+         |capped AS (SELECT odx, ody, diff,
+         |    row_number() OVER (PARTITION BY odx, ody ORDER BY sid) AS rn
+         |  FROM probe),
+         |g AS (SELECT odx, ody, list_sort(list(diff)) AS arr, count(*) AS n
+         |  FROM capped WHERE rn <= $n GROUP BY odx, ody
+         |  HAVING count(*) >= $n),
+         |m AS (SELECT odx, ody, n, arr,
+         |  arr[CAST(floor(n / 2) AS INT) + 1] AS med FROM g),
+         |d AS (SELECT odx, ody, n, med,
+         |  list_sort(list_transform(arr, x -> abs(x - med))) AS dev FROM m)
+         |SELECT odx, ody, n, CAST(med AS BIGINT) AS med,
+         |  CAST(dev[CAST(floor(n * 0.67) AS INT) + 1] AS BIGINT) AS rms,
+         |  CAST(len(list_filter(dev, x -> x < $oneMeterRaw)) AS DOUBLE)
+         |    / ${n.toDouble} AS complete
+         |FROM d ORDER BY odx, ody""".stripMargin) { (s, dir) =>
+      val (pts, tgt) = clouds(s, dir)
+      val st = Align3d.stage(s, pts, tgt, cfg)
+      st.refDsm.write.mode("overwrite").parquet(s"$SideRoot/ref_dsm")
+      st.tgtDsm.write.mode("overwrite").parquet(s"$SideRoot/tgt_dsm")
+      st.samples.write.mode("overwrite").parquet(s"$SideRoot/samples")
+      Align3d.offsetStats(st, cfg).orderBy(col("odx"), col("ody"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q_align_offset, q_align_rms)
 }

@@ -17,34 +17,74 @@ object GridQueries2 {
   private def docsPts(s: org.apache.spark.sql.SparkSession, dir: String) =
     Gridding.points(Geo.withGeo(Tables.documents(s, dir)))
 
-  /** A2 intensity mean-grid (pubgeo `shr3d.cpp:319-370`): per cell,
+  /** A2 intensity mean-grid (pubgeo `shr3d.cpp:319-368`): per cell,
     * mean n_chars over splatted points whose qz is within dz of the
-    * cell's DSM; scaled to u16 by the global max mean. */
-  val q_intensity_grid: QueryDef = QueryDef.sqlChecked(
-    "q_intensity_grid",
-    s"""WITH ${Gridding.splatCte},
-       |doc AS (SELECT doc_id, n_chars FROM documents),
-       |sp AS (SELECT s.gx, s.gy, s.qz, d.n_chars FROM splat s JOIN doc d USING (doc_id)),
-       |dsm AS (SELECT gx, gy, max(qz) AS dv FROM splat GROUP BY gx, gy),
-       |acc AS (SELECT sp.gx, sp.gy, sum(sp.n_chars) AS s, count(*) AS c
-       |  FROM sp JOIN dsm ON sp.gx = dsm.gx AND sp.gy = dsm.gy
-       |  WHERE abs(sp.qz - dsm.dv) < $DzRaw GROUP BY sp.gx, sp.gy),
-       |mx AS (SELECT max(s / c) AS m FROM acc)
-       |SELECT gx, gy,
-       |  CAST(floor(65535.0 / mx.m * (s / c)) AS BIGINT) AS v
-       |FROM acc CROSS JOIN mx ORDER BY gx, gy""".stripMargin) { (s, dir) =>
-    val pts = docsPts(s, dir)
-    val sp = Gridding.splat2x2(pts).select("gx", "gy", "qz", "n_chars")
-    val dsm = Gridding.dsm(pts).withColumnRenamed("v", "dv")
-    val acc = sp.join(dsm, Seq("gx", "gy"))
-      .filter(abs(col("qz") - col("dv")) < DzRaw)
-      .groupBy("gx", "gy")
-      .agg(sum("n_chars").as("s"), count(lit(1)).as("c"))
-    val mx = acc.agg(max(col("s") / col("c")).as("m"))
-    acc.crossJoin(broadcast(mx))
-      .select(col("gx"), col("gy"),
-        floor(lit(65535.0) / col("m") * (col("s") / col("c"))).cast("long").as("v"))
-      .orderBy(col("gx"), col("gy"))
+    * cell's DSM; scaled to u16 by the global max mean; then
+    * createIntensity's trailing `fillVoidsPyramid(true, 2)`
+    * (shr3d.cpp:368) — a 2-level noSmoothing pyramid where each lattice
+    * hole takes its (filled) parent's mean, unrolled into a static CTE
+    * chain in the DuckDB dual like q_fill_pyramid's. */
+  val q_intensity_grid: QueryDef = {
+    val (w0, h0) = Gridding.boundsFor(Gridding.WorldGrid)
+    val dims = Seq((w0, h0), (w0 / 2, h0 / 2), (w0 / 4, h0 / 4))
+    def coarsenCte(src: String, out: String, k: Int): String = {
+      val (cw, ch) = dims(k)
+      s"""$out AS (SELECT j AS gx, i AS gy,
+         |  CAST(floor(sum(v) / count(*)) AS INT) AS v FROM (
+         |    SELECT gx, gy, v, (gx - 1) // 2 AS j, (gy - 1) // 2 AS i FROM $src
+         |    UNION SELECT gx, gy, v, (gx - 1) // 2, gy // 2 FROM $src
+         |    UNION SELECT gx, gy, v, gx // 2, (gy - 1) // 2 FROM $src
+         |    UNION SELECT gx, gy, v, gx // 2, gy // 2 FROM $src)
+         |  WHERE j >= 0 AND j < $cw AND i >= 0 AND i < $ch
+         |  GROUP BY j, i)""".stripMargin
+    }
+    // noSmoothing fill: a hole takes its single FILLED parent's value
+    def fillCte(src: String, parent: String, out: String, k: Int): String = {
+      val (lw, lh) = dims(k)
+      s"""$out AS (
+         |  SELECT gx, gy, v FROM $src
+         |  UNION ALL
+         |  SELECT l.gx, l.gy, p.v
+         |  FROM (SELECT x.range AS gx, y.range AS gy
+         |        FROM range(0, $lw) x, range(0, $lh) y) l
+         |  LEFT JOIN $src s ON s.gx = l.gx AND s.gy = l.gy
+         |  JOIN $parent p ON p.gx = l.gx // 2 AND p.gy = l.gy // 2
+         |  WHERE s.v IS NULL)""".stripMargin
+    }
+    QueryDef.sqlChecked(
+      "q_intensity_grid",
+      s"""WITH ${Gridding.splatCte},
+         |doc AS (SELECT doc_id, n_chars FROM documents),
+         |sp AS (SELECT s.gx, s.gy, s.qz, d.n_chars FROM splat s JOIN doc d USING (doc_id)),
+         |dsm AS (SELECT gx, gy, max(qz) AS dv FROM splat GROUP BY gx, gy),
+         |acc AS (SELECT sp.gx, sp.gy, sum(sp.n_chars) AS s, count(*) AS c
+         |  FROM sp JOIN dsm ON sp.gx = dsm.gx AND sp.gy = dsm.gy
+         |  WHERE abs(sp.qz - dsm.dv) < $DzRaw GROUP BY sp.gx, sp.gy),
+         |mx AS (SELECT max(s / c) AS m FROM acc),
+         |g0 AS (SELECT gx, gy,
+         |  CAST(floor(65535.0 / mx.m * (s / c)) AS INT) AS v
+         |  FROM acc CROSS JOIN mx),
+         |${coarsenCte("g0", "g1", 1)},
+         |${coarsenCte("g1", "g2", 2)},
+         |${fillCte("g1", "g2", "f1", 1)},
+         |${fillCte("g0", "f1", "f0", 0)}
+         |SELECT gx, gy, CAST(v AS BIGINT) AS v FROM f0 ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+      val pts = docsPts(s, dir)
+      val sp = Gridding.splat2x2(pts).select("gx", "gy", "qz", "n_chars")
+      val dsm = Gridding.dsm(pts).withColumnRenamed("v", "dv")
+      val acc = sp.join(dsm, Seq("gx", "gy"))
+        .filter(abs(col("qz") - col("dv")) < DzRaw)
+        .groupBy("gx", "gy")
+        .agg(sum("n_chars").as("s"), count(lit(1)).as("c"))
+      val mx = acc.agg(max(col("s") / col("c")).as("m"))
+      val scaled = acc.crossJoin(broadcast(mx))
+        .select(col("gx"), col("gy"),
+          floor(lit(65535.0) / col("m") * (col("s") / col("c"))).cast("int").as("v"))
+      graft.pyramid.FillVoids(scaled,
+          graft.stencil.TileStencil.Bounds(w0, h0), noSmoothing = true, maxLevel = 2)
+        .select(col("gx"), col("gy"), col("v").cast("long").as("v"))
+        .orderBy(col("gx"), col("gy"))
+    }
   }
 
   /** A3 minAGL grid (pubgeo `shr3d.cpp:372-415`): per-cell min of qz

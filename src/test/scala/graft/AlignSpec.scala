@@ -90,6 +90,64 @@ class AlignSpec extends SparkSpec {
     assert(after == before, s"recomputed passes: $before -> $after")
   }
 
+  test("newton peak step: dense oracle on a tilted RMS quadratic") {
+    // exact quadratic with a CROSS TERM (a tilted bowl): the Newton step
+    // with dxy must recover the true minimum from the 3x3 samples alone;
+    // the separable clamped step cannot (it ignores dxy).
+    val (px, py) = (0.3, -0.2)
+    val (a, b, c) = (2.0, 3.0, 1.5) // positive-definite: a*b > (c/2)^2... c^2/4
+    def f(dx: Int, dy: Int): Double = {
+      val x = dx - px; val y = dy - py
+      a * x * x + b * y * y + c * x * y + 7.0
+    }
+    val (nx, ny) = Align3d.newtonPeak(f)
+    assert(math.abs(nx - px) < 1e-12 && math.abs(ny - py) < 1e-12,
+      s"newton got ($nx, $ny), want ($px, $py)")
+    // hand-computed dense oracle: on an exact quadratic the central
+    // differences recover the true gradient at the center and the true
+    // Hessian (2a, 2b, c), so the closed-form Newton solution is exact
+    val gx = (f(1, 0) - f(-1, 0)) / 2.0
+    val gy = (f(0, 1) - f(0, -1)) / 2.0
+    assert(math.abs(gx - (2 * a * (-px) + c * (-py))) < 1e-12)
+    assert(math.abs(gy - (2 * b * (-py) + c * (-px))) < 1e-12)
+    val det = (2 * a) * (2 * b) - c * c
+    val wantX = -((2 * b) * gx - c * gy) / det
+    val wantY = -((2 * a) * gy - c * gx) / det
+    assert(math.abs(nx - wantX) < 1e-12 && math.abs(ny - wantY) < 1e-12)
+
+    // the separable step on the same surface misses the true peak by the
+    // cross-term coupling (and clamps): documents why newton is default
+    val (sx2, sy2) = Align3d.clampedPeak(f)
+    assert(math.abs(sx2 - px) > 0.01 || math.abs(sy2 - py) > 0.01,
+      "separable step unexpectedly matched the cross-term peak")
+
+    // degenerate surface (det == 0): newton must bail to (0,0) like the
+    // reference's `det != 0` guard
+    val (zx, zy) = Align3d.newtonPeak((dx, dy) => dx.toDouble) // linear: H = 0
+    assert(zx == 0.0 && zy == 0.0)
+  }
+
+  test("align with injected sub-cell shift: newton beats the clamped step") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val pts = (for (_ <- 0 until 8000) yield {
+      val x = rnd.nextDouble() * 60.0; val y = rnd.nextDouble() * 60.0
+      // curvature in BOTH axes with a diagonal component so the RMS
+      // surface near the peak is genuinely tilted
+      (x, y, 3.0 * math.sin(x * 0.4 + y * 0.2) + 2.0 * math.cos(y * 0.35 - x * 0.15))
+    }).toDF("x", "y", "z")
+    val (sx, sy) = (1.4, -0.6) // non-integer: exercises the sub-cell step
+    val tgt = pts.select((col("x") + sx).as("x"), (col("y") + sy).as("y"), col("z"))
+    val cfgN = Align3d.Config(gsd = 1.0, maxT = 4.0, numSamples = 2000)
+    val (resN, _) = Align3d.run(spark, pts, tgt, cfgN)
+    val (resC, _) = Align3d.run(spark, pts, tgt, cfgN.copy(newtonInterp = false))
+    // both recover within a cell; the integer argmin is identical
+    assert(resN.bestDx == resC.bestDx && resN.bestDy == resC.bestDy)
+    assert(math.abs(resN.tx - (-sx)) <= 1.0 && math.abs(resN.ty - (-sy)) <= 1.0)
+    val errN = math.hypot(resN.tx + sx, resN.ty + sy)
+    assert(errN <= 0.75, s"newton sub-cell error $errN")
+  }
+
   test("align of identical clouds is (0,0,0)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

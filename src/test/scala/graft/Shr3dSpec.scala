@@ -118,6 +118,38 @@ class Shr3dSpec extends SparkSpec {
     assert(cls((2L, 2L)) == p.ClsGround)
   }
 
+  test("INT and MINAGL products compose over the facade's DSM/DTM") {
+    import spark.implicits._
+    // give every point a deterministic "intensity" (the reference's
+    // pset.i); roofs are brighter than ground here
+    val withI = scene.withColumn("intensity",
+      (col("z") * 100 + 50).cast("long"))
+    val p = Shr3d.run(spark, withI,
+      Shr3d.Config(spec = spec, tileSize = 16, minRegionCells = 4,
+        boundsOpt = Some((36, 36))))
+
+    val int = p.intensity.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(int.nonEmpty && int.values.forall(v => v >= 0 && v <= 65535))
+    // the max-mean cell scales to (within fp floor) the full u16 range
+    assert(int.values.max >= 65534, s"u16 scaling max ${int.values.max}")
+    // every DSM cell accumulates at least its max point (diff 0 < dz),
+    // and the trailing fill only adds cells
+    val dsmCells = p.dsm.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dsmCells.subsetOf(int.keySet), "intensity lost DSM cells")
+    // roof cells are brighter than ground cells (z-derived intensity)
+    assert(int((24L, 21L)) > int((2L, 2L)), "roof not brighter than ground")
+
+    val magl = p.minAgl.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(magl.nonEmpty)
+    // building roofs sit well above DTM + agl -> present at roof height
+    val zRoofB = graft.core.Quant.deq(magl((24L, 21L)).toLong)
+    assert(zRoofB > 12.0 && zRoofB < 15.0, s"minAGL over building B $zRoofB")
+    // open ground has no returns above DTM + 2 m -> absent
+    assert(!magl.contains((2L, 2L)), "ground cell leaked into minAGL")
+  }
+
   test("deterministic across runs") {
     val a = products.outlines.collect().map(_.toSeq).sortBy(_.head.toString)
     val b = Shr3d.run(spark, scene.repartition(13),
