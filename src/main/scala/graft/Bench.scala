@@ -19,6 +19,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        graft.core.SessionDefaults.ExcludedOptimizerRules)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -26,32 +28,74 @@ object Bench {
     s
   }
 
-  /** BASELINE.md scaling protocol, inline, on the north rule's N-vs-4N
-    * pair (2 -> 8 cores — the regime where cores, not the box's memory
+  /** BASELINE.md scaling protocol on the north rule's N-vs-4N pair
+    * (2 -> 8 cores — the regime where cores, not the box's memory
     * bandwidth, are the scaled resource; see BASELINE.md for the full
-    * three-level warm table and the multi-JVM corroboration): identical
-    * flagship job, 2 warm-ups + 3 timed per level, median docs/sec,
-    * determinism asserted across levels via the grid checksum. */
+    * three-level warm table and the multi-JVM corroboration). Each
+    * level runs [[ScalingBench]] (3 warm-ups + 5 timed, median) in a
+    * FRESH fixed-heap child JVM — round 2 measured the pair inside one
+    * reused JVM and GC debris from the 2-core runs depressed the 8-core
+    * side to a sub-0.8 reading; a per-level fresh JVM is exactly what
+    * tools/run_bench.sh measures and what a real spark-submit does.
+    * Falls back to the in-process pair if the child can't launch. */
   private def scalingBlock(nDocs: Long): String = {
     val levels = Seq(2, 8)
     val results = levels.map { cpus =>
-      val s = session(cpus.toString)
-      try {
-        (1 to 2).foreach(_ => Flagship.run(s, nDocs)) // warm-up
-        val runs = (1 to 3).map { _ => System.gc(); Flagship.run(s, nDocs) }
-        val med = runs.map(_.seconds).sorted.apply(1)
-        val chk = runs.map(_.gridChecksum).distinct
-        require(chk.size == 1, s"non-deterministic checksum at local[$cpus]")
-        cpus -> ((nDocs / med, med, chk.head))
-      } finally s.stop()
-    }.toMap
-    val (dpsN, secN, chkN) = results(2)
-    val (dps4N, sec4N, chk4N) = results(8)
+      forkedLevel(cpus, nDocs).getOrElse(inProcessLevel(cpus, nDocs))
+    }
+    val Seq((dpsN, secN, chkN), (dps4N, sec4N, chk4N)) = results
     require(chkN == chk4N, "checksum differs across parallelism levels")
     val eff = dps4N.toDouble / (4.0 * dpsN.toDouble)
     s""""scaling":{"docs":$nDocs,"n2":{"sec":$secN,"docs_per_sec":$dpsN},""" +
       s""""n8":{"sec":$sec4N,"docs_per_sec":$dps4N},""" +
       s""""efficiency_2_8":$eff,"checksum":$chkN}"""
+  }
+
+  /** One scaling level in a fresh fixed-heap child JVM (the BASELINE.md
+    * apparatus). Returns (docs/sec, median sec, checksum). */
+  private def forkedLevel(cpus: Int, nDocs: Long): Option[(Long, Double, Long)] =
+    try {
+      val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+        "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+        "sun.security.action", "sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+      val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")
+      val cmd = (Seq("java") ++ opens ++ Seq(s"-Xmx$mem", s"-Xms$mem",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", System.getProperty("java.class.path"), "graft.ScalingBench"))
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus.toString)
+      pb.environment().put("SPARK_GRAFT_BENCH_DOCS", nDocs.toString)
+      // Spark logs flood stderr: discard it or the pipe buffer fills
+      // and the child deadlocks before printing its stdout JSON line
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream)
+        .getLines().toVector
+      proc.waitFor()
+      val line = out.find(_.startsWith("{\"cpus\""))
+      line.flatMap { l =>
+        def num(k: String): Option[String] =
+          s""""$k":(-?[0-9.]+)""".r.findFirstMatchIn(l).map(_.group(1))
+        for {
+          med <- num("median_sec").map(_.toDouble)
+          chk <- num("checksum").map(_.toLong)
+        } yield ((nDocs / med).toLong, med, chk)
+      }
+    } catch { case _: Throwable => None }
+
+  /** Legacy in-process pair (one JVM, sessions rebuilt per level). */
+  private def inProcessLevel(cpus: Int, nDocs: Long): (Long, Double, Long) = {
+    val s = session(cpus.toString)
+    try {
+      (1 to 3).foreach(_ => Flagship.run(s, nDocs))
+      val runs = (1 to 5).map { _ => System.gc(); Flagship.run(s, nDocs) }
+      val med = runs.map(_.seconds).sorted.apply(2)
+      val chk = runs.map(_.gridChecksum).distinct
+      require(chk.size == 1, s"non-deterministic checksum at local[$cpus]")
+      ((nDocs / med).toLong, med, chk.head)
+    } finally s.stop()
   }
 
   def main(args: Array[String]): Unit = {
@@ -63,7 +107,13 @@ object Bench {
     // session warm-up so the first measured query doesn't pay JIT/codegen
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter (profiling aid; the driver
+    // never sets it, so the contract output is unchanged)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -81,9 +131,10 @@ object Bench {
 
     // the scaling pair needs enough work per run that fixed stage
     // overheads don't drown the 8-core side (at 2M docs the 8-core run
-    // is ~3 s and efficiency reads artificially low)
+    // is ~3 s and efficiency reads artificially low; 16M is BASELINE.md's
+    // measured protocol point)
     val scalingDocs =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_DOCS", "8000000").toLong
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_DOCS", "16000000").toLong
     val scaling =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") == "1")
         Some(scalingBlock(scalingDocs))

@@ -21,6 +21,8 @@ object ClusterScalingBench {
       .master(s"local-cluster[$workers,$cores,$memMb]")
       .config("spark.sql.shuffle.partitions", workers * cores)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        graft.core.SessionDefaults.ExcludedOptimizerRules)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.executor.memory", s"${memMb - 1024}m")

@@ -1,24 +1,57 @@
 package graft
 import graft.api.Flagship
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc plan/stage profiler (not part of the driver contract).
+  * `runMain graft.ScratchProfile [plans|minhash]` */
 object ScratchProfile {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val mode = args.headOption.getOrElse("plans")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.excludedRules", graft.core.SessionDefaults.ExcludedOptimizerRules)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.01"
     def show(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       println(s"===== $name =====")
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
-    show("q3_top_revenue", SparkEntry.queries("q3_top_revenue")(spark, dir))
-    show("q_pip_join", SparkEntry.queries("q_pip_join")(spark, dir))
-    show("q_dsm_grid", SparkEntry.queries("q_dsm_grid")(spark, dir))
-    val staged = Flagship.stageInput(spark, 100000)
-    show("flagship", Flagship.geocodedFromParquet(spark, staged))
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  (n=$n)")
+    }
+    mode match {
+      case "minhash" =>
+        val dir = "/root/testdata/sf0.1"
+        val docs = graft.core.Tables.documents(spark, dir)
+        time("docs scan")(docs.count())
+        val sh3 = graft.text.TextOps.shingles3(docs)
+        time("shingles3 arrays")(sh3.count())
+        val exploded = sh3.select(col("doc_id"), explode(col("shingles")).as("s"))
+        time("explode")(exploded.count())
+        val hashed = exploded.withColumn("hv",
+          graft.text.TextOps.hexToLong(md5(col("s")), 8))
+        time("md5+conv")(hashed.agg(sum("hv")).count())
+        (1 to 6).foreach(i =>
+          time(s"full minhash $i")(graft.dedup.Dedup.minhashSignatures(docs).count()))
+        (1 to 3).foreach(i =>
+          time(s"explode $i")(sh3.select(col("doc_id"),
+            explode(col("shingles")).as("s")).count()))
+        (1 to 3).foreach(i =>
+          time(s"md5 only $i")(exploded.select(md5(col("s"))).count()))
+        show("minhash plan", graft.dedup.Dedup.minhashSignatures(docs))
+      case _ =>
+        val dir = "/root/testdata/sf0.01"
+        show("q3_top_revenue", SparkEntry.queries("q3_top_revenue")(spark, dir))
+        show("q_pip_join", SparkEntry.queries("q_pip_join")(spark, dir))
+        show("q_dsm_grid", SparkEntry.queries("q_dsm_grid")(spark, dir))
+        val staged = Flagship.stageInput(spark, 100000)
+        show("flagship", Flagship.geocodedFromParquet(spark, staged))
+    }
     spark.stop()
   }
 }

@@ -163,6 +163,11 @@ object ConnectedComponents {
     applyCap(full, w, maxCount)
   }
 
+  /** Cell-id block size for the two-stage rank: local ranks sort at most
+    * one block per (label, block) window partition (~8 MB of rows), so
+    * no single task ever sorts a whole continent-sized component. */
+  private val CapRankBlock: Long = 1L << 20
+
   private def applyCap(full: DataFrame, w: Long,
                        maxCount: Option[Long]): DataFrame = {
     maxCount match {
@@ -170,11 +175,28 @@ object ConnectedComponents {
       case Some(cap) =>
         require(cap > 0)
         import org.apache.spark.sql.expressions.Window
-        val perChunk = Window.partitionBy(col("label"), col("chunk"))
-        full.withColumn("cid", col("gy") * w + col("gx"))
-          .withColumn("chunk",
-            expr(s"(row_number() over (partition by label order by cid) - 1) div $cap"))
-          .withColumn("newLabel", min(col("cid")).over(perChunk))
+        // Two-stage rank (cid is monotone in (tid, cid-within-tid), so
+        // block offset + local rank == the global row_number):
+        //  1. rank within (label, cid-block) — partitions bounded by the
+        //     block size regardless of component size;
+        //  2. per-(label, block) counts -> running prefix offsets, a
+        //     window over the tiny counts table (one row per block);
+        //  3. chunk = (offset + local rank - 1) div cap, canonical chunk
+        //     label = min cid — that window partitions by (label, chunk),
+        //     bounded by cap.
+        val cells = full.withColumn("cid", col("gy") * w + col("gx"))
+          .withColumn("tid", expr(s"cid div $CapRankBlock"))
+        val wLocal = Window.partitionBy(col("label"), col("tid")).orderBy(col("cid"))
+        val local = cells.withColumn("lr", row_number().over(wLocal))
+        val wPrefix = Window.partitionBy(col("label")).orderBy(col("tid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsets = cells.groupBy("label", "tid").agg(count(lit(1)).as("tn"))
+          .withColumn("off", sum(col("tn")).over(wPrefix) - col("tn"))
+          .select("label", "tid", "off")
+        val wChunk = Window.partitionBy(col("label"), col("chunk"))
+        local.join(offsets, Seq("label", "tid"))
+          .withColumn("chunk", expr(s"(off + lr - 1) div $cap"))
+          .withColumn("newLabel", min(col("cid")).over(wChunk))
           .select(col("gx"), col("gy"), col("v"), col("newLabel").as("label"))
     }
   }

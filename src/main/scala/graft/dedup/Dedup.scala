@@ -172,8 +172,7 @@ object Dedup {
     val a = emb.select(col("vec_id").as("v1"), col("v").as("va"))
     val b = emb.select(col("vec_id").as("v2"), col("v").as("vb"))
     a.join(b, col("v1") < col("v2"))
-      .withColumn("cos",
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("cos", graft.similarity.DotProduct(col("va"), col("vb")))
       .filter(col("cos") >= tau)
       .select(col("v1"), col("v2"), col("cos"))
   }
@@ -223,8 +222,7 @@ object Dedup {
     pairs
       .join(vecs.as("ea"), col("v1") === col("ea.vec_id"))
       .join(vecs.as("eb"), col("v2") === col("eb.vec_id"))
-      .withColumn("cos",
-        expr("aggregate(zip_with(ea.v, eb.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+      .withColumn("cos", graft.similarity.DotProduct(col("ea.v"), col("eb.v")))
       .filter(col("cos") >= tau)
       .select(col("v1"), col("v2"), col("cos"))
   }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
  *
  * - [[bruteForceTopK]] is the exact baseline: cross join + per-query
  *   window rank. The dot product is a codegen'd fold
- *   (`aggregate(zip_with(...))`) in array order, so it is bit-exact and
+ *   ([[DotProductExpr]], codegen'd, ascending index order) — bit-exact,
  *   matched by the DuckDB `list_reduce` dual.
  * - [[lshTopK]] is the scale path: random-hyperplane sign buckets; only
  *   same-bucket (or near-bucket) candidates are scored. Probabilistic
@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object Ann {
 
   private def dotExpr(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    DotProduct(col(a), col(b))
 
   /** Cast float embedding to double once. */
   def withVec(df: DataFrame, embCol: String = "embedding"): DataFrame =
@@ -63,9 +63,8 @@ object Ann {
       .drop("tb")
   }
 
-  private def dotExprCols(v: org.apache.spark.sql.Column, plane: org.apache.spark.sql.Column) = {
-    aggregate(zip_with(v, plane, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-  }
+  private def dotExprCols(v: org.apache.spark.sql.Column, plane: org.apache.spark.sql.Column) =
+    DotProduct(v, plane)
 
   /** Row-local nearest-centroid assignment: the centroid list (nList x
     * dim doubles — driver-held, kilobytes) is baked into ONE projection

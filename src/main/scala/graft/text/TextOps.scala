@@ -112,22 +112,29 @@ object TextOps {
 
   /** Word 3-gram shingles as an array column (empty if < 3 tokens).
     *
-    * Formulated with slice + zip_with so the tokenizing split runs a
-    * constant number of times per ROW. (The obvious
-    * `transform(sequence(...), i -> element_at(toks, i) ...)` form is a
-    * trap: CollapseProject inlines `toks = split(text)` into the lambda
-    * and the regex split re-executes per element — measured 40x slower.) */
+    * The tokenizing split is hoisted into its OWN projection and the
+    * shingle zip reads the materialized array attribute, so the regex
+    * split runs exactly once per row. Two traps this dodges:
+    * (a) `transform(sequence(...), i -> element_at(toks, i) ...)` gets
+    * the split inlined into the lambda and re-executed per ELEMENT
+    * (measured 40x slower); (b) writing `split(...)` six times in one
+    * projection re-executes it per SLICE — higher-order functions skip
+    * whole-stage codegen, so nothing de-duplicates them (measured ~2x
+    * on q_minhash_sig). CollapseProject keeps the hoisted projection:
+    * a non-cheap alias consumed six times is never inlined. */
   def shingles3(df: DataFrame, text: String = "text"): DataFrame =
-    df.withColumn("shingles", expr(
-      s"""CASE WHEN size(split($text, ' ', -1)) >= 3 THEN
-         |  zip_with(
-         |    zip_with(
-         |      slice(split($text, ' ', -1), 1, size(split($text, ' ', -1)) - 2),
-         |      slice(split($text, ' ', -1), 2, size(split($text, ' ', -1)) - 2),
-         |      (a, b) -> concat(a, ' ', b)),
-         |    slice(split($text, ' ', -1), 3, size(split($text, ' ', -1)) - 2),
-         |    (ab, c) -> concat(ab, ' ', c))
-         |ELSE array() END""".stripMargin))
+    df.withColumn("__toks", split(col(text), " ", -1))
+      .withColumn("shingles", expr(
+        s"""CASE WHEN size(__toks) >= 3 THEN
+           |  zip_with(
+           |    zip_with(
+           |      slice(__toks, 1, size(__toks) - 2),
+           |      slice(__toks, 2, size(__toks) - 2),
+           |      (a, b) -> concat(a, ' ', b)),
+           |    slice(__toks, 3, size(__toks) - 2),
+           |    (ab, c) -> concat(ab, ' ', c))
+           |ELSE array() END""".stripMargin))
+      .drop("__toks")
 
   /** CTE: documents -> (doc_id, s) one row per 3-gram shingle. */
   def shingleCteSql: String =

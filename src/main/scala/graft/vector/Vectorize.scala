@@ -30,15 +30,48 @@ object Vectorize {
 
   type Pt = (Long, Long)
 
+  /** Immutable component cell set backed by a SORTED primitive array of
+    * packed `(x << 32) | y` coords: the per-component gather holds 8
+    * bytes per cell instead of a boxed tuple in a hash set (~48+ B), so
+    * a [[DefaultMaxCells]]-sized component costs ~32 MB transient heap,
+    * not several hundred. Membership is a binary search — O(log n) but
+    * branch-free over a contiguous array, which beats boxed hashing at
+    * trace sizes. Coordinates must be non-negative (grid indices). */
+  final class PackedCells private (private val arr: Array[Long]) {
+    def size: Int = arr.length
+    def contains(x: Long, y: Long): Boolean =
+      x >= 0 && y >= 0 &&
+        java.util.Arrays.binarySearch(arr, (x << 32) | y) >= 0
+    def foreach(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < arr.length) { f(arr(i) >>> 32, arr(i) & 0xFFFFFFFFL); i += 1 }
+    }
+  }
+
+  object PackedCells {
+    def fromIterator(it: Iterator[Pt]): PackedCells = {
+      val b = Array.newBuilder[Long]
+      it.foreach { case (x, y) => b += ((x << 32) | y) }
+      val a = b.result()
+      java.util.Arrays.sort(a)
+      new PackedCells(a)
+    }
+    def apply(cells: Set[Pt]): PackedCells = fromIterator(cells.iterator)
+  }
+
+  /** Specs and small callers keep passing plain Sets. */
+  import scala.language.implicitConversions
+  implicit def setToPackedCells(cells: Set[Pt]): PackedCells = PackedCells(cells)
+
   /** Directed boundary edges with interior on the left. */
-  private def boundaryEdges(cells: Set[Pt]): Map[Pt, List[Pt]] = {
+  private def boundaryEdges(cells: PackedCells): Map[Pt, List[Pt]] = {
     val out = scala.collection.mutable.Map[Pt, List[Pt]]().withDefaultValue(Nil)
     def add(a: Pt, b: Pt): Unit = out(a) = b :: out(a)
-    for ((x, y) <- cells) {
-      if (!cells((x, y - 1))) add((x, y), (x + 1, y))         // bottom, +x
-      if (!cells((x + 1, y))) add((x + 1, y), (x + 1, y + 1)) // right, +y
-      if (!cells((x, y + 1))) add((x + 1, y + 1), (x, y + 1)) // top, -x
-      if (!cells((x - 1, y))) add((x, y + 1), (x, y))         // left, -y
+    cells.foreach { (x, y) =>
+      if (!cells.contains(x, y - 1)) add((x, y), (x + 1, y))         // bottom, +x
+      if (!cells.contains(x + 1, y)) add((x + 1, y), (x + 1, y + 1)) // right, +y
+      if (!cells.contains(x, y + 1)) add((x + 1, y + 1), (x, y + 1)) // top, -x
+      if (!cells.contains(x - 1, y)) add((x, y + 1), (x, y))         // left, -y
     }
     out.toMap
   }
@@ -46,7 +79,7 @@ object Vectorize {
   /** Link directed edges into closed rings. At 2-fan vertices
     * (checkerboard touch) prefer the left turn — keeps rings simple and
     * deterministic. */
-  def rings(cells: Set[Pt]): Seq[Vector[Pt]] = {
+  def rings(cells: PackedCells): Seq[Vector[Pt]] = {
     val edges = scala.collection.mutable.Map[Pt, List[Pt]]() ++ boundaryEdges(cells)
     val out = scala.collection.mutable.ArrayBuffer[Vector[Pt]]()
     while (edges.nonEmpty) {
@@ -464,7 +497,7 @@ object Vectorize {
     * dropped, like the reference's empty-ring outlines). Hole
     * assignment happens on the RAW lattice rings (exact probes), then
     * each ring is simplified. Returns None when no shell survives. */
-  def toWktBuilding(cells: Set[Pt], scale: Int = 36): Option[String] = {
+  def toWktBuilding(cells: PackedCells, scale: Int = 36): Option[String] = {
     val rs = rings(cells).map(r => r.map(p => (p._1.toDouble, p._2.toDouble)))
     val (shells, holes) = rs.partition(r => signedAreaD(r) > 0)
     val shellsBySize = shells.zipWithIndex.sortBy { case (s, _) => math.abs(signedAreaD(s)) }
@@ -490,7 +523,7 @@ object Vectorize {
 
   /** Component cells -> WKT MULTIPOLYGON (shells CCW + their holes).
     * `cornerScale` engages the buildingSimplify-style corner pass. */
-  def toWkt(cells: Set[Pt], minArea: Double = 0.0,
+  def toWkt(cells: PackedCells, minArea: Double = 0.0,
             cornerScale: Double = 0.0): String = {
     val rs = rings(cells).map(r => r.map(p => (p._1.toDouble, p._2.toDouble)))
       .map(mergeCollinear)
@@ -568,7 +601,7 @@ object Vectorize {
       .as[(Long, Long, Long)]
       .groupByKey(_._3)
       .mapGroups { (label, it) =>
-        val cs = it.map(c => (c._1, c._2)).toSet
+        val cs = PackedCells.fromIterator(it.map(c => (c._1, c._2)))
         (label, cs.size.toLong, toWkt(cs, minArea))
       }
       .toDF("label", "n_cells", "wkt")
@@ -593,7 +626,7 @@ object Vectorize {
       .as[(Long, Long, Long)]
       .groupByKey(_._3)
       .flatMapGroups { (label, it) =>
-        val cs = it.map(c => (c._1, c._2)).toSet
+        val cs = PackedCells.fromIterator(it.map(c => (c._1, c._2)))
         toWktBuilding(cs, scale).map(w => (label, cs.size.toLong, w)).iterator
       }
       .toDF("label", "n_cells", "wkt")

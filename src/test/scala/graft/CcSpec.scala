@@ -89,6 +89,46 @@ class CcSpec extends SparkSpec {
     assert(dense == got.toMap, "dense strategy diverges from tiled")
   }
 
+  test("cap rank is two-stage: 12x-cap component, no single-partition cell sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.catalyst.expressions.RowNumber
+    // vertical strip of 12,000 cells on a lattice wide enough that the
+    // strip spans ~6,000 cid blocks (w = 2^19, block = 2^20): the local
+    // rank genuinely composes with the prefix offsets
+    val w = 1 << 19
+    val h = 12000
+    val strip = (0L until 12000L).map(y => (5L, y, 1))
+    val df = strip.toDF("gx", "gy", "v").repartition(7)
+    val cap = 1000L
+    val out = ConnectedComponents.label(df, Bounds(w, h), tileSize = 4096,
+      maxCount = Some(cap), denseThreshold = 0L)
+
+    // plan-asserted: every row_number window partitions by >= 2 keys —
+    // the old single-stage rank partitioned the whole CELL table by
+    // label alone, serializing a giant component through one sort
+    val rnWindows = out.queryExecution.optimizedPlan.collect {
+      case win: LWindow if win.windowExpressions.exists(
+        _.collectFirst { case _: RowNumber => () }.isDefined) => win
+    }
+    assert(rnWindows.nonEmpty, "expected a row_number window in the cap path")
+    rnWindows.foreach { win =>
+      assert(win.partitionSpec.size >= 2,
+        s"cell rank partitions by ${win.partitionSpec} — single-task sort")
+    }
+
+    val got = out.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3)))
+    assert(got.length == 12000, "no cell may be dropped")
+    val bySize = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySize.size == 12, s"expected 12 chunks, got ${bySize.size}")
+    assert(bySize.values.forall(_ == cap), s"uneven chunks: $bySize")
+    // canonical chunk labels: min cid of each 1000-cell run
+    (0 until 12).foreach { k =>
+      val want = 1000L * k * w + 5L
+      assert(bySize.contains(want), s"missing canonical chunk label $want")
+    }
+  }
+
   test("outlines refuses over-cap labels, traces the rest") {
     import graft.vector.Vectorize
     import spark.implicits._

@@ -4,6 +4,22 @@ import org.locationtech.jts.geom.GeometryFactory
 import org.locationtech.jts.io.WKTReader
 import org.scalatest.funsuite.AnyFunSuite
 class VectorStressSpec extends AnyFunSuite {
+  test("4M-cell component traces with the primitive-array gather") {
+    // DefaultMaxCells-scale component (2000x2000 minus a 400x400 hole):
+    // the packed-long gather holds ~32 MB, not hundreds of MB of boxed
+    // tuples; the trace must produce the exact shell + hole areas
+    val (w, h) = (2000L, 2000L)
+    val it = for {
+      y <- (0L until h).iterator; x <- (0L until w).iterator
+      if !(x >= 800 && x < 1200 && y >= 800 && y < 1200)
+    } yield (x, y)
+    val cells = Vectorize.PackedCells.fromIterator(it)
+    assert(cells.size == (w * h - 400L * 400L).toInt)
+    val g = new WKTReader(new GeometryFactory()).read(Vectorize.toWkt(cells))
+    assert(g.isValid)
+    assert(g.getArea == (w * h - 400L * 400L).toDouble, s"area ${g.getArea}")
+  }
+
   test("V3 buildingSimplify: rectilinear rectangle is an exact-WKT fixpoint") {
     // rect cells [5..24] x [7..20] -> boundary [5,25] x [7,21]; the
     // least-squares lines through exactly-collinear integer points ARE
