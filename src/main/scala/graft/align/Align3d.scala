@@ -186,17 +186,15 @@ object Align3d {
         col("rms").cast("long").as("rms"), col("complete"))
   }
 
-  /** Full alignment: returns the result and the shifted target points. */
-  def run(spark: SparkSession, refPts: DataFrame, tgtPts: DataFrame,
-          cfg: Config = Config()): (Result, DataFrame) = {
-    val st = stage(spark, refPts, tgtPts, cfg)
-    val maxSteps = math.ceil(cfg.maxT / cfg.gsd).toInt
-    val perOffset = offsetStats(st, cfg)
-
-    val rows = perOffset.collect()
-    st.refDsm.unpersist(); st.tgtDsm.unpersist()
+  /** Driver-side argmin + peak interpolation over the collected
+    * per-offset stats rows (columns odx, ody, n, med, rms, complete).
+    * The whole computation is scalar arithmetic — q_align_offset's
+    * DuckDB dual replays it with the identical IEEE op sequence. */
+  def resultFromStats(rows: Array[org.apache.spark.sql.Row],
+                      cfg: Config): Result = {
     require(rows.nonEmpty,
       s"no offset collected >= ${cfg.numSamples} valid probes")
+    val maxSteps = math.ceil(cfg.maxT / cfg.gsd).toInt
 
     // argmin with tie-break on |offset| then (odx, ody) for full determinism
     val best = rows.minBy { r =>
@@ -227,8 +225,17 @@ object Align3d {
     val tx = -(bdx + sx) * cfg.gsd
     val ty = -(bdy + sy) * cfg.gsd
     val tz = best.getLong(3).toDouble * Quant.Scale // median diff, meters
-    val res = Result(tx, ty, tz, best.getLong(4).toDouble * Quant.Scale,
+    Result(tx, ty, tz, best.getLong(4).toDouble * Quant.Scale,
       best.getDouble(5), best.getLong(2), bdx, bdy)
+  }
+
+  /** Full alignment: returns the result and the shifted target points. */
+  def run(spark: SparkSession, refPts: DataFrame, tgtPts: DataFrame,
+          cfg: Config = Config()): (Result, DataFrame) = {
+    val st = stage(spark, refPts, tgtPts, cfg)
+    val rows = offsetStats(st, cfg).collect()
+    st.refDsm.unpersist(); st.tgtDsm.unpersist()
+    val res = resultFromStats(rows, cfg)
 
     val aligned = tgtPts
       .withColumn("x", col("x") + lit(res.tx))

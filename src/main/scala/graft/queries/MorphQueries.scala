@@ -140,13 +140,93 @@ object MorphQueries {
     }
   }
 
-  /** Composed classifyGround object detection (W13 -> W14 -> G2 -> G5;
-    * rows-only: components covered piecewise by SQL oracles upstream and
-    * end-to-end by GroundSpec). */
-  val q_ground_objects: QueryDef = QueryDef.rowsOnly("q_ground_objects") { (s, dir) =>
-    graft.api.GroundObjects.detect(dsm10(s, dir), bounds,
-        graft.api.GroundObjects.Config(tileSize = 8))
-      .orderBy(col("gx"), col("gy"))
+  /** Composed classifyGround object detection, end-to-end bit-exact:
+    * W13 boundary-gradient seeds -> 3 rounds of W14 mark/resolve
+    * relaxation -> G2 dz-constrained canonical components (the 40000-cell
+    * cap never binds at oracle SF, so the chunk crop is a no-op on both
+    * sides) -> min-size filter -> G5 row∩column scanline fill. The dual
+    * chains the EXISTS-stencil, per-round CASE, recursive-CTE CCL, and
+    * span-fill patterns proven by the piecewise oracles upstream. */
+  val q_ground_objects: QueryDef = {
+    val dz = 3000
+    def markSql(src: String, out: String): String =
+      s"""$out AS MATERIALIZED (SELECT e.gx, e.gy, e.v,
+         |  CASE WHEN e.lbl = 0 AND EXISTS (
+         |    SELECT 1 FROM $offsets8
+         |    JOIN $src n ON n.gx = e.gx + o.dx AND n.gy = e.gy + o.dy
+         |    WHERE n.lbl = 1 AND abs(n.v - e.v) <= $dz) THEN 2 ELSE e.lbl END AS lbl
+         |  FROM $src e)""".stripMargin
+    def resolveSql(src: String, out: String): String =
+      s"""$out AS MATERIALIZED (SELECT m.gx, m.gy, m.v,
+         |  CASE WHEN m.lbl = 2 THEN (CASE WHEN EXISTS (
+         |      SELECT 1 FROM $offsets8
+         |      JOIN $src n ON n.gx = m.gx + o.dx AND n.gy = m.gy + o.dy
+         |      WHERE m.v > n.v) THEN 1 ELSE 0 END)
+         |    ELSE m.lbl END AS lbl
+         |  FROM $src m)""".stripMargin
+    QueryDef.sqlChecked(
+      "q_ground_objects",
+      s"""WITH RECURSIVE ${Gridding.splatCte(spec)},
+         |dsm AS MATERIALIZED (SELECT gx, gy, CAST(max(qz) AS INT) AS v FROM splat GROUP BY gx, gy),
+         |e0 AS MATERIALIZED (SELECT d.gx, d.gy, d.v,
+         |  CASE WHEN EXISTS (
+         |    SELECT 1 FROM $offsets8
+         |    JOIN dsm n1 ON n1.gx = d.gx + o.dx AND n1.gy = d.gy + o.dy
+         |    JOIN dsm n2 ON n2.gx = d.gx + 2 * o.dx AND n2.gy = d.gy + 2 * o.dy
+         |    WHERE d.gx + 2 * o.dx BETWEEN 0 AND ${w - 1}
+         |      AND d.gy + 2 * o.dy BETWEEN 0 AND ${h - 1}
+         |      AND (d.v - n1.v) - (n1.v - n2.v) > $dz) THEN 1 ELSE 0 END AS lbl
+         |  FROM dsm d),
+         |${markSql("e0", "m1")}, ${resolveSql("m1", "e1")},
+         |${markSql("e1", "m2")}, ${resolveSql("m2", "e2")},
+         |${markSql("e2", "m3")}, ${resolveSql("m3", "e3")},
+         |t AS MATERIALIZED (SELECT gx, gy, v FROM e3 WHERE lbl = 1),
+         |reach(gx, gy, l) AS (
+         |  SELECT gx, gy, gy * $w + gx FROM t
+         |  UNION
+         |  SELECT n.gx, n.gy, r.l FROM reach r
+         |  JOIN t c ON c.gx = r.gx AND c.gy = r.gy
+         |  JOIN t n ON abs(n.gx - r.gx) <= 1 AND abs(n.gy - r.gy) <= 1
+         |    AND abs(n.v - c.v) <= $dz
+         |    AND r.l < n.gy * $w + n.gx),
+         |lbl AS (SELECT gx, gy, min(l) AS label FROM reach GROUP BY gx, gy),
+         |sized AS (SELECT label FROM lbl GROUP BY label HAVING count(*) >= 2),
+         |kept AS MATERIALIZED (SELECT l.gx, l.gy, l.label FROM lbl l JOIN sized s USING (label)),
+         |rowspan AS (SELECT label, gy, min(gx) AS lo, max(gx) AS hi
+         |  FROM kept GROUP BY label, gy),
+         |rowground AS (SELECT r.label, r.gy, min(d.v) AS g
+         |  FROM rowspan r
+         |  JOIN dsm d ON d.gy = r.gy AND (d.gx = r.lo - 1 OR d.gx = r.hi + 1)
+         |  LEFT JOIN kept k ON k.gx = d.gx AND k.gy = d.gy AND k.label = r.label
+         |  WHERE k.label IS NULL GROUP BY r.label, r.gy),
+         |rowacc AS (SELECT r.label, d.gx, d.gy
+         |  FROM rowspan r
+         |  JOIN rowground rg ON rg.label = r.label AND rg.gy = r.gy
+         |  JOIN dsm d ON d.gy = r.gy AND d.gx > r.lo AND d.gx < r.hi
+         |  LEFT JOIN kept k ON k.gx = d.gx AND k.gy = d.gy AND k.label = r.label
+         |  WHERE k.label IS NULL AND d.v > rg.g + $dz),
+         |colspan AS (SELECT label, gx, min(gy) AS lo, max(gy) AS hi
+         |  FROM kept GROUP BY label, gx),
+         |colground AS (SELECT c.label, c.gx, min(d.v) AS g
+         |  FROM colspan c
+         |  JOIN dsm d ON d.gx = c.gx AND (d.gy = c.lo - 1 OR d.gy = c.hi + 1)
+         |  LEFT JOIN kept k ON k.gx = d.gx AND k.gy = d.gy AND k.label = c.label
+         |  WHERE k.label IS NULL GROUP BY c.label, c.gx),
+         |colacc AS (SELECT c.label, d.gx, d.gy
+         |  FROM colspan c
+         |  JOIN colground cg ON cg.label = c.label AND cg.gx = c.gx
+         |  JOIN dsm d ON d.gx = c.gx AND d.gy > c.lo AND d.gy < c.hi
+         |  LEFT JOIN kept k ON k.gx = d.gx AND k.gy = d.gy AND k.label = c.label
+         |  WHERE k.label IS NULL AND d.v > cg.g + $dz),
+         |filled AS (SELECT r.label, r.gx, r.gy FROM rowacc r
+         |  JOIN colacc c ON c.label = r.label AND c.gx = r.gx AND c.gy = r.gy)
+         |SELECT gx, gy, label FROM kept
+         |UNION ALL SELECT gx, gy, label FROM filled
+         |ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+      graft.api.GroundObjects.detect(dsm10(s, dir), bounds,
+          graft.api.GroundObjects.Config(tileSize = 8))
+        .orderBy(col("gx"), col("gy"))
+    }
   }
 
   val all: Seq[QueryDef] = Seq(q_majority_filter, q_boundary_gradient,
