@@ -87,13 +87,59 @@ object SimilarityQueries {
       tau = 0.3).orderBy(col("v1"), col("v2"))
   }
 
-  /** IVF-bucketed ANN (rows-only: approximate by design; exactness at
-    * nProbe = nList and recall bounds are spec-checked in DedupSpec). */
-  val q_ann_ivf: QueryDef = QueryDef.rowsOnly("q_ann_ivf") { (s, dir) =>
-    val e = Ann.withVec(Tables.embeddings(s, dir))
-    val q = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("v").as("qv"))
-    val t = e.filter(col("vec_id") >= 3).select(col("vec_id"), col("v"))
-    Ann.ivfTopK(q, t, 10, nList = 16, nProbe = 4).orderBy(col("qid"), col("rank"))
+  /** IVF-bucketed ANN — bit-exact despite being "approximate": every
+    * step (first-16 init, two Lloyd rounds with ascending-vec_id mean
+    * folds, shuffle-free nearest-centroid argmax with the (cos desc,
+    * cid) tie-break, nProbe=4 probe, exact rank) is deterministic
+    * arithmetic, so the DuckDB dual unrolls the whole index build and
+    * reproduces the result row-for-row. */
+  val q_ann_ivf: QueryDef = {
+    val dot = (a: String, b: String) =>
+      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    // one Lloyd round: assign to prev centroids, re-mean + normalize
+    def lloyd(prev: String, k: Int): String =
+      s"""s$k AS (SELECT t.vec_id, t.v, c.cid, ${dot("t.v", "c.cv")} AS cos
+         |  FROM t CROSS JOIN $prev c),
+         |a$k AS (SELECT vec_id, v, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, cid) AS rn FROM s$k) z WHERE rn = 1),
+         |px$k AS (SELECT cid, vec_id, r.range - 1 AS pos,
+         |    v[CAST(r.range AS INT)] AS x
+         |  FROM a$k CROSS JOIN range(1, ${Dim + 1}) r),
+         |sm$k AS (SELECT cid, pos,
+         |    list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) AS s,
+         |    count(*) AS n
+         |  FROM px$k GROUP BY cid, pos),
+         |cm$k AS (SELECT cid, list(s / n ORDER BY pos) AS raw FROM sm$k GROUP BY cid),
+         |c$k AS (SELECT cid, list_transform(raw,
+         |    x -> x / sqrt(${dot("raw", "raw")})) AS cv
+         |  FROM cm$k)""".stripMargin
+    QueryDef.sqlChecked(
+      "q_ann_ivf",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+         |t AS (SELECT vec_id, v FROM e WHERE vec_id >= 3),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM t
+         |  WHERE vec_id < 19),
+         |${lloyd("c0", 1)},
+         |${lloyd("c1", 2)},
+         |qc AS (SELECT q.qid, q.qv, c.cid, ${dot("c.cv", "q.qv")} AS ccos
+         |  FROM q CROSS JOIN c2 c),
+         |probes AS (SELECT qid, qv, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY ccos DESC, cid) AS rn FROM qc) z WHERE rn <= 4),
+         |cand AS (SELECT p.qid, t.vec_id, ${dot("p.qv", "t.v")} AS cos
+         |  FROM probes p JOIN a2 a ON a.cid = p.cid
+         |  JOIN t ON t.vec_id = a.vec_id)
+         |SELECT qid, vec_id, cos, CAST(rn AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id) AS rn FROM cand) z
+         |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+      val e = Ann.withVec(Tables.embeddings(s, dir))
+      val q = e.filter(col("vec_id") < 3).select(col("vec_id").as("qid"), col("v").as("qv"))
+      val t = e.filter(col("vec_id") >= 3).select(col("vec_id"), col("v"))
+      Ann.ivfTopK(q, t, 10, nList = 16, nProbe = 4).orderBy(col("qid"), col("rank"))
+    }
   }
 
   val all: Seq[QueryDef] =

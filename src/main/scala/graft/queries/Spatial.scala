@@ -52,6 +52,28 @@ object Spatial {
       .orderBy(col("cell"))
   }
 
+  /** The q_cell_hist aggregation routed through the EXPLICIT two-level
+    * salting path (`Skew.saltedCount`/`saltedSum`, 8 buckets keyed on
+    * doc_id): salt spreads a hot cell over 8 reducers, partials re-merge
+    * per cell. Count/sum are algebraic, so the result is exactly the
+    * plain GROUP BY — which is the DuckDB dual, proving the salting is
+    * lossless on the real (Zipf-skewed) cell distribution. */
+  val q_salted_cell_hist: QueryDef = QueryDef.sqlChecked(
+    "q_salted_cell_hist",
+    s"""WITH $cellCte
+       |SELECT cell, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM cells GROUP BY cell ORDER BY cell""".stripMargin) { (s, dir) =>
+    val cells = docsGeo(s, dir)
+      .withColumn("cell", CellFunctions.cellId(col("lon"), col("lat"), Res))
+    val n = graft.core.Skew
+      .saltedCount(cells, col("cell"), col("doc_id"), 8, "n_docs")
+      .withColumnRenamed("__key", "cell")
+    val sc = graft.core.Skew
+      .saltedSum(cells, col("cell"), col("n_chars"), col("doc_id"), 8, "sum_chars")
+      .withColumnRenamed("__key", "cell")
+    n.join(sc, Seq("cell")).orderBy(col("cell"))
+  }
+
   /** DSM max-grid with the reference's 2x2 splat (operator A1). */
   val q_dsm_grid: QueryDef = QueryDef.sqlChecked(
     "q_dsm_grid",
@@ -148,6 +170,6 @@ object Spatial {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q_geocode_cell, q_cell_hist, q_hex_hist, q_dsm_grid, q_min_grid,
-    q_median_grid, q_grid_zip, q_dsm_meters)
+    q_geocode_cell, q_cell_hist, q_salted_cell_hist, q_hex_hist, q_dsm_grid,
+    q_min_grid, q_median_grid, q_grid_zip, q_dsm_meters)
 }

@@ -104,11 +104,17 @@ object Ann {
     var assignments: DataFrame = null
     for (_ <- 0 until iters) {
       assignments = assignToCentroids(corpus, cents).localCheckpoint()
-      // new centroid = normalized mean of its members (deterministic:
-      // per-dimension sums are order-free after the exact pos explode)
+      // new centroid = normalized mean of its members. The per-dimension
+      // sum folds in ASCENDING vec_id order (not a plain double `sum`,
+      // whose result depends on partial-aggregation order), so the
+      // centroids — and everything downstream — are bit-reproducible
+      // and match q_ann_ivf's DuckDB dual exactly.
       val sums = assignments
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(expr("aggregate(transform(array_sort(collect_list(struct(vec_id, x)))," +
+            " e -> e.x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("s"),
+          count(lit(1)).as("n"))
       cents = sums.groupBy("cid")
         .agg(expr("array_sort(collect_list(struct(pos, s / n AS m)))").as("arr"))
         .select(col("cid"), expr("transform(arr, e -> e.m)").as("raw"))
