@@ -64,12 +64,52 @@ object Snapshots {
   def latest(root: String, table: String): Option[Manifest] =
     committed(root, table).lastOption
 
-  /** Write df as the next snapshot of `table` and commit atomically. */
+  /** One write-task row in the per-partition metrics table (north rule:
+    * "per-partition lineage + row-count/latency metrics"): the task's
+    * partition index, rows written, wall-clock, and peak memory. */
+  final case class PartitionMetric(
+      snapshotId: Long, partition: Int, rows: Long, latencyMs: Long,
+      peakMemoryBytes: Long)
+
+  /** Listener capturing per-task output metrics of the snapshot write. */
+  private final class WriteMetricsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val tasks = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Long)]()
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (t.taskMetrics != null && t.taskMetrics.outputMetrics != null &&
+        t.taskMetrics.outputMetrics.recordsWritten > 0)
+        tasks.add((t.taskInfo.index, t.taskMetrics.outputMetrics.recordsWritten,
+          t.taskInfo.duration, t.taskMetrics.peakExecutionMemory))
+  }
+
+  /** Write df as the next snapshot of `table` and commit atomically.
+    * Alongside the manifest, the write's PER-PARTITION metrics (rows
+    * written, task latency, peak memory — captured from the task-end
+    * events of the write job) are committed to the metadata sub-table
+    * `_metrics/<id>`, queryable via [[metrics]]. */
   def commit(df: DataFrame, root: String, table: String, lineage: String): Manifest = {
+    val spark = df.sparkSession
     val id = latest(root, table).map(_.snapshotId + 1).getOrElse(0L)
     val dataPath = Paths.get(root, table, s"snap-$id").toString
-    df.write.mode("overwrite").parquet(dataPath)
+    val listener = new WriteMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    try df.write.mode("overwrite").parquet(dataPath)
+    finally {
+      // drain queued listener events so every write task is captured
+      org.apache.spark.sql.graftx.Bridge.drainListenerBus(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(listener)
+    }
     val rows = df.sparkSession.read.parquet(dataPath).count()
+    val pm = {
+      import scala.jdk.CollectionConverters._
+      listener.tasks.asScala.toSeq.sortBy(_._1)
+        .map { case (p, n, ms, mem) => PartitionMetric(id, p, n, ms, mem) }
+    }
+    if (pm.nonEmpty) {
+      import spark.implicits._
+      pm.toDF().coalesce(1).write.mode("overwrite")
+        .parquet(Paths.get(root, table, "_metrics", id.toString).toString)
+    }
     val m = Manifest(table, id, rows, System.currentTimeMillis(), dataPath, lineage)
     val dir = manifestDir(root, table)
     Files.createDirectories(dir)
@@ -77,6 +117,24 @@ object Snapshots {
     Files.write(tmp, fmt(m).getBytes("UTF-8"))
     Files.move(tmp, dir.resolve(s"$id.json"), StandardCopyOption.ATOMIC_MOVE)
     m
+  }
+
+  /** The per-partition metrics metadata table across all committed
+    * snapshots of `table` (empty df if none recorded). */
+  def metrics(spark: SparkSession, root: String, table: String): DataFrame = {
+    val base = Paths.get(root, table, "_metrics")
+    val dirs =
+      if (!Files.isDirectory(base)) Nil
+      else {
+        val it = Files.list(base).iterator()
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) { val p = it.next(); if (Files.isDirectory(p)) out += p.toString }
+        out.toSeq
+      }
+    if (dirs.isEmpty) {
+      import spark.implicits._
+      Seq.empty[PartitionMetric].toDF()
+    } else spark.read.parquet(dirs: _*)
   }
 
   def read(spark: SparkSession, m: Manifest): DataFrame =

@@ -19,8 +19,38 @@ object Shr3dQueries {
         // W15 opening would (correctly) erase them all
         openLabels = false))
 
-  val q_shr3d_class: QueryDef = QueryDef.rowsOnly("q_shr3d_class") { (s, dir) =>
-    products(s, dir).classification.orderBy(col("gx"), col("gy"))
+  /** Fixed side-table root for the staged-input oracle below. */
+  final val SideRoot = "/tmp/graft_shr3d_side"
+
+  /** W16/J3 per-cell classification, bit-exact over STAGED inputs: the
+    * facade's dsm/dtm/dsm2 products are dumped to parquet side-tables
+    * (the DTM itself is the iterative loop pinned by DtmSpec's dense
+    * oracle + golden parquet — no SQL dual exists for it), and the
+    * DuckDB dual replays the cross-grid when/otherwise classification
+    * over the same bytes. */
+  val q_shr3d_class: QueryDef = {
+    // aglRaw at the query's config: aglMeters 6.0 at the standard fit
+    val aglRaw = math.max(1,
+      math.floor(6.0 / graft.core.Quant.Scale).toInt)
+    QueryDef.sqlChecked(
+      "q_shr3d_class",
+      s"""WITH dsm AS (SELECT * FROM '$SideRoot/dsm/*.parquet'),
+         |dtm AS (SELECT * FROM '$SideRoot/dtm/*.parquet'),
+         |var2 AS (SELECT * FROM '$SideRoot/dsm2/*.parquet')
+         |SELECT d.gx, d.gy,
+         |  CASE WHEN (d.v - COALESCE(t.v, d.v)) > $aglRaw AND v2.v IS NOT NULL THEN 6
+         |       WHEN (d.v - COALESCE(t.v, d.v)) > $aglRaw THEN 5
+         |       ELSE 2 END AS cls
+         |FROM dsm d
+         |LEFT JOIN dtm t ON t.gx = d.gx AND t.gy = d.gy
+         |LEFT JOIN var2 v2 ON v2.gx = d.gx AND v2.gy = d.gy
+         |ORDER BY d.gx, d.gy""".stripMargin) { (s, dir) =>
+      val p = products(s, dir)
+      p.dsm.write.mode("overwrite").parquet(s"$SideRoot/dsm")
+      p.dtm.write.mode("overwrite").parquet(s"$SideRoot/dtm")
+      p.dsm2.write.mode("overwrite").parquet(s"$SideRoot/dsm2")
+      p.classification.orderBy(col("gx"), col("gy"))
+    }
   }
 
   val q_shr3d_outlines: QueryDef = QueryDef.rowsOnly("q_shr3d_outlines") { (s, dir) =>

@@ -50,6 +50,23 @@ class MetaSpec extends SparkSpec {
     assert(rowsSum == 1000)
   }
 
+  test("snapshot commit records per-partition write metrics with latency") {
+    import spark.implicits._
+    val root = tmpRoot
+    val df = spark.range(4000).repartition(4).toDF("id")
+    val m = Snapshots.commit(df, root, "wm", "lineage-1")
+    val pm = Snapshots.metrics(spark, root, "wm")
+    assert(pm.filter(col("snapshotId") === m.snapshotId).count() == 4,
+      "expected one metric row per write partition")
+    assert(pm.agg(sum("rows")).head().getLong(0) == 4000)
+    assert(pm.filter(col("latencyMs") < 0).count() == 0)
+    // a second snapshot accumulates in the same metadata table
+    Snapshots.commit(df.limit(100).repartition(1), root, "wm", "lineage-2")
+    val all = Snapshots.metrics(spark, root, "wm")
+    assert(all.select("snapshotId").distinct().count() == 2)
+    assert(all.count() == 5)
+  }
+
   test("salted aggregation equals direct aggregation") {
     import spark.implicits._
     // heavy skew: key 0 holds 90% of rows
