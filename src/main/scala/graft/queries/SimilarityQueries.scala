@@ -106,10 +106,14 @@ object SimilarityQueries {
          |px$k AS (SELECT cid, vec_id, r.range - 1 AS pos,
          |    v[CAST(r.range AS INT)] AS x
          |  FROM a$k CROSS JOIN range(1, ${Dim + 1}) r),
+         |smc$k AS (SELECT cid, pos, vec_id // ${Ann.MeanFoldChunk} AS chunk,
+         |    list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) AS cs,
+         |    count(*) AS cn
+         |  FROM px$k GROUP BY cid, pos, chunk),
          |sm$k AS (SELECT cid, pos,
-         |    list_reduce(list(x ORDER BY vec_id), (a, b) -> a + b) AS s,
-         |    count(*) AS n
-         |  FROM px$k GROUP BY cid, pos),
+         |    list_reduce(list(cs ORDER BY chunk), (a, b) -> a + b) AS s,
+         |    sum(cn) AS n
+         |  FROM smc$k GROUP BY cid, pos),
          |cm$k AS (SELECT cid, list(s / n ORDER BY pos) AS raw FROM sm$k GROUP BY cid),
          |c$k AS (SELECT cid, list_transform(raw,
          |    x -> x / sqrt(${dot("raw", "raw")})) AS cv

@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
  */
 object Ann {
 
+  /** vec_id-chunk width of the deterministic centroid-mean fold. */
+  final val MeanFoldChunk = 4096L
+
   private def dotExpr(a: String, b: String) =
     DotProduct(col(a), col(b))
 
@@ -105,16 +108,24 @@ object Ann {
     for (_ <- 0 until iters) {
       assignments = assignToCentroids(corpus, cents).localCheckpoint()
       // new centroid = normalized mean of its members. The per-dimension
-      // sum folds in ASCENDING vec_id order (not a plain double `sum`,
-      // whose result depends on partial-aggregation order), so the
-      // centroids — and everything downstream — are bit-reproducible
-      // and match q_ann_ivf's DuckDB dual exactly.
+      // sum is a TWO-LEVEL deterministic fold (not a plain double `sum`,
+      // whose result depends on partial-aggregation order): members fold
+      // in ascending vec_id order inside fixed vec_id-chunks, then the
+      // chunk sums fold in chunk order — bit-reproducible (matches
+      // q_ann_ivf's DuckDB dual exactly) AND bounded: no group ever
+      // collects more than MeanFoldChunk values, so a hot IVF cell at
+      // corpus scale can't blow up one aggregation buffer.
       val sums = assignments
         .select(col("cid"), col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos")
+        .withColumn("chunk", expr(s"vec_id div $MeanFoldChunk"))
+        .groupBy("cid", "pos", "chunk")
         .agg(expr("aggregate(transform(array_sort(collect_list(struct(vec_id, x)))," +
-            " e -> e.x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("s"),
-          count(lit(1)).as("n"))
+            " e -> e.x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("cs"),
+          count(lit(1)).as("cn"))
+        .groupBy("cid", "pos")
+        .agg(expr("aggregate(transform(array_sort(collect_list(struct(chunk, cs)))," +
+            " e -> e.cs), CAST(0 AS DOUBLE), (acc, x) -> acc + x)").as("s"),
+          sum("cn").as("n"))
       cents = sums.groupBy("cid")
         .agg(expr("array_sort(collect_list(struct(pos, s / n AS m)))").as("arr"))
         .select(col("cid"), expr("transform(arr, e -> e.m)").as("raw"))
