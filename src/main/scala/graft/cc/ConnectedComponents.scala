@@ -51,9 +51,13 @@ object ConnectedComponents {
     * the tiled distributed path. Both asserted equal in CcSpec. */
   final val DefaultDenseThreshold: Long = 1L << 20
 
+  /** `diag = false` restricts adjacency to 4-connectivity (the
+    * reference's BACKGROUND labeling in `Image.h:288-297` — holes are
+    * 4-connected while foreground objects are 8-connected). */
   def label(cells: DataFrame, bounds: Bounds, tileSize: Int = 128,
             maxDz: Option[Int] = None, maxCount: Option[Long] = None,
-            denseThreshold: Long = DefaultDenseThreshold): DataFrame = {
+            denseThreshold: Long = DefaultDenseThreshold,
+            diag: Boolean = true): DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
     val t = tileSize
@@ -67,7 +71,7 @@ object ConnectedComponents {
       col("v").cast("int")).as[Cell]
 
     if (bounds.w.toLong * bounds.h <= denseThreshold)
-      return labelDense(ds, bounds, dzOk, maxCount)
+      return labelDense(ds, bounds, dzOk, maxCount, diag)
 
     // ---- 1. per-tile local CCL ----
     val local = ds.groupByKey(c => ((c.gx / t) << 32) | (c.gy / t))
@@ -87,7 +91,8 @@ object ConnectedComponents {
           val ra = find(a); val rb = find(b)
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         }
-        val offs = Seq((1, -1), (1, 0), (1, 1), (0, 1))
+        val offs = if (diag) Seq((1, -1), (1, 0), (1, 1), (0, 1))
+                   else Seq((1, 0), (0, 1))
         arr.zipWithIndex.foreach { case (c, i) =>
           offs.foreach { case (dx, dy) =>
             val nx = c.gx + dx; val ny = c.gy + dy
@@ -115,8 +120,9 @@ object ConnectedComponents {
     val border = local.filter(
       (col("gx") % t === 0) || (col("gx") % t === t - 1) ||
         (col("gy") % t === 0) || (col("gy") % t === t - 1)).localCheckpoint()
-    val offsets = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
-      .toDF("dx", "dy")
+    val offsets = (if (diag)
+      Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+    else Seq((-1, 0), (0, -1), (0, 1), (1, 0))).toDF("dx", "dy")
     val a = border.select(col("gx").as("ax"), col("gy").as("ay"),
       col("v").as("av"), col("lbl").as("la"))
     val b = border.select(col("gx").as("bx"), col("gy").as("by"),
@@ -205,7 +211,8 @@ object ConnectedComponents {
     * (small) grid, same canonical labels and chunk semantics. */
   private def labelDense(ds: org.apache.spark.sql.Dataset[Cell], bounds: Bounds,
                          dzOk: (Int, Int) => Boolean,
-                         maxCount: Option[Long]): DataFrame = {
+                         maxCount: Option[Long],
+                         diag: Boolean = true): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
     val w = bounds.w.toLong
@@ -227,7 +234,8 @@ object ConnectedComponents {
           val ra = find(a); val rb = find(b)
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         }
-        val offs = Seq((1, -1), (1, 0), (1, 1), (0, 1))
+        val offs = if (diag) Seq((1, -1), (1, 0), (1, 1), (0, 1))
+                   else Seq((1, 0), (0, 1))
         arr.zipWithIndex.foreach { case (c, i) =>
           offs.foreach { case (dx, dy) =>
             val nx = c.gx + dx; val ny = c.gy + dy

@@ -87,6 +87,116 @@ object Shr3dQueries {
       .orderBy(col("label"))
   }
 
+  /** V1 reference-EXACT boundary trace (RefTrace): fg/bg CCL with the
+    * reference's scan-order numbering, radial-sweep pixel walk, hole
+    * attachment — all bit-exact against a DuckDB dual that unrolls the
+    * same semantics (recursive-CTE min-label closure for both CCL
+    * passes, a recursive walk state machine stepping every ring in
+    * lockstep, and string-built WKT in the same serialization). */
+  val q_outlines_ref: QueryDef = {
+    import graft.grid.Gridding
+    import graft.stencil.TileStencil.Bounds
+    val spec10 = Gridding.GridSpec(gsd = 10.0)
+    val (w, h) = Gridding.boundsFor(spec10) // (38, 19)
+    val sql =
+      s"""WITH RECURSIVE ${Gridding.splatCte(spec10)},
+         |g AS (SELECT gx, gy FROM (
+         |  SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy) WHERE v > 50000),
+         |freach(gx, gy, l) AS (
+         |  SELECT gx, gy, gy * $w + gx FROM g
+         |  UNION
+         |  SELECT n.gx, n.gy, r.l FROM freach r
+         |  JOIN g n ON abs(n.gx - r.gx) <= 1 AND abs(n.gy - r.gy) <= 1
+         |    AND r.l < n.gy * $w + n.gx),
+         |flbl AS MATERIALIZED (SELECT gx, gy, min(l) AS lbl FROM freach GROUP BY gx, gy),
+         |ffirst AS (SELECT lbl, min(gy * $w + gx) AS cid, count(*) AS n_fg
+         |  FROM flbl GROUP BY lbl),
+         |fref AS MATERIALIZED (SELECT lbl, row_number() OVER (ORDER BY cid) AS ref, n_fg FROM ffirst),
+         |lattice AS (SELECT x.range AS gx, y.range AS gy
+         |  FROM range(0, $w) x CROSS JOIN range(0, $h) y),
+         |bg AS (SELECT gx, gy FROM lattice t WHERE NOT EXISTS (
+         |  SELECT 1 FROM g WHERE g.gx = t.gx AND g.gy = t.gy)),
+         |breach(gx, gy, l) AS (
+         |  SELECT gx, gy, gy * $w + gx FROM bg
+         |  UNION
+         |  SELECT n.gx, n.gy, r.l FROM breach r
+         |  JOIN bg n ON abs(n.gx - r.gx) + abs(n.gy - r.gy) = 1
+         |    AND r.l < n.gy * $w + n.gx),
+         |blbl AS MATERIALIZED (SELECT gx, gy, min(l) AS lbl FROM breach GROUP BY gx, gy),
+         |hole AS MATERIALIZED (SELECT * FROM blbl t WHERE NOT EXISTS (
+         |  SELECT 1 FROM blbl e WHERE e.lbl = t.lbl AND
+         |    (e.gx = 0 OR e.gx = ${w - 1} OR e.gy = 0 OR e.gy = ${h - 1}))),
+         |hfirst AS MATERIALIZED (SELECT lbl, min(gy * $w + gx) AS cid FROM hole GROUP BY lbl),
+         |hrank AS MATERIALIZED (SELECT lbl, cid, row_number() OVER (ORDER BY cid) AS hrank FROM hfirst),
+         |howner AS MATERIALIZED (SELECT hr.lbl AS hlbl, hr.hrank, fr.ref
+         |  FROM hrank hr
+         |  JOIN flbl f ON f.gx = hr.cid % $w AND f.gy = (hr.cid // $w) - 1
+         |  JOIN fref fr ON fr.lbl = f.lbl),
+         |cells AS MATERIALIZED (
+         |  SELECT fr.ref, 0 AS ring, f.gx, f.gy
+         |  FROM flbl f JOIN fref fr ON fr.lbl = f.lbl
+         |  UNION ALL
+         |  SELECT o.ref, o.hrank AS ring, hl.gx, hl.gy
+         |  FROM hole hl JOIN howner o ON o.hlbl = hl.lbl),
+         |starts AS MATERIALIZED (SELECT ref, ring,
+         |  CASE WHEN ring = 0 THEN 1 ELSE 2 END AS stride,
+         |  min(gy * $w + gx) // $w AS sr, min(gy * $w + gx) % $w AS sc
+         |  FROM cells GROUP BY ref, ring),
+         |dirs(d, dj, di) AS (VALUES (0, 1, 0), (1, 1, -1), (2, 0, -1), (3, -1, -1),
+         |  (4, -1, 0), (5, -1, 1), (6, 0, 1), (7, 1, 1)),
+         |cand AS (SELECT c.ref, c.ring, c.gy AS m, c.gx AS n, ld.range AS last_dir,
+         |    k.range AS k, (ld.range + 6 + st.stride * k.range) % 8 AS d
+         |  FROM cells c JOIN starts st USING (ref, ring)
+         |  CROSS JOIN range(0, 8) ld CROSS JOIN range(0, 6) k
+         |  WHERE k.range < CASE WHEN st.stride = 1 THEN 6 ELSE 3 END),
+         |hits AS (SELECT ca.ref, ca.ring, ca.m, ca.n, ca.last_dir, ca.k, ca.d
+         |  FROM cand ca JOIN dirs dd ON dd.d = ca.d
+         |  JOIN cells c2 ON c2.ref = ca.ref AND c2.ring = ca.ring
+         |    AND c2.gy = ca.m + dd.dj AND c2.gx = ca.n + dd.di),
+         |trans AS MATERIALIZED (SELECT s.ref, s.ring, s.m, s.n, s.last_dir,
+         |    COALESCE(arg_min(h.d, h.k), (s.last_dir + 4) % 8) AS nd
+         |  FROM (SELECT DISTINCT ref, ring, m, n, last_dir FROM cand) s
+         |  LEFT JOIN hits h ON h.ref = s.ref AND h.ring = s.ring
+         |    AND h.m = s.m AND h.n = s.n AND h.last_dir = s.last_dir
+         |  GROUP BY s.ref, s.ring, s.m, s.n, s.last_dir),
+         |walk(ref, ring, sr, sc, m, n, last_dir, first_dir, nd, seq) AS (
+         |  SELECT s.ref, s.ring, s.sr, s.sc, s.sr, s.sc, 0, -1, t.nd, 0
+         |  FROM starts s JOIN trans t ON t.ref = s.ref AND t.ring = s.ring
+         |    AND t.m = s.sr AND t.n = s.sc AND t.last_dir = 0
+         |  UNION ALL
+         |  SELECT w.ref, w.ring, w.sr, w.sc,
+         |    w.m + mv.dj, w.n + mv.di, w.nd,
+         |    CASE WHEN w.first_dir = -1 THEN w.nd ELSE w.first_dir END,
+         |    t.nd, w.seq + 1
+         |  FROM walk w JOIN dirs mv ON mv.d = w.nd
+         |  JOIN trans t ON t.ref = w.ref AND t.ring = w.ring
+         |    AND t.m = w.m + mv.dj AND t.n = w.n + mv.di AND t.last_dir = w.nd
+         |  WHERE NOT (w.nd = (w.last_dir + 4) % 8 AND w.seq = 0)
+         |    AND NOT (w.m = w.sr AND w.n = w.sc AND w.nd = w.first_dir AND w.seq > 0)),
+         |verts AS (SELECT ref, ring, seq, n AS x, m AS y FROM walk
+         |  WHERE NOT (m = sr AND n = sc AND nd = first_dir AND seq > 0)),
+         |ringstr AS (SELECT ref, ring,
+         |  '(' || string_agg(x || ' ' || y, ', ' ORDER BY seq) || ', ' ||
+         |    arg_min(x, seq) || ' ' || arg_min(y, seq) || ')' AS rs
+         |  FROM verts GROUP BY ref, ring),
+         |polys AS (SELECT ref,
+         |  'POLYGON (' || string_agg(rs, ', '
+         |    ORDER BY CASE WHEN ring = 0 THEN 0 ELSE 1 END, ring DESC) || ')' AS wkt
+         |  FROM ringstr GROUP BY ref)
+         |SELECT p.ref AS label, fr.n_fg AS n_cells, p.wkt
+         |FROM polys p JOIN fref fr ON fr.ref = p.ref
+         |ORDER BY label""".stripMargin
+    QueryDef.sqlChecked("q_outlines_ref", sql) { (s, dir) =>
+      import graft.stencil.TileStencil.Bounds
+      val dsm = Gridding.dsm(Gridding.points(
+        Geo.withGeo(Tables.documents(s, dir)), spec10))
+      val mask = dsm.filter(col("v") > 50000).select("gx", "gy")
+      graft.vector.RefTrace.refOutlines(mask, Bounds(w, h), tileSize = 16)
+        .orderBy(col("label"))
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q_shr3d_class, q_shr3d_outlines, q_outlines_v3, q_shr3d_dtm)
+    Seq(q_shr3d_class, q_shr3d_outlines, q_outlines_v3, q_outlines_ref,
+      q_shr3d_dtm)
 }

@@ -1,0 +1,225 @@
+package graft.vector
+
+import graft.cc.ConnectedComponents
+import graft.stencil.TileStencil.Bounds
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Reference-EXACT boundary tracing (SURVEY.md §2.9 V1; pubgeo
+ * `src/common/geo_polygon.h:140-243` + `src/common/Image.h:244-326`):
+ * the radial-sweep pixel walk over a label image, producing the same
+ * vertex sequences (pixel-center coordinates, clockwise in image
+ * coordinates, unclosed in the reference — closed here only for WKT
+ * serialization) that the reference writes to its shapefiles.
+ *
+ * This complements [[Vectorize]]'s edge-trace re-spec (which yields
+ * OGC-simple closed rings): use `refOutlines` when byte-parity with the
+ * reference polygon product matters, `Vectorize.outlines` when valid
+ * geometry matters. The walk can revisit pixels (1-px-wide necks), so
+ * rings here may self-touch exactly as the reference's do.
+ *
+ * Label semantics reproduced exactly (`Image.h:255-326` +
+ * `disjoint_set.h:59-121`):
+ *  - foreground objects are 8-connected, numbered 1.. in ROW-MAJOR
+ *    FIRST-PIXEL order (DisjointSet.merge keeps the smaller provisional
+ *    label and flatten renumbers roots in ascending provisional order,
+ *    which is exactly the scan order of each component's first pixel);
+ *  - background is 4-connected; components touching the image edge
+ *    collapse to label 0 (never traced); enclosed background components
+ *    (holes) are numbered -1, -2, .. in row-major first-pixel order;
+ *  - a hole becomes an inner ring of the label directly ABOVE its first
+ *    pixel (`geo_polygon.h:230`), and inner rings are attached in
+ *    ascending negative-label order (std::map iteration,
+ *    `geo_polygon.h:236-239`) = DESCENDING hole rank.
+ *
+ * Distribution: both label passes run on the engine's tiled CCL (G1);
+ * scan-order renumbering is a two-stage rank over one row per component
+ * (block-local row_number + prefix offsets — no single-task sort of the
+ * component table); per-label ring gather is the same bounded
+ * mapGroups as [[Vectorize.outlines]] with the same `maxCells` refusal.
+ */
+object RefTrace {
+
+  import Vectorize.{PackedCells, Pt}
+
+  /** Row delta by walk direction (geo_polygon.h:163). */
+  private val dj = Array(1, 1, 0, -1, -1, -1, 0, 1)
+  /** Column delta by walk direction (geo_polygon.h:164). */
+  private val di = Array(0, -1, -1, -1, 0, 1, 1, 1)
+
+  /** The reference's radial-sweep boundary walk (geo_polygon.h:152-204)
+    * from pixel (row `r`, col `c`), which must be the component's
+    * row-major first pixel (no same-label pixel in any earlier row).
+    * `fg = true` -> 8-connectivity (direction stride 1), `false` ->
+    * 4-connectivity (stride 2, background/hole rings). Membership is
+    * `cells.contains(col, row)`; out-of-image pixels are simply absent.
+    * Returns the UNCLOSED clockwise ring of (col, row) pixel coords;
+    * a single-pixel component returns just its one pixel. */
+  def walkFrom(cells: PackedCells, r: Long, c: Long, fg: Boolean): Vector[Pt] = {
+    val stride = if (fg) 1 else 2
+    var m = r
+    var n = c
+    var firstDir = -1
+    var lastDir = 0
+    val ring = scala.collection.mutable.ArrayBuffer[Pt]()
+    val maxSteps = 8L * (cells.size + 2) // walk visits each pixel <= 8 times
+    while (true) {
+      ring += ((n, m))
+      if (ring.length > maxSteps)
+        throw new IllegalStateException(
+          s"boundary walk did not close after $maxSteps steps — input not one component?")
+      val finDir = (lastDir + 4) % 8
+      var newDir = (lastDir + 6) % 8
+      var found = false
+      while (!found && newDir != finDir) {
+        if (cells.contains(n + di(newDir), m + dj(newDir))) found = true
+        else newDir = (newDir + stride) % 8
+      }
+      if (newDir == finDir && ring.length == 1) {
+        return ring.toVector // single-pixel object keeps its one vertex
+      } else if (m == r && n == c && newDir == firstDir) {
+        ring.remove(ring.length - 1) // pop the re-pushed start ("unclose")
+        return ring.toVector
+      } else if (firstDir < 0) {
+        firstDir = newDir
+      }
+      m += dj(newDir)
+      n += di(newDir)
+      lastDir = newDir
+    }
+    sys.error("unreachable")
+  }
+
+  /** [[walkFrom]] started at the component's row-major first pixel. */
+  def walk(cells: PackedCells, fg: Boolean): Vector[Pt] = {
+    var r = Long.MaxValue
+    var c = Long.MaxValue
+    cells.foreach { (x, y) =>
+      if (y < r || (y == r && x < c)) { r = y; c = x }
+    }
+    walkFrom(cells, r, c, fg)
+  }
+
+  /** WKT POLYGON from an outer walk ring + inner walk rings (already in
+    * reference attachment order). Rings are closed for WKT by repeating
+    * the first vertex (the reference stores them unclosed and lets OGR
+    * close on write). */
+  def toWkt(outer: Vector[Pt], inners: Seq[Vector[Pt]]): String = {
+    def ringStr(r: Vector[Pt]): String =
+      (r :+ r.head).map(p => s"${p._1} ${p._2}").mkString("(", ", ", ")")
+    (ringStr(outer) +: inners.map(ringStr)).mkString("POLYGON (", ", ", ")")
+  }
+
+  /** Block size for the two-stage scan-order rank (one row per
+    * component; blocks bound every window partition). */
+  private val RankBlock: Long = 1L << 20
+
+  /** (key, cid) -> (key, rank) where rank is the 1-based ascending rank
+    * of cid. Two-stage: block-local row_number + prefix offsets over the
+    * per-block counts — no single-task sort of the full table. */
+  private def rankByCid(first: DataFrame): DataFrame = {
+    val blocks = first.withColumn("tid", expr(s"cid div $RankBlock"))
+    val wLocal = Window.partitionBy(col("tid")).orderBy(col("cid"))
+    val wPrefix = Window.orderBy(col("tid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = blocks.groupBy("tid").agg(count(lit(1)).as("tn"))
+      .withColumn("off", sum(col("tn")).over(wPrefix) - col("tn"))
+      .select("tid", "off")
+    blocks.withColumn("lr", row_number().over(wLocal))
+      .join(offsets, Seq("tid"))
+      .withColumn("rank", col("off") + col("lr"))
+      .drop("tid", "lr", "off")
+  }
+
+  /** Mask cells (gx, gy) on a [0,w)x[0,h) raster -> one row per
+    * foreground object: (label, n_cells, wkt) with the reference's
+    * label numbering, vertex sequences, and hole attachment. `n_cells`
+    * counts the object's own pixels (holes excluded). Objects whose
+    * pixel count (own + holes) exceeds `maxCells` are refused with a
+    * null wkt, as in [[Vectorize.outlines]]. */
+  def refOutlines(mask: DataFrame, bounds: Bounds, tileSize: Int = 128,
+                  maxCells: Long = Vectorize.DefaultMaxCells): DataFrame = {
+    val spark = mask.sparkSession
+    import spark.implicits._
+    val w = bounds.w.toLong
+    val h = bounds.h.toLong
+
+    val fgCells = mask.select(col("gx").cast("long"), col("gy").cast("long"))
+      .withColumn("v", lit(1))
+    // 8-connected foreground labeling (canonical min-cell-id labels)
+    val fgLab = ConnectedComponents.label(fgCells, bounds, tileSize)
+      .select("gx", "gy", "label").localCheckpoint()
+    // renumber to the reference's scan order: rank of first pixel
+    val fgFirst = fgLab.groupBy("label")
+      .agg(min(col("gy") * w + col("gx")).as("cid"),
+        count(lit(1)).as("n_fg"))
+    val fgRef = rankByCid(fgFirst)
+      .select(col("label"), col("rank").as("ref"), col("n_fg"))
+
+    // background = lattice minus mask, 4-connected; edge-touching
+    // components are the reference's label 0 (never traced)
+    val lattice = spark.range(w * h)
+      .select((col("id") % w).as("gx"), expr(s"id div $w").as("gy"))
+    val bgCells = lattice
+      .join(fgCells.select("gx", "gy"), Seq("gx", "gy"), "left_anti")
+      .withColumn("v", lit(1))
+    val bgLab = ConnectedComponents.label(bgCells, bounds, tileSize, diag = false)
+      .select("gx", "gy", "label").localCheckpoint()
+    val edgeLabels = bgLab.filter(
+      col("gx") === 0 || col("gx") === w - 1 ||
+        col("gy") === 0 || col("gy") === h - 1)
+      .select("label").distinct()
+    val holeCells = bgLab.join(edgeLabels, Seq("label"), "left_anti")
+    val holeFirst = holeCells.groupBy("label")
+      .agg(min(col("gy") * w + col("gx")).as("cid"))
+    // hole rank (the reference's -1, -2, .. in scan order) + owner =
+    // foreground label directly above the hole's first pixel
+    val holeRank = rankByCid(holeFirst)
+      .select(col("label").as("hlbl"), col("rank").as("hrank"), col("cid"))
+    val holeOwner = holeRank
+      .join(fgLab, fgLab("gx") === holeRank("cid") % w &&
+        fgLab("gy") === expr(s"cid div $w") - 1)
+      .join(fgRef.select("label", "ref"), Seq("label"))
+      .select(col("hlbl"), col("hrank"), col("ref"))
+
+    // one tagged cell table: ring 0 = object pixels, ring k = hole k
+    val fgTagged = fgLab.join(fgRef.select("label", "ref"), Seq("label"))
+      .select(col("ref"), lit(0L).as("ring"), col("gx"), col("gy"))
+    val holeTagged = holeCells
+      .join(holeOwner, holeCells("label") === holeOwner("hlbl"))
+      .select(col("ref"), col("hrank").as("ring"), col("gx"), col("gy"))
+    val tagged = fgTagged.unionByName(holeTagged)
+
+    val sizes = tagged.groupBy("ref").agg(count(lit(1)).as("n_total"))
+    val refused = sizes.filter(col("n_total") > maxCells)
+      .join(fgRef.select(col("ref"), col("n_fg")), Seq("ref"))
+      .select(col("ref").as("label"), col("n_fg").as("n_cells"),
+        lit(null).cast("string").as("wkt"))
+    val traced = tagged
+      .join(sizes.filter(col("n_total") <= maxCells).select("ref"),
+        Seq("ref"), "left_semi")
+      .select("ref", "ring", "gx", "gy")
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (ref, it) =>
+        val byRing = scala.collection.mutable.LongMap[scala.collection.mutable.ArrayBuilder.ofLong]()
+        it.foreach { case (_, ring, gx, gy) =>
+          byRing.getOrElseUpdate(ring, new scala.collection.mutable.ArrayBuilder.ofLong) +=
+            ((gx << 32) | gy)
+        }
+        def cellsOf(ring: Long): PackedCells =
+          PackedCells.fromPacked(byRing(ring).result())
+        val own = cellsOf(0L)
+        val outer = walk(own, fg = true)
+        // inner rings in the reference's attachment order: ascending
+        // negative label = DESCENDING hole rank (geo_polygon.h:236-239)
+        val inners = byRing.keys.filter(_ > 0L).toSeq.sorted.reverse
+          .map(k => walk(cellsOf(k), fg = false))
+        (ref, own.size.toLong, toWkt(outer, inners))
+      }
+      .toDF("label", "n_cells", "wkt")
+    traced.unionByName(refused)
+  }
+}

@@ -52,7 +52,10 @@ object Vectorize {
     def fromIterator(it: Iterator[Pt]): PackedCells = {
       val b = Array.newBuilder[Long]
       it.foreach { case (x, y) => b += ((x << 32) | y) }
-      val a = b.result()
+      fromPacked(b.result())
+    }
+    /** Takes ownership of `a` (packed (x << 32) | y coords). */
+    def fromPacked(a: Array[Long]): PackedCells = {
       java.util.Arrays.sort(a)
       new PackedCells(a)
     }

@@ -1,0 +1,151 @@
+package graft
+
+import graft.stencil.TileStencil.Bounds
+import graft.vector.{RefTrace, Vectorize}
+import org.apache.spark.sql.functions._
+
+/** RefTrace (reference-exact V1 boundary trace) against the dense
+  * single-threaded oracle: label numbering, vertex sequences, hole
+  * attachment and ordering, across fixtures, random masks, and
+  * tile-size / parallelism choices. */
+class RefTraceSpec extends SparkSpec {
+
+  private def maskOf(rows: Seq[String]): Array[Array[Boolean]] =
+    rows.map(_.map(_ == '#').toArray).toArray
+
+  private def expected(mask: Array[Array[Boolean]]): Map[Long, (Long, String)] = {
+    val lab = RefTraceOracle.labelImage(mask)
+    val sizes = lab.flatten.filter(_ > 0).groupBy(identity).map { case (k, v) => k -> v.length }
+    RefTraceOracle.trace(lab).map { case (v, (outer, inners)) =>
+      v.toLong -> (sizes(v).toLong, RefTraceOracle.wkt(outer, inners))
+    }
+  }
+
+  private def run(mask: Array[Array[Boolean]], tile: Int): Map[Long, (Long, String)] = {
+    val h = mask.length
+    val w = mask(0).length
+    val cells = for {
+      y <- 0 until h; x <- 0 until w; if mask(y)(x)
+    } yield (x.toLong, y.toLong)
+    import spark.implicits._
+    val df = cells.toDF("gx", "gy")
+    RefTrace.refOutlines(df, Bounds(w, h), tileSize = tile)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+  }
+
+  private def check(name: String, rows: Seq[String],
+                    tiles: Seq[Int] = Seq(4, 128)): Unit = {
+    val mask = maskOf(rows)
+    val exp = expected(mask)
+    for (tile <- tiles) test(s"$name (tile=$tile)") {
+      assert(run(mask, tile) === exp)
+    }
+  }
+
+  check("single pixel", Seq(
+    ".....",
+    "..#..",
+    "....."))
+
+  check("domino + diagonal-touch pair", Seq(
+    "......",
+    ".##...",
+    "...#..",
+    "....#.",
+    "......"))
+
+  check("square with a hole", Seq(
+    ".......",
+    ".#####.",
+    ".#...#.",
+    ".#.#.#.",
+    ".#...#.",
+    ".#####.",
+    "......."))
+
+  check("two holes in one object (attachment order)", Seq(
+    "..........",
+    ".########.",
+    ".#..##..#.",
+    ".#..##..#.",
+    ".########.",
+    ".........."))
+
+  check("hole jointly enclosed by two 8-separate objects", Seq(
+    // the U (label A) and the bar below (label B) only the pair encloses
+    // the middle background cell; neither alone does
+    ".......",
+    ".#...#.",
+    ".#...#.",
+    ".##.##.",
+    "..###..",
+    "......."))
+
+  check("1-px corridor (walk revisits pixels)", Seq(
+    ".......",
+    ".#####.",
+    "...#...",
+    ".#####.",
+    "......."))
+
+  check("mask touching the image edge", Seq(
+    "##...",
+    "#..#.",
+    "...##",
+    ".....",
+    "#...#"))
+
+  check("nested: object in a hole of another object", Seq(
+    ".........",
+    ".#######.",
+    ".#.....#.",
+    ".#.###.#.",
+    ".#.#.#.#.",
+    ".#.###.#.",
+    ".#.....#.",
+    ".#######.",
+    "........."))
+
+  for (seed <- Seq(1, 7); density <- Seq(0.35, 0.6, 0.85)) {
+    val r = new scala.util.Random(seed)
+    val (w, h) = (23, 17)
+    val rows = Seq.tabulate(h)(_ =>
+      String.valueOf(Array.fill(w)(if (r.nextDouble() < density) '#' else '.')))
+    check(s"random mask seed=$seed density=$density", rows, tiles = Seq(5, 64))
+  }
+
+  test("maxCells refusal emits null wkt with the object's own size") {
+    import spark.implicits._
+    val mask = maskOf(Seq(
+      ".....",
+      ".###.",
+      ".###.",
+      ".....",
+      "..#.."))
+    val cells = for {
+      y <- mask.indices; x <- mask(0).indices; if mask(y)(x)
+    } yield (x.toLong, y.toLong)
+    val out = RefTrace.refOutlines(cells.toDF("gx", "gy"), Bounds(5, 5),
+      tileSize = 4, maxCells = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), Option(r.getString(2)))).toMap
+    assert(out(1L)._1 === 6L) // 6-cell block refused
+    assert(out(1L)._2.isEmpty)
+    assert(out(2L)._2.nonEmpty) // single pixel traced
+  }
+
+  test("walkFrom matches the dense walk on an 8-connected diagonal chain") {
+    val mask = maskOf(Seq(
+      "#....",
+      ".#...",
+      "..#..",
+      "...#.",
+      "....#"))
+    val lab = RefTraceOracle.labelImage(mask)
+    val cells = Vectorize.PackedCells(
+      (for { y <- 0 until 5; x <- 0 until 5; if mask(y)(x) }
+        yield (x.toLong, y.toLong)).toSet)
+    assert(RefTrace.walk(cells, fg = true) === RefTraceOracle.walkImage(lab, 0, 0))
+  }
+}
