@@ -242,6 +242,18 @@ object Shr3d {
     lazy val outlines: DataFrame =
       Vectorize.outlines(buildingLabels, minArea = 0.25)
 
+    /** Reference-EXACT createOutlines product (shr3d.cpp:510-529):
+      * building mask -> x3 upsampled label image (bldgLabels3) ->
+      * radial-sweep boundary trace -> buildingSimplify per ring, with
+      * the reference's label numbering, hole attachment, and empty-ring
+      * drops (at the default scale 36 that also drops buildings too
+      * small to carry 3 corners, as the reference does). Coordinates
+      * are in the x3 pixel frame. */
+    def outlinesRef(scale: Int = 36): DataFrame =
+      graft.vector.RefTrace.refOutlinesSimplified(
+        buildingLabels.select("gx", "gy"), bounds,
+        scale = scale, factor = 3, tileSize = cfg.tileSize)
+
     /** INT product (createIntensity, shr3d.cpp:319-368): per cell, the
       * mean point intensity over splatted points whose z is within dz of
       * the cell's DSM, scaled to u16 by the global max mean, then the

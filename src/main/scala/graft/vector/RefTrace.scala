@@ -140,7 +140,58 @@ object RefTrace {
     * pixel count (own + holes) exceeds `maxCells` are refused with a
     * null wkt, as in [[Vectorize.outlines]]. */
   def refOutlines(mask: DataFrame, bounds: Bounds, tileSize: Int = 128,
-                  maxCells: Long = Vectorize.DefaultMaxCells): DataFrame = {
+                  maxCells: Long = Vectorize.DefaultMaxCells): DataFrame =
+    outlinesWith(mask, bounds, tileSize, maxCells,
+      (outer, inners) => Some(toWkt(outer, inners)))
+
+  /** WKT POLYGON over fractional-coordinate rings (buildingSimplify
+    * output); integer-valued coords collapse to integer literals like
+    * [[Vectorize.toWkt]]. */
+  def toWktD(outer: Vector[(Double, Double)],
+             inners: Seq[Vector[(Double, Double)]]): String = {
+    def fmt(d: Double): String =
+      if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    def ringStr(r: Vector[(Double, Double)]): String =
+      (r :+ r.head).map(p => s"${fmt(p._1)} ${fmt(p._2)}").mkString("(", ", ", ")")
+    (ringStr(outer) +: inners.map(ringStr)).mkString("POLYGON (", ", ", ")")
+  }
+
+  /** The reference's FULL createOutlines chain (`shr3d.cpp:510-529`):
+    * nn_upsample the mask by `factor` (the reference's bldgLabels3,
+    * factor 3), trace with the radial sweep, then buildingSimplify
+    * each ring (findCorners -> addMissingPoints -> improvePoints ->
+    * vwReduce, `geo_polygon.h:333-372`). Polygons whose simplified
+    * outer ring is empty are dropped and empty simplified holes are
+    * dropped, exactly as the reference does. Coordinates are in the
+    * UPSAMPLED pixel frame (as the reference's are, georeferenced at
+    * gsd/factor on write). `n_cells` counts upsampled object pixels. */
+  def refOutlinesSimplified(mask: DataFrame, bounds: Bounds, scale: Int = 36,
+                            factor: Int = 3, tileSize: Int = 128,
+                            maxCells: Long = Vectorize.DefaultMaxCells): DataFrame = {
+    val spark = mask.sparkSession
+    import spark.implicits._
+    val deltas = (for { dy <- 0 until factor; dx <- 0 until factor }
+      yield (dx, dy)).toDF("dx", "dy")
+    val up = mask.select(col("gx").cast("long"), col("gy").cast("long"))
+      .crossJoin(broadcast(deltas))
+      .select((col("gx") * factor + col("dx")).as("gx"),
+        (col("gy") * factor + col("dy")).as("gy"))
+    outlinesWith(up, Bounds(bounds.w * factor, bounds.h * factor),
+      tileSize, maxCells,
+      (outer, inners) => {
+        def d(r: Vector[Pt]) = r.map(p => (p._1.toDouble, p._2.toDouble))
+        val so = Vectorize.buildingSimplify(d(outer), scale)
+        if (so.isEmpty) None
+        else Some(toWktD(so,
+          inners.map(h => Vectorize.buildingSimplify(d(h), scale))
+            .filter(_.nonEmpty)))
+      })
+  }
+
+  private def outlinesWith(mask: DataFrame, bounds: Bounds, tileSize: Int,
+                           maxCells: Long,
+                           render: (Vector[Pt], Seq[Vector[Pt]]) => Option[String])
+  : DataFrame = {
     val spark = mask.sparkSession
     import spark.implicits._
     val w = bounds.w.toLong
@@ -203,7 +254,7 @@ object RefTrace {
       .select("ref", "ring", "gx", "gy")
       .as[(Long, Long, Long, Long)]
       .groupByKey(_._1)
-      .mapGroups { (ref, it) =>
+      .flatMapGroups { (ref, it) =>
         val byRing = scala.collection.mutable.LongMap[scala.collection.mutable.ArrayBuilder.ofLong]()
         it.foreach { case (_, ring, gx, gy) =>
           byRing.getOrElseUpdate(ring, new scala.collection.mutable.ArrayBuilder.ofLong) +=
@@ -217,7 +268,7 @@ object RefTrace {
         // negative label = DESCENDING hole rank (geo_polygon.h:236-239)
         val inners = byRing.keys.filter(_ > 0L).toSeq.sorted.reverse
           .map(k => walk(cellsOf(k), fg = false))
-        (ref, own.size.toLong, toWkt(outer, inners))
+        render(outer, inners).map(w => (ref, own.size.toLong, w)).iterator
       }
       .toDF("label", "n_cells", "wkt")
     traced.unionByName(refused)

@@ -135,6 +135,70 @@ class RefTraceSpec extends SparkSpec {
     assert(out(2L)._2.nonEmpty) // single pixel traced
   }
 
+  // ---- refOutlinesSimplified: the full createOutlines chain ---------
+
+  private def upsampled(mask: Array[Array[Boolean]], f: Int): Array[Array[Boolean]] =
+    Array.tabulate(mask.length * f, mask(0).length * f)((j, i) => mask(j / f)(i / f))
+
+  private def expectedSimplified(mask: Array[Array[Boolean]], f: Int,
+                                 scale: Int): Map[Long, (Long, String)] = {
+    val up = upsampled(mask, f)
+    val lab = RefTraceOracle.labelImage(up)
+    val sizes = lab.flatten.filter(_ > 0).groupBy(identity).map { case (k, v) => k -> v.length }
+    def d(r: Vector[(Long, Long)]) = r.map(p => (p._1.toDouble, p._2.toDouble))
+    RefTraceOracle.trace(lab).flatMap { case (v, (outer, inners)) =>
+      val so = Vectorize.buildingSimplify(d(outer), scale)
+      if (so.isEmpty) None
+      else Some(v.toLong -> (sizes(v).toLong, RefTrace.toWktD(so,
+        inners.map(h => Vectorize.buildingSimplify(d(h), scale)).filter(_.nonEmpty))))
+    }
+  }
+
+  private def runSimplified(mask: Array[Array[Boolean]], f: Int, scale: Int,
+                            tile: Int): Map[Long, (Long, String)] = {
+    val h = mask.length
+    val w = mask(0).length
+    val cells = for {
+      y <- 0 until h; x <- 0 until w; if mask(y)(x)
+    } yield (x.toLong, y.toLong)
+    import spark.implicits._
+    RefTrace.refOutlinesSimplified(cells.toDF("gx", "gy"), Bounds(w, h),
+      scale = scale, factor = f, tileSize = tile)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+  }
+
+  for (tile <- Seq(7, 64)) test(s"refOutlinesSimplified == dense chain, square with hole (tile=$tile)") {
+    val mask = maskOf(Seq(
+      ".......",
+      ".#####.",
+      ".#...#.",
+      ".#.#.#.",
+      ".#...#.",
+      ".#####.",
+      "......."))
+    assert(runSimplified(mask, 3, 6, tile) === expectedSimplified(mask, 3, 6))
+  }
+
+  test("refOutlinesSimplified == dense chain, random mask") {
+    val r = new scala.util.Random(3)
+    val (w, h) = (19, 13)
+    val mask = Array.tabulate(h, w)((_, _) => r.nextDouble() < 0.55)
+    assert(runSimplified(mask, 3, 6, 16) === expectedSimplified(mask, 3, 6))
+  }
+
+  test("refOutlinesSimplified drops polygons whose simplified ring is empty") {
+    // a single pixel upsamples to 3x3 — findCorners needs >= 5 ring
+    // vertices at scale 6, so the polygon is dropped like the reference's
+    val mask = maskOf(Seq(
+      ".....",
+      "..#..",
+      "....."))
+    assert(runSimplified(mask, 3, 6, 16) === expectedSimplified(mask, 3, 6))
+    assert(runSimplified(mask, 3, 6, 16).isEmpty)
+  }
+
   test("walkFrom matches the dense walk on an 8-connected diagonal chain") {
     val mask = maskOf(Seq(
       "#....",

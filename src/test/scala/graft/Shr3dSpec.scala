@@ -158,4 +158,30 @@ class Shr3dSpec extends SparkSpec {
       .outlines.collect().map(_.toSeq).sortBy(_.head.toString)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("outlinesRef: reference createOutlines product over the scene") {
+    // scale 36 needs reference-sized buildings; the toy scene's fit in
+    // a 36x36 grid, so exercise the chain at a proportionate scale
+    val rows = products.outlinesRef(scale = 6).collect()
+    assert(rows.nonEmpty)
+    // scan-order label numbering is 1..n and every building polygon is
+    // a simplified ring in the x3 frame (coords within 3x bounds)
+    val labels = rows.map(_.getLong(0)).sorted
+    assert(labels.head === 1L && labels.last === labels.length.toLong)
+    rows.foreach { r =>
+      val wkt = r.getString(2)
+      assert(wkt.startsWith("POLYGON ((") && wkt.endsWith("))"))
+      val coords = wkt.replaceAll("[A-Z()]", "").split(",").map(_.trim.split(" "))
+      assert(coords.forall(c =>
+        c(0).toDouble >= -1 && c(0).toDouble <= 36 * 3 &&
+          c(1).toDouble >= -1 && c(1).toDouble <= 36 * 3))
+    }
+    // invariance under partitioning/tile choice
+    val again = Shr3d.run(spark, scene.repartition(13),
+        Shr3d.Config(spec = spec, tileSize = 8, minRegionCells = 4,
+          boundsOpt = Some((36, 36))))
+      .outlinesRef(scale = 6).collect()
+    assert(rows.map(_.toSeq).sortBy(_.head.toString).toSeq ===
+      again.map(_.toSeq).sortBy(_.head.toString).toSeq)
+  }
 }
