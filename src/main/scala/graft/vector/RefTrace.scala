@@ -210,17 +210,41 @@ object RefTrace {
       .select(col("label"), col("rank").as("ref"), col("n_fg"))
 
     // background = lattice minus mask, 4-connected; edge-touching
-    // components are the reference's label 0 (never traced)
-    val lattice = spark.range(w * h)
-      .select((col("id") % w).as("gx"), expr(s"id div $w").as("gy"))
+    // components are the reference's label 0 (never traced).
+    //
+    // Scale shape: holes are enclosed by foreground, so they live
+    // strictly inside the mask bbox; every background cell ON the
+    // bbox+1 boundary is either on the true raster border or outside
+    // the bbox and hence 4-connected around the mask to the border.
+    // Labeling background only within the (clamped) bbox+1 window and
+    // treating its boundary as "edge" is therefore EXACTLY the
+    // reference's full-raster classification, at O(bbox) lattice cost
+    // instead of O(raster) — the win that keeps a sparse mask on a
+    // 10^12-cell raster from materializing the whole lattice.
+    val bb = mask.agg(min(col("gx")).cast("long"), max(col("gx")).cast("long"),
+      min(col("gy")).cast("long"), max(col("gy")).cast("long")).head()
+    if (bb.isNullAt(0))
+      return spark.emptyDataFrame
+        .withColumn("label", lit(0L)).withColumn("n_cells", lit(0L))
+        .withColumn("wkt", lit(null).cast("string"))
+        .select("label", "n_cells", "wkt").limit(0)
+    val bx0 = math.max(0L, bb.getLong(0) - 1)
+    val bx1 = math.min(w - 1, bb.getLong(1) + 1)
+    val by0 = math.max(0L, bb.getLong(2) - 1)
+    val by1 = math.min(h - 1, bb.getLong(3) + 1)
+    val bw = bx1 - bx0 + 1
+    val bh = by1 - by0 + 1
+    val lattice = spark.range(bw * bh)
+      .select((col("id") % bw + bx0).as("gx"),
+        (expr(s"id div $bw") + by0).as("gy"))
     val bgCells = lattice
       .join(fgCells.select("gx", "gy"), Seq("gx", "gy"), "left_anti")
       .withColumn("v", lit(1))
     val bgLab = ConnectedComponents.label(bgCells, bounds, tileSize, diag = false)
       .select("gx", "gy", "label").localCheckpoint()
     val edgeLabels = bgLab.filter(
-      col("gx") === 0 || col("gx") === w - 1 ||
-        col("gy") === 0 || col("gy") === h - 1)
+      col("gx") === bx0 || col("gx") === bx1 ||
+        col("gy") === by0 || col("gy") === by1)
       .select("label").distinct()
     val holeCells = bgLab.join(edgeLabels, Seq("label"), "left_anti")
     val holeFirst = holeCells.groupBy("label")
