@@ -107,5 +107,52 @@ object CcQueries {
       .orderBy(col("label"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_cc_labels, q_cc_dz, q_cc_chunked, q_cc_stats)
+  /** G4 object accept/reject (pubgeo `shr3d.cpp:1037-1087`): per high
+    * component, the mean step from its cells down to 8-adjacent GROUND
+    * (non-object) DSM cells; objects with 0 < mean < dz/2 are noise
+    * ridges and are rejected (components with no ground-adjacent cell
+    * are dropped with them — no mean exists). Dense 10-degree grid so
+    * components actually touch ground cells. */
+  val q_accept_gradient: QueryDef = {
+    import graft.grid.Gridding.GridSpec
+    val spec10 = GridSpec(gsd = 10.0)
+    val (w10, h10) = Gridding.boundsFor(spec10)
+    val dz = 30000 // threshold 15000 raw: splits the smoke components
+    QueryDef.sqlChecked(
+      "q_accept_gradient",
+      s"""WITH RECURSIVE ${Gridding.splatCte(spec10)},
+         |dsm AS (SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy),
+         |hi AS (SELECT gx, gy, v FROM dsm WHERE v > 50000),
+         |reach(gx, gy, l) AS (
+         |  SELECT gx, gy, gy * $w10 + gx FROM hi
+         |  UNION
+         |  SELECT n.gx, n.gy, r.l FROM reach r
+         |  JOIN hi n ON abs(n.gx - r.gx) <= 1 AND abs(n.gy - r.gy) <= 1
+         |    AND r.l < n.gy * $w10 + n.gx),
+         |lbl AS MATERIALIZED (SELECT gx, gy, min(l) AS label FROM reach GROUP BY gx, gy),
+         |nb AS (SELECT l.label, d.v AS ov, n.v AS nv
+         |  FROM lbl l JOIN dsm d ON d.gx = l.gx AND d.gy = l.gy
+         |  CROSS JOIN (VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,1),
+         |    (1,-1), (1,0), (1,1)) o(dx, dy)
+         |  JOIN dsm n ON n.gx = l.gx + o.dx AND n.gy = l.gy + o.dy
+         |  LEFT JOIN lbl ln ON ln.gx = l.gx + o.dx AND ln.gy = l.gy + o.dy
+         |  WHERE ln.gx IS NULL),
+         |st AS (SELECT label, sum(ov - nv) / count(*) AS mg FROM nb GROUP BY label),
+         |keep AS (SELECT label FROM st WHERE NOT (mg > 0.0 AND mg < ${dz / 2.0}))
+         |SELECT l.gx, l.gy, l.label FROM lbl l JOIN keep k ON k.label = l.label
+         |ORDER BY l.gx, l.gy""".stripMargin) { (s, dir) =>
+      import graft.api.GroundObjects
+      val dsm = Gridding.dsm(Gridding.points(
+        Geo.withGeo(Tables.documents(s, dir)), spec10))
+      val hi = dsm.filter(col("v") > 50000)
+      val labeled = ConnectedComponents.label(hi, Bounds(w10, h10), tileSize = 8)
+      GroundObjects.acceptByGradient(
+          labeled.select("gx", "gy", "label"), dsm.select("gx", "gy", "v"), dz)
+        .select(col("gx"), col("gy"), col("label"))
+        .orderBy(col("gx"), col("gy"))
+    }
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q_cc_labels, q_cc_dz, q_cc_chunked, q_cc_stats, q_accept_gradient)
 }

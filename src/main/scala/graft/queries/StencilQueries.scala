@@ -177,6 +177,90 @@ object StencilQueries {
     }
   }
 
+  /** W7 well filter (pubgeo `shr3d.cpp:296-316` via `Shr3d.dsm`): void a
+    * cell when >= 4 of its non-void 3x3 neighbors rise more than `rise`
+    * above it (a low outlier in a pit). */
+  val q_well_filter: QueryDef = {
+    val rise = 10000
+    QueryDef.sqlChecked(
+      "q_well_filter",
+      s"""WITH ${Gridding.splatCte(spec)},
+         |dsm AS (SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy),
+         |cnt AS (SELECT d.gx, d.gy, d.v, count(n.gx) AS c
+         |  FROM dsm d CROSS JOIN $offsets8
+         |  LEFT JOIN dsm n ON n.gx = d.gx + o.dx AND n.gy = d.gy + o.dy
+         |    AND n.v > d.v + $rise
+         |  GROUP BY d.gx, d.gy, d.v)
+         |SELECT gx, gy, CAST(v AS INT) AS v FROM cnt WHERE c < 4
+         |ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+      TileStencil(dsm10(s, dir), Kernels.WellFilter(rise), bounds, tileSize = 8)
+        .orderBy(col("gx"), col("gy"))
+    }
+  }
+
+  /** W12 spike removal (pubgeo `shr3d.cpp:975-994`): void a cell that
+    * pokes more than dz/2 above ALL its non-void neighbors; border
+    * cells never spike (the reference's clamped neighborhood aliases
+    * them to themselves). Runs on the splat-count DENSITY raster — a
+    * max-splat surface cannot spike by construction (a doc's own 2x2
+    * block always contributes a zero-difference neighbor), while the
+    * density surface has genuine lone peaks. */
+  val q_spike_filter: QueryDef = {
+    val dz = 2
+    QueryDef.sqlChecked(
+      "q_spike_filter",
+      s"""WITH ${Gridding.splatCte(spec)},
+         |cnt AS (SELECT gx, gy, count(*) AS v FROM splat GROUP BY gx, gy),
+         |mn AS (SELECT d.gx, d.gy, d.v,
+         |    min(greatest(0, d.v - n.v)) AS m, count(n.gx) AS c
+         |  FROM cnt d CROSS JOIN $offsets8
+         |  LEFT JOIN cnt n ON n.gx = d.gx + o.dx AND n.gy = d.gy + o.dy
+         |  GROUP BY d.gx, d.gy, d.v)
+         |SELECT gx, gy, CAST(v AS INT) AS v FROM mn
+         |WHERE gx = 0 OR gy = 0 OR gx = ${w - 1} OR gy = ${h - 1}
+         |   OR c = 0 OR m <= ${dz / 2}
+         |ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+      val cnt = Gridding.splat2x2(Gridding.points(
+          Geo.withGeo(Tables.documents(s, dir)), spec))
+        .groupBy("gx", "gy").agg(count(lit(1)).cast("int").as("v"))
+      TileStencil(cnt, Kernels.SpikeFilter(dz), bounds, tileSize = 8)
+        .orderBy(col("gx"), col("gy"))
+    }
+  }
+
+  /** W8 tree/DSM2 filter (pubgeo `shr3d.cpp:140-164` via `Shr3d.dsm2`):
+    * over var = clamp0(DSM - MIN) (J1), keep a cell above maxTree
+    * outright; otherwise keep it only if some in-bounds 3x3 position is
+    * void or has var <= dz (canopy detector). */
+  val q_tree_filter: QueryDef = {
+    val maxTree = 40000
+    val dz = 8000
+    QueryDef.sqlChecked(
+      "q_tree_filter",
+      s"""WITH ${Gridding.splatCte(spec)},
+         |dsm AS (SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy),
+         |mn AS (SELECT gx, gy, min(qz) AS v FROM splat GROUP BY gx, gy),
+         |var AS (SELECT d.gx, d.gy, greatest(0, d.v - m.v) AS v
+         |  FROM dsm d JOIN mn m ON m.gx = d.gx AND m.gy = d.gy)
+         |SELECT t.gx, t.gy, CAST(t.v AS INT) AS v FROM var t
+         |WHERE t.v != 0 AND (t.v > $maxTree OR EXISTS (
+         |  SELECT 1 FROM $offsets8
+         |  WHERE t.gx + o.dx BETWEEN 0 AND ${w - 1}
+         |    AND t.gy + o.dy BETWEEN 0 AND ${h - 1}
+         |    AND coalesce((SELECT n.v FROM var n
+         |      WHERE n.gx = t.gx + o.dx AND n.gy = t.gy + o.dy), 0) <= $dz))
+         |ORDER BY t.gx, t.gy""".stripMargin) { (s, dir) =>
+      val pts = Gridding.points(Geo.withGeo(Tables.documents(s, dir)), spec)
+      val dsm = Gridding.dsm(pts)
+      val mn = Gridding.minGrid(pts)
+      val varGrid = Gridding.zipSubClamp(dsm, mn)
+        .select(col("gx"), col("gy"), col("v").cast("int").as("v"))
+      TileStencil(varGrid, Kernels.TreeFilter(maxTree, dz), bounds, tileSize = 8)
+        .orderBy(col("gx"), col("gy"))
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q_edge_filter, q_morph_open, q_mask_open, q_fill_voids, q_fill_pyramid)
+    Seq(q_edge_filter, q_morph_open, q_mask_open, q_fill_voids, q_fill_pyramid,
+      q_well_filter, q_spike_filter, q_tree_filter)
 }
