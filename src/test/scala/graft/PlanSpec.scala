@@ -82,4 +82,17 @@ class PlanSpec extends SparkSpec {
     assert(genIdx >= 0 && aggIdx > genIdx,
       s"expected aggregate below explode:\n$p")
   }
+
+  test("reference trace: all joins hash-based, no cartesian/range scans") {
+    import graft.stencil.TileStencil.Bounds
+    import spark.implicits._
+    // big enough to dodge tiny-table broadcast degeneracies
+    val cells = (for { y <- 0L until 40L; x <- 0L until 40L
+      if (x * 31 + y * 17) % 3 != 0 } yield (x, y)).toDF("gx", "gy")
+    val df = graft.vector.RefTrace.refOutlines(cells, Bounds(64, 64), tileSize = 16)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in trace plan:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in trace plan:\n${p.take(3000)}")
+  }
 }
