@@ -165,6 +165,36 @@ object GridQueries2 {
       .orderBy(col("ux"), col("uy"))
   }
 
+  /** §2.12 streaming tile aggregation, batch-interpreted: the SAME
+    * `StreamOps.tileMax` operator body (splat -> watermark ->
+    * window(ts) x cell max) run over the doc cloud with a
+    * deterministically derived capture timestamp. The streaming-mode
+    * equivalence (update emissions, watermark late-drop, state shape)
+    * is pinned by StreamingSpec; this oracle pins the windowed-grid
+    * VALUES bit-exactly. Spark's window() aligns to the epoch, so the
+    * dual's floor(epoch/3600)*3600 is the same bucketing. */
+  val q_tile_window: QueryDef = {
+    val spec10 = Gridding.GridSpec(gsd = 10.0)
+    QueryDef.sqlChecked(
+      "q_tile_window",
+      s"""WITH ${Gridding.splatCte(spec10)},
+         |t AS (SELECT doc_id, (1700000000 + (doc_id * 7919) % 86400) AS es
+         |  FROM documents)
+         |SELECT (t.es // 3600) * 3600 AS ws, s.gx, s.gy, max(s.qz) AS v
+         |FROM splat s JOIN t ON t.doc_id = s.doc_id
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val docs = Geo.withGeo(Tables.documents(s, dir))
+        .withColumn("ts",
+          (lit(1700000000L) + (col("doc_id") * 7919) % 86400).cast("timestamp"))
+      graft.streaming.StreamOps.tileMax(docs, spec10,
+          window = "60 minutes", watermark = "2 hours")
+        .select(col("window.start").cast("long").as("ws"),
+          col("gx"), col("gy"), col("v"))
+        .orderBy(col("ws"), col("gx"), col("gy"))
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q_intensity_grid, q_minagl_grid, q_minagl_filtered, q_upsample)
+    Seq(q_intensity_grid, q_minagl_grid, q_minagl_filtered, q_upsample,
+      q_tile_window)
 }

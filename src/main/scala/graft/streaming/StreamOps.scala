@@ -80,6 +80,23 @@ object StreamOps {
       }
   }
 
+  /** Streaming tile aggregation (A1 as a stream): geocoded points
+    * (lon, lat, z, ts) stream into the 2x2-splat grid; per (event-time
+    * window, cell) running MAX, watermarked so windows close and
+    * over-late points are dropped. Emitted closed-window rows equal the
+    * batch `groupBy(window(ts), gx, gy).agg(max(qz))` over the retained
+    * rows, and folding `max(v)` across a cell's windows recovers the
+    * batch DSM (max is associative — the same commuting argument as
+    * `Gridding.dsm`'s aggregate-then-splat). State is bounded by
+    * (open windows x touched cells), never by the input. */
+  def tileMax(pts: DataFrame, spec: graft.grid.Gridding.GridSpec = graft.grid.Gridding.WorldGrid,
+              window: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    graft.grid.Gridding.splat2x2(graft.grid.Gridding.points(pts, spec))
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("gx"), col("gy"))
+      .agg(max(col("qz")).as("v"))
+
   final case class Ev(user_id: Long, tsec: Double, event_id: Long)
   final case class Session(user_id: Long, start: Double, end: Double, n: Long)
   final case class SessState(start: Double, last: Double, n: Long)

@@ -106,4 +106,61 @@ class StreamingSpec extends SparkSpec {
     streamed.foreach { case (u, n) => assert(n == batch(u) - 1, s"user $u") }
     assert(streamed.nonEmpty)
   }
+
+  test("streaming tile max == batch windowed grid; late points dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val spec = graft.grid.Gridding.GridSpec(gsd = 10.0)
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val rnd = new scala.util.Random(4)
+    // time-ordered batch split so no b2 row is behind b1's watermark —
+    // the dedicated late-point case below covers watermark drops
+    val pts = (0 until 300).map { i =>
+      (rnd.nextDouble() * 340 - 170, rnd.nextDouble() * 160 - 80,
+        rnd.nextDouble() * 20 - 1, ts(rnd.nextInt(240)))
+    }.sortBy(_._4.getTime)
+    val (b1, b2) = pts.splitAt(150)
+
+    val input = MemoryStream[(Double, Double, Double, java.sql.Timestamp)]
+    val stream = StreamOps.tileMax(
+      input.toDF().toDF("lon", "lat", "z", "ts"), spec,
+      window = "60 minutes", watermark = "30 minutes")
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("tile_out").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+
+      // running-max emissions: the max per (window, cell) is the final
+      // value; equal to the batch windowed grid over the same rows
+      val want = graft.grid.Gridding.splat2x2(graft.grid.Gridding.points(
+          pts.toDF("lon", "lat", "z", "ts"), spec))
+        .groupBy(window(col("ts"), "60 minutes"), col("gx"), col("gy"))
+        .agg(max(col("qz")).as("v"))
+        .select(col("window.start").cast("long").as("ws"), col("gx"), col("gy"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      val got = spark.sql(
+        """SELECT CAST(window.start AS LONG) AS ws, gx, gy, max(v) AS v
+          |FROM tile_out GROUP BY 1, 2, 3""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      assert(got == want)
+
+      // a point far older than the watermark (watermark is ~min 240 -
+      // 30) must be dropped: no new emission for its window
+      val before = spark.sql("SELECT count(*) FROM tile_out").head().getLong(0)
+      input.addData(Seq((0.0, 0.0, 19.9, ts(0)))); q.processAllAvailable()
+      input.addData(Seq((0.0, 0.0, 19.9, ts(1)))); q.processAllAvailable()
+      val after = spark.sql("SELECT count(*) FROM tile_out").head().getLong(0)
+      assert(after == before, s"late point leaked: $before -> $after")
+      // folding max over a cell's windows recovers the batch DSM cell
+      val cell = want.keys.head
+      val dsmCell = want.filter { case ((_, gx, gy), _) =>
+        gx == cell._2 && gy == cell._3 }.values.max
+      val gotCell = spark.sql(
+        s"SELECT max(v) FROM tile_out WHERE gx = ${cell._2} AND gy = ${cell._3}")
+        .head().getLong(0)
+      assert(gotCell == dsmCell)
+    } finally q.stop()
+  }
 }
