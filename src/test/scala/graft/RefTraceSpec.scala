@@ -199,6 +199,34 @@ class RefTraceSpec extends SparkSpec {
     assert(runSimplified(mask, 3, 6, 16).isEmpty)
   }
 
+  test("stress: structured 97x53 masks (rects + noise) match the dense oracle") {
+    for (seed <- Seq(11, 23, 47)) {
+      val r = new scala.util.Random(seed)
+      val (w, h) = (97, 53)
+      val mask = Array.fill(h, w)(false)
+      // solid rectangles (bodies with necks where they overlap)
+      for (_ <- 0 until 14) {
+        val x0 = r.nextInt(w - 3); val y0 = r.nextInt(h - 3)
+        val rw = 2 + r.nextInt(12); val rh = 2 + r.nextInt(8)
+        for (y <- y0 until math.min(h, y0 + rh); x <- x0 until math.min(w, x0 + rw))
+          mask(y)(x) = true
+      }
+      // hollow rings (guaranteed holes)
+      for (_ <- 0 until 6) {
+        val x0 = 1 + r.nextInt(w - 12); val y0 = 1 + r.nextInt(h - 10)
+        val rw = 5 + r.nextInt(6); val rh = 4 + r.nextInt(5)
+        for (y <- y0 until y0 + rh; x <- x0 until x0 + rw)
+          if (y == y0 || y == y0 + rh - 1 || x == x0 || x == x0 + rw - 1)
+            mask(y)(x) = true
+      }
+      // salt noise (single pixels, diagonal touches, 1-px bridges)
+      for (_ <- 0 until 400) mask(r.nextInt(h))(r.nextInt(w)) = true
+      val exp = expected(mask)
+      val got = run(mask, tile = 16)
+      assert(got === exp, s"seed=$seed")
+    }
+  }
+
   test("walkFrom matches the dense walk on an 8-connected diagonal chain") {
     val mask = maskOf(Seq(
       "#....",
