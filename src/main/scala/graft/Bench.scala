@@ -71,10 +71,25 @@ object Bench {
       // and the child deadlocks before printing its stdout JSON line
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val proc = pb.start()
-      val out = scala.io.Source.fromInputStream(proc.getInputStream)
-        .getLines().toVector
-      proc.waitFor()
-      val line = out.find(_.startsWith("{\"cpus\""))
+      // read stdout on a reaper thread with a hard deadline: a hung
+      // child must not wedge the whole bench (it would also make the
+      // in-process fallback unreachable)
+      val out = new java.util.concurrent.atomic.AtomicReference(Vector.empty[String])
+      val reader = new Thread(() =>
+        out.set(scala.io.Source.fromInputStream(proc.getInputStream)
+          .getLines().toVector))
+      reader.setDaemon(true)
+      reader.start()
+      val deadlineMin =
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK_TIMEOUT_MIN", "20").toLong
+      if (!proc.waitFor(deadlineMin, java.util.concurrent.TimeUnit.MINUTES)) {
+        proc.destroyForcibly()
+        System.err.println(s"BENCH: forked level local[$cpus] exceeded " +
+          s"$deadlineMin min, killed — falling back to in-process")
+        return None
+      }
+      reader.join(10000)
+      val line = out.get().find(_.startsWith("{\"cpus\""))
       line.flatMap { l =>
         def num(k: String): Option[String] =
           s""""$k":(-?[0-9.]+)""".r.findFirstMatchIn(l).map(_.group(1))

@@ -51,13 +51,16 @@ object Snapshots {
   def committed(root: String, table: String): Seq[Manifest] = {
     val dir = manifestDir(root, table)
     if (!Files.isDirectory(dir)) return Nil
-    val it = Files.list(dir).iterator()
+    val stream = Files.list(dir)
     val out = scala.collection.mutable.ArrayBuffer[Manifest]()
-    while (it.hasNext) {
-      val p = it.next()
-      if (p.getFileName.toString.endsWith(".json"))
-        out += parse(new String(Files.readAllBytes(p), "UTF-8"))
-    }
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".json"))
+          out += parse(new String(Files.readAllBytes(p), "UTF-8"))
+      }
+    } finally stream.close()
     out.sortBy(_.snapshotId).toSeq
   }
 
@@ -71,15 +74,40 @@ object Snapshots {
       snapshotId: Long, partition: Int, rows: Long, latencyMs: Long,
       peakMemoryBytes: Long)
 
-  /** Listener capturing per-task output metrics of the snapshot write. */
-  private final class WriteMetricsListener
+  /** Listener capturing per-task output metrics of ONE snapshot write.
+    * Scoped to the write's own job via a job-group tag (SparkContext is
+    * shared — a concurrent job's tasks must not leak into this
+    * snapshot's metrics) and restricted to SUCCESSFUL attempts (a
+    * failed attempt that already reported rows would otherwise
+    * double-count with its retry; last success wins per partition
+    * index). One metric row per write task that produced a file —
+    * Spark's write path creates no file (and no output metrics) for an
+    * empty partition, so empty partitions have no row by construction,
+    * matching the files actually present in the snapshot. */
+  private final class WriteMetricsListener(group: String)
       extends org.apache.spark.scheduler.SparkListener {
-    val tasks = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Long)]()
+    private val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    private val byPartition =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
+    override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      if (j.properties != null &&
+        group == j.properties.getProperty("spark.jobGroup.id"))
+        j.stageIds.foreach(id => stages.add(id))
     override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-      if (t.taskMetrics != null && t.taskMetrics.outputMetrics != null &&
-        t.taskMetrics.outputMetrics.recordsWritten > 0)
-        tasks.add((t.taskInfo.index, t.taskMetrics.outputMetrics.recordsWritten,
-          t.taskInfo.duration, t.taskMetrics.peakExecutionMemory))
+      if (stages.contains(t.stageId) && t.reason == org.apache.spark.Success &&
+        t.taskMetrics != null && t.taskMetrics.outputMetrics != null &&
+        // only write tasks report OUTPUT bytes (an empty parquet
+        // partition still writes its footer; AQE's interim shuffle-stage
+        // jobs report only shuffleWriteMetrics) — this keeps zero-ROW
+        // write partitions while excluding non-write stages
+        t.taskMetrics.outputMetrics.bytesWritten > 0)
+        byPartition.put(t.taskInfo.index,
+          (t.taskMetrics.outputMetrics.recordsWritten,
+            t.taskInfo.duration, t.taskMetrics.peakExecutionMemory))
+    def tasks: Seq[(Int, Long, Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      byPartition.asScala.toSeq.map { case (p, (n, ms, mem)) => (p, n, ms, mem) }
+    }
   }
 
   /** Write df as the next snapshot of `table` and commit atomically.
@@ -91,20 +119,21 @@ object Snapshots {
     val spark = df.sparkSession
     val id = latest(root, table).map(_.snapshotId + 1).getOrElse(0L)
     val dataPath = Paths.get(root, table, s"snap-$id").toString
-    val listener = new WriteMetricsListener
+    val group = s"graft-snap-$table-$id-${System.nanoTime()}"
+    val listener = new WriteMetricsListener(group)
     spark.sparkContext.addSparkListener(listener)
-    try df.write.mode("overwrite").parquet(dataPath)
-    finally {
+    try {
+      spark.sparkContext.setJobGroup(group, s"snapshot $table/$id", false)
+      df.write.mode("overwrite").parquet(dataPath)
+    } finally {
+      spark.sparkContext.clearJobGroup()
       // drain queued listener events so every write task is captured
       org.apache.spark.sql.graftx.Bridge.drainListenerBus(spark.sparkContext)
       spark.sparkContext.removeSparkListener(listener)
     }
     val rows = df.sparkSession.read.parquet(dataPath).count()
-    val pm = {
-      import scala.jdk.CollectionConverters._
-      listener.tasks.asScala.toSeq.sortBy(_._1)
-        .map { case (p, n, ms, mem) => PartitionMetric(id, p, n, ms, mem) }
-    }
+    val pm = listener.tasks.sortBy(_._1)
+      .map { case (p, n, ms, mem) => PartitionMetric(id, p, n, ms, mem) }
     if (pm.nonEmpty) {
       import spark.implicits._
       pm.toDF().coalesce(1).write.mode("overwrite")
@@ -126,9 +155,12 @@ object Snapshots {
     val dirs =
       if (!Files.isDirectory(base)) Nil
       else {
-        val it = Files.list(base).iterator()
+        val stream = Files.list(base)
         val out = scala.collection.mutable.ArrayBuffer[String]()
-        while (it.hasNext) { val p = it.next(); if (Files.isDirectory(p)) out += p.toString }
+        try {
+          val it = stream.iterator()
+          while (it.hasNext) { val p = it.next(); if (Files.isDirectory(p)) out += p.toString }
+        } finally stream.close()
         out.toSeq
       }
     if (dirs.isEmpty) {

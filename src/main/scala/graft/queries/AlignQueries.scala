@@ -131,7 +131,13 @@ object AlignQueries {
     "q_align_rms",
     s"""WITH ${statsCtes}
        |SELECT * FROM stats ORDER BY odx, ody""".stripMargin) { (s, dir) =>
-    stageAndStats(s, dir)._2.orderBy(col("odx"), col("ody"))
+    val (st, stats) = stageAndStats(s, dir)
+    // materialize the tiny stats table, then release the cached DSMs —
+    // they must not stay pinned for the rest of the session
+    val out = stats.orderBy(col("odx"), col("ody")).localCheckpoint()
+    st.refDsm.unpersist()
+    st.tgtDsm.unpersist()
+    out
   }
 
   val all: Seq[QueryDef] = Seq(q_align_offset, q_align_rms)

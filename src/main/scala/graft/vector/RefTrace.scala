@@ -145,16 +145,12 @@ object RefTrace {
       (outer, inners) => Some(toWkt(outer, inners)))
 
   /** WKT POLYGON over fractional-coordinate rings (buildingSimplify
-    * output); integer-valued coords collapse to integer literals like
-    * [[Vectorize.toWkt]]. */
+    * output), serialized through [[Vectorize.ringWkt]] so formatting
+    * stays bit-identical with every other polygon product. */
   def toWktD(outer: Vector[(Double, Double)],
-             inners: Seq[Vector[(Double, Double)]]): String = {
-    def fmt(d: Double): String =
-      if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
-    def ringStr(r: Vector[(Double, Double)]): String =
-      (r :+ r.head).map(p => s"${fmt(p._1)} ${fmt(p._2)}").mkString("(", ", ", ")")
-    (ringStr(outer) +: inners.map(ringStr)).mkString("POLYGON (", ", ", ")")
-  }
+             inners: Seq[Vector[(Double, Double)]]): String =
+    (Vectorize.ringWkt(outer) +: inners.map(Vectorize.ringWkt))
+      .mkString("POLYGON (", ", ", ")")
 
   /** The reference's FULL createOutlines chain (`shr3d.cpp:510-529`):
     * nn_upsample the mask by `factor` (the reference's bldgLabels3,

@@ -54,10 +54,19 @@ object Vectorize {
       it.foreach { case (x, y) => b += ((x << 32) | y) }
       fromPacked(b.result())
     }
-    /** Takes ownership of `a` (packed (x << 32) | y coords). */
+    /** Takes ownership of `a` (packed (x << 32) | y coords).
+      * Deduplicates after sorting — duplicate input cells would
+      * double-insert boundary edges and over-count n_cells (the Set
+      * gather this replaced deduped implicitly). */
     def fromPacked(a: Array[Long]): PackedCells = {
       java.util.Arrays.sort(a)
-      new PackedCells(a)
+      var n = 0
+      var i = 0
+      while (i < a.length) {
+        if (n == 0 || a(i) != a(n - 1)) { a(n) = a(i); n += 1 }
+        i += 1
+      }
+      new PackedCells(if (n == a.length) a else java.util.Arrays.copyOf(a, n))
     }
     def apply(cells: Set[Pt]): PackedCells = fromIterator(cells.iterator)
   }
@@ -489,11 +498,17 @@ object Vectorize {
     c
   }
 
-  private def ringWkt(r: Vector[Double2]): String = {
-    def fmt(d: Double): String =
-      if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
-    (r :+ r.head).map(p => s"${fmt(p._1)} ${fmt(p._2)}").mkString("(", ", ", ")")
-  }
+  /** Shared WKT coordinate formatter: integer-valued doubles collapse
+    * to integer literals. The SINGLE source of truth — RefTrace and
+    * both serializers here use it, so formatting stays bit-identical
+    * across every polygon product. */
+  def fmtCoord(d: Double): String =
+    if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
+  /** Closed-ring WKT fragment `(x1 y1, ..., x1 y1)` via [[fmtCoord]]. */
+  def ringWkt(r: Vector[Double2]): String =
+    (r :+ r.head).map(p => s"${fmtCoord(p._1)} ${fmtCoord(p._2)}")
+      .mkString("(", ", ", ")")
 
   /** Component cells -> the reference's simplified building outline
     * (buildingSimplify over every ring; shells with < 3 corners are
@@ -559,12 +574,9 @@ object Vectorize {
       val shell = shellsBySize.find { case (s, _) => inside(probe, s) }
       shell.map(_._2).getOrElse(0) -> h
     }
-    def ringStr(r: Vector[Double2]): String =
-      (r :+ r.head).map(p => s"${fmt(p._1)} ${fmt(p._2)}").mkString("(", ", ", ")")
-    def fmt(d: Double): String = if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
     val polys = shells.zipWithIndex.map { case (s, i) =>
       val hs = holeOf.filter(_._1 == i).map(_._2)
-      (ringStr(s) +: hs.map(ringStr)).mkString("(", ", ", ")")
+      (ringWkt(s) +: hs.map(ringWkt)).mkString("(", ", ", ")")
     }
     s"MULTIPOLYGON (${polys.mkString(", ")})"
   }

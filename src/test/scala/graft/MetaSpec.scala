@@ -67,6 +67,24 @@ class MetaSpec extends SparkSpec {
     assert(all.count() == 5)
   }
 
+  test("snapshot metrics cover exactly the files the write produced") {
+    import spark.implicits._
+    val root = tmpRoot
+    // 2 rows into 4 partitions: empty partitions produce NO file (and
+    // no metric row); rows must still sum exactly and every row must
+    // correspond to a produced data file
+    val df = spark.range(2).toDF("id").repartition(4)
+    val m = Snapshots.commit(df, root, "empty", "lineage-e")
+    val pm = Snapshots.metrics(spark, root, "empty")
+      .filter(col("snapshotId") === m.snapshotId)
+    val nFiles = new java.io.File(m.dataPath).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(pm.count() == nFiles,
+      s"one metric row per produced file: ${pm.count()} vs $nFiles")
+    assert(pm.agg(sum("rows")).head().getLong(0) == 2)
+    assert(pm.count() >= 1 && pm.count() <= 4)
+  }
+
   test("salted aggregation equals direct aggregation") {
     import spark.implicits._
     // heavy skew: key 0 holds 90% of rows
