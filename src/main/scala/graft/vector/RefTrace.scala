@@ -140,8 +140,9 @@ object RefTrace {
     * pixel count (own + holes) exceeds `maxCells` are refused with a
     * null wkt, as in [[Vectorize.outlines]]. */
   def refOutlines(mask: DataFrame, bounds: Bounds, tileSize: Int = 128,
-                  maxCells: Long = Vectorize.DefaultMaxCells): DataFrame =
-    outlinesWith(mask, bounds, tileSize, maxCells,
+                  maxCells: Long = Vectorize.DefaultMaxCells,
+                  denseThreshold: Long = ConnectedComponents.DefaultDenseThreshold): DataFrame =
+    outlinesWith(mask, bounds, tileSize, maxCells, denseThreshold,
       (outer, inners) => Some(toWkt(outer, inners)))
 
   /** WKT POLYGON over fractional-coordinate rings (buildingSimplify
@@ -163,7 +164,8 @@ object RefTrace {
     * gsd/factor on write). `n_cells` counts upsampled object pixels. */
   def refOutlinesSimplified(mask: DataFrame, bounds: Bounds, scale: Int = 36,
                             factor: Int = 3, tileSize: Int = 128,
-                            maxCells: Long = Vectorize.DefaultMaxCells): DataFrame = {
+                            maxCells: Long = Vectorize.DefaultMaxCells,
+                            denseThreshold: Long = ConnectedComponents.DefaultDenseThreshold): DataFrame = {
     val spark = mask.sparkSession
     import spark.implicits._
     val deltas = (for { dy <- 0 until factor; dx <- 0 until factor }
@@ -173,7 +175,7 @@ object RefTrace {
       .select((col("gx") * factor + col("dx")).as("gx"),
         (col("gy") * factor + col("dy")).as("gy"))
     outlinesWith(up, Bounds(bounds.w * factor, bounds.h * factor),
-      tileSize, maxCells,
+      tileSize, maxCells, denseThreshold,
       (outer, inners) => {
         def d(r: Vector[Pt]) = r.map(p => (p._1.toDouble, p._2.toDouble))
         val so = Vectorize.buildingSimplify(d(outer), scale)
@@ -185,7 +187,7 @@ object RefTrace {
   }
 
   private def outlinesWith(mask: DataFrame, bounds: Bounds, tileSize: Int,
-                           maxCells: Long,
+                           maxCells: Long, denseThreshold: Long,
                            render: (Vector[Pt], Seq[Vector[Pt]]) => Option[String])
   : DataFrame = {
     val spark = mask.sparkSession
@@ -196,7 +198,8 @@ object RefTrace {
     val fgCells = mask.select(col("gx").cast("long"), col("gy").cast("long"))
       .withColumn("v", lit(1))
     // 8-connected foreground labeling (canonical min-cell-id labels)
-    val fgLab = ConnectedComponents.label(fgCells, bounds, tileSize)
+    val fgLab = ConnectedComponents.label(fgCells, bounds, tileSize,
+        denseThreshold = denseThreshold)
       .select("gx", "gy", "label").localCheckpoint()
     // renumber to the reference's scan order: rank of first pixel
     val fgFirst = fgLab.groupBy("label")
@@ -236,7 +239,8 @@ object RefTrace {
     val bgCells = lattice
       .join(fgCells.select("gx", "gy"), Seq("gx", "gy"), "left_anti")
       .withColumn("v", lit(1))
-    val bgLab = ConnectedComponents.label(bgCells, bounds, tileSize, diag = false)
+    val bgLab = ConnectedComponents.label(bgCells, bounds, tileSize,
+        denseThreshold = denseThreshold, diag = false)
       .select("gx", "gy", "label").localCheckpoint()
     val edgeLabels = bgLab.filter(
       col("gx") === bx0 || col("gx") === bx1 ||

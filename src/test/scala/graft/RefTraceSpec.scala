@@ -199,6 +199,33 @@ class RefTraceSpec extends SparkSpec {
     assert(runSimplified(mask, 3, 6, 16).isEmpty)
   }
 
+  test("tiled CCL path (denseThreshold=0) matches the dense oracle") {
+    import spark.implicits._
+    // force BOTH label passes onto the distributed tile-merge machinery
+    // (small grids otherwise take the single-task dense strategy, which
+    // would leave the 4-connectivity cross-tile edges unexercised)
+    val mask = maskOf(Seq(
+      "...........",
+      ".#########.",
+      ".#...#...#.",
+      ".#.#.#.#.#.",
+      ".#...#...#.",
+      ".#########.",
+      "....#......",
+      ".##.#.##.#.",
+      "..........."))
+    val exp = expected(mask)
+    val h = mask.length
+    val w = mask(0).length
+    val cells = for {
+      y <- 0 until h; x <- 0 until w; if mask(y)(x)
+    } yield (x.toLong, y.toLong)
+    val got = RefTrace.refOutlines(cells.toDF("gx", "gy"), Bounds(w, h),
+        tileSize = 4, denseThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got === exp)
+  }
+
   test("stress: structured 97x53 masks (rects + noise) match the dense oracle") {
     for (seed <- Seq(11, 23, 47)) {
       val r = new scala.util.Random(seed)
