@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.Quant
 import graft.grid.Gridding
+import graft.text.UrlOps
 import graft.index.{CellFunctions, Cells}
 import graft.ingest.WebPages
 import graft.join.{Aoi, SpatialJoins}
@@ -105,5 +106,82 @@ object WebQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q_webpages_dedup, q_webpages_pipeline)
+  /**
+   * Snapshot-resumable incremental dedup (`Incremental.newRows`): a new
+   * batch (page ids [2000, 5000)) against the previously-committed seen
+   * set (ids [0, 3000)) — the ~1000-id overlap plus recaptures must
+   * vanish. The bloom is a pre-filter only, so the result is bit-exact
+   * vs the dual's plain anti-join over the same staged bytes.
+   */
+  val q_bloom_dedup: QueryDef = QueryDef.sqlChecked(
+    "q_bloom_dedup",
+    s"""WITH seen AS (SELECT * FROM '$SideRoot/seen/*.parquet'),
+       |b AS (SELECT * FROM '$SideRoot/batch/*.parquet')
+       |SELECT b.url, b.warc_ts, b.lang FROM b
+       |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = b.url)
+       |ORDER BY url, warc_ts, lang""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val cols = Seq("url", "warc_ts", "lang")
+    val seen = WebPages.generate(s, 3000L).toDF().select(cols.map(col): _*)
+    val batch = s.range(2000L, 5000L)
+      .map(id => WebPages.makePage(42L, id)).toDF().select(cols.map(col): _*)
+    seen.write.mode("overwrite").parquet(s"$SideRoot/seen")
+    batch.write.mode("overwrite").parquet(s"$SideRoot/batch")
+    graft.dedup.Incremental.newRows(
+      s.read.parquet(s"$SideRoot/batch"), s.read.parquet(s"$SideRoot/seen"),
+      "url", estimatedItems = 4096L, numBits = 1L << 16)
+      .orderBy(col("url"), col("warc_ts"), col("lang"))
+  }
+
+  /** Deterministic messy-crawl url: mixed-case scheme/host, optional
+    * default or explicit port, 0-3 unsorted query params, optional
+    * fragment — every normalization rule gets exercised. */
+  def messyUrl(seed: Long, id: Long): String = {
+    def d(i: Int): Long = WebPages.draw(seed, id, i) >>> 1
+    val schemes = Array("http", "HTTP", "https", "HTTPS")
+    val scheme = schemes((d(0) % 4).toInt)
+    val dom = d(1) % 500
+    val hosts = Array(s"site${dom}.example.com", s"Site${dom}.Example.COM",
+      s"SITE${dom}.EXAMPLE.com")
+    val host = hosts((d(2) % 3).toInt)
+    val port = (d(3) % 4) match {
+      case 0 => if (scheme.equalsIgnoreCase("http")) ":80" else ":443"
+      case 1 => ":8080"
+      case _ => ""
+    }
+    val path = (d(4) % 3) match {
+      case 0 => ""
+      case 1 => s"/p/${java.lang.Long.toHexString(d(5) >>> 40)}"
+      case _ => s"/A/B${d(5) % 10}"
+    }
+    val keys = Array("b", "a", "zz", "c")
+    val params = (0 until (d(6) % 4).toInt)
+      .map(i => s"${keys((d(7 + i) % 4).toInt)}=${d(11 + i) % 100}")
+    val q = if (params.isEmpty) "" else "?" + params.mkString("&")
+    val frag = if (d(15) % 4 == 0) s"#Sec${d(15) % 5}" else ""
+    s"$scheme://$host$port$path$q$frag"
+  }
+
+  /** Url canonicalization (`UrlOps.normalize` + host/registered-domain
+    * extraction) over a staged messy-crawl fixture, bit-exact against
+    * the DuckDB dual replaying the identical decomposition. */
+  val q_url_norm: QueryDef = QueryDef.sqlChecked(
+    "q_url_norm",
+    s"""WITH raw AS (SELECT * FROM '$SideRoot/rawurls/*.parquet'),
+       |${UrlOps.normalizeCteSql("raw")}
+       |SELECT url, norm_url, host, reg_domain
+       |FROM u ORDER BY url""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    s.range(4000L).map(id => messyUrl(99L, id)).toDF("url")
+      .write.mode("overwrite").parquet(s"$SideRoot/rawurls")
+    val u = s.read.parquet(s"$SideRoot/rawurls")
+    u.select(col("url"),
+        UrlOps.normalize(col("url")).as("norm_url"),
+        UrlOps.hostOf(col("url")).as("host"),
+        UrlOps.registeredDomain(UrlOps.hostOf(col("url"))).as("reg_domain"))
+      .orderBy(col("url"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q_webpages_dedup, q_webpages_pipeline, q_bloom_dedup, q_url_norm)
 }
