@@ -148,16 +148,20 @@ object Shr3d {
     private lazy val solidDsm: DataFrame =
       dsm.join(dsm2.select("gx", "gy"), Seq("gx", "gy"), "left_semi")
 
+    /** Small-void-filled MIN (shr3d.cpp:276) — the classifyGround loop's
+      * starting surface AND the void mirror the DTM step reapplies;
+      * shared (and staged by q_shr3d_dtm's partial-chain oracle). */
+    lazy val min2: DataFrame =
+      FillVoids(minFiltered, bounds, noSmoothing = true, maxLevel = 2)
+        .localCheckpoint()
+
     /** Raw classifyGround output (dtm, voidMask) — createDTM0's core
       * (shr3d.cpp:276-280): the loop starts from the small-void-filled
       * MIN and removes objects against the tree-voided DSM. */
-    lazy val classifyGroundResult: ClassifyGround.Result = {
-      val min2 = FillVoids(minFiltered, bounds, noSmoothing = true, maxLevel = 2)
-        .localCheckpoint()
+    lazy val classifyGroundResult: ClassifyGround.Result =
       ClassifyGround.run(min2, solidDsm, bounds,
         ClassifyGround.Config(dzRaw = dzRaw, dhBins = 1, iterations = 5,
           maxCount = maxCount, tileSize = cfg.tileSize))
-    }
 
     /** DTM: the reference product — classifyGround loop, then
       * createDTM0's MIN-void mirror + dz-median (shr3d.cpp:282-293) and
@@ -169,7 +173,6 @@ object Shr3d {
         FillVoids(prior, bounds, noSmoothing = true, maxLevel = 2)
           .localCheckpoint()
       case None =>
-        val min2 = FillVoids(minFiltered, bounds, noSmoothing = true, maxLevel = 2)
         val mirrored = classifyGroundResult.dtm
           .join(min2.select("gx", "gy"), Seq("gx", "gy"), "left_semi")
         val med = TileStencil(mirrored, Kernels.medianFilter(1, dzRaw),

@@ -58,11 +58,68 @@ object Shr3dQueries {
   }
 
   /** The reference DTM (5-iteration classifyGround loop + mirror/median
-    * + final fill). Rows-only for the driver (no SQL dual exists for an
-    * iterative raster loop); exact semantics are pinned by DtmSpec's
-    * dense single-threaded oracle and the committed golden parquet. */
-  val q_shr3d_dtm: QueryDef = QueryDef.rowsOnly("q_shr3d_dtm") { (s, dir) =>
-    products(s, dir).dtm.orderBy(col("gx"), col("gy"))
+    * + final fill), STAGED-input bit-exact: the loop's raw output and
+    * the small-void-filled MIN it mirrors (both pinned by DtmSpec's
+    * dense oracle + the golden parquet — no SQL dual exists for the
+    * iterative loop itself) are dumped to parquet side-tables, and the
+    * DuckDB dual replays everything downstream over the same bytes:
+    * void mirror (left-semi), the 3x3 dz-median (shr3d.cpp:282-293),
+    * and createDTM's trailing noSmoothing fillVoidsPyramid(maxLevel=2)
+    * (shr3d.cpp:316). */
+  val q_shr3d_dtm: QueryDef = {
+    val dzRaw = math.max(1, math.floor(0.5 / graft.core.Quant.Scale).toInt)
+    // gsd=10 lattice (38, 19) and its two pyramid levels
+    val dims = Seq((38, 19), (19, 9), (9, 4))
+    def coarsenCte(src: String, out: String, k: Int): String = {
+      val (cw, ch) = dims(k)
+      s"""$out AS (SELECT j AS gx, i AS gy,
+         |  CAST(floor(sum(v) / count(*)) AS INT) AS v FROM (
+         |    SELECT gx, gy, v, (gx - 1) // 2 AS j, (gy - 1) // 2 AS i FROM $src
+         |    UNION SELECT gx, gy, v, (gx - 1) // 2, gy // 2 FROM $src
+         |    UNION SELECT gx, gy, v, gx // 2, (gy - 1) // 2 FROM $src
+         |    UNION SELECT gx, gy, v, gx // 2, gy // 2 FROM $src)
+         |  WHERE j >= 0 AND j < $cw AND i >= 0 AND i < $ch
+         |  GROUP BY j, i)""".stripMargin
+    }
+    def fillCte(src: String, parent: String, out: String, k: Int): String = {
+      val (lw, lh) = dims(k)
+      s"""$out AS (
+         |  SELECT gx, gy, v FROM $src
+         |  UNION ALL
+         |  SELECT l.gx, l.gy, p.v
+         |  FROM (SELECT x.range AS gx, y.range AS gy
+         |        FROM range(0, $lw) x, range(0, $lh) y) l
+         |  LEFT JOIN $src s ON s.gx = l.gx AND s.gy = l.gy
+         |  JOIN $parent p ON p.gx = l.gx // 2 AND p.gy = l.gy // 2
+         |  WHERE s.v IS NULL)""".stripMargin
+    }
+    QueryDef.sqlChecked(
+      "q_shr3d_dtm",
+      s"""WITH loopdtm AS (SELECT * FROM '$SideRoot/loopdtm/*.parquet'),
+         |min2 AS (SELECT * FROM '$SideRoot/min2/*.parquet'),
+         |mirrored AS (SELECT l.gx, l.gy, l.v
+         |  FROM loopdtm l JOIN min2 m ON l.gx = m.gx AND l.gy = m.gy),
+         |nb AS (SELECT a.gx, a.gy, a.v, b.v AS nv
+         |  FROM mirrored a JOIN mirrored b
+         |  ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1),
+         |agg AS (SELECT gx, gy, v,
+         |  list_sort(list(nv))[CAST(count(*) // 2 AS INT) + 1] AS qv
+         |  FROM nb GROUP BY gx, gy, v),
+         |med AS (SELECT gx, gy,
+         |  CAST(CASE WHEN abs(qv - v) > $dzRaw THEN qv ELSE v END AS INT) AS v
+         |  FROM agg),
+         |${coarsenCte("med", "c1", 1)},
+         |${coarsenCte("c1", "c2", 2)},
+         |${fillCte("c1", "c2", "f1", 1)},
+         |${fillCte("med", "f1", "f0", 0)}
+         |SELECT gx, gy, CAST(v AS BIGINT) AS v FROM f0
+         |ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+      val p = products(s, dir)
+      p.min2.write.mode("overwrite").parquet(s"$SideRoot/min2")
+      p.classifyGroundResult.dtm.write.mode("overwrite")
+        .parquet(s"$SideRoot/loopdtm")
+      p.dtm.orderBy(col("gx"), col("gy"))
+    }
   }
 
   /** V3 buildingSimplify outlines (findCorners -> addMissingPoints ->
