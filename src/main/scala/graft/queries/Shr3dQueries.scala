@@ -57,6 +57,43 @@ object Shr3dQueries {
     products(s, dir).outlines.orderBy(col("label"))
   }
 
+  /** V1 cover oracle for the engine's edge-trace outlines: a structured
+    * multi-component mask (gsd-5 DSM > 30000: ~29 irregular components
+    * up to ~70 cells at sf0.01) is CCL-labeled (itself oracle-checked
+    * by q_cc_labels) and staged to parquet; the engine traces every
+    * label's outline and burns it BACK onto the lattice
+    * (Rasterize∘Vectorize), and the per-label covered-cell counts must
+    * equal DuckDB counting the staged labels directly — i.e. each
+    * traced polygon (shell minus holes) covers exactly its component's
+    * cells, bit-exactly, label by label. The WKT itself stays on the
+    * driver surface via ☆ q_shr3d_outlines / ★ q_outlines_ref. */
+  val q_outlines_cover: QueryDef = QueryDef.sqlChecked(
+    "q_outlines_cover",
+    s"""WITH lbl AS (SELECT * FROM '$SideRoot/covlabels/*.parquet')
+       |SELECT label, count(*) AS n_cells FROM lbl
+       |GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+    import graft.cc.ConnectedComponents
+    import graft.stencil.TileStencil.Bounds
+    val spec5 = Gridding.GridSpec(gsd = 5.0)
+    val (w, h) = Gridding.boundsFor(spec5)
+    val dsm = Gridding.dsm(Gridding.points(
+      Geo.withGeo(Tables.documents(s, dir)), spec5))
+    val mask = dsm.filter(col("v") > 30000)
+      .select(col("gx"), col("gy"), lit(1).as("v"))
+    ConnectedComponents.label(mask, Bounds(w, h), 16)
+      .select("gx", "gy", "label")
+      .write.mode("overwrite").parquet(s"$SideRoot/covlabels")
+    val staged = s.read.parquet(s"$SideRoot/covlabels")
+    // keep every ring (minArea 0) so cover equality is exact
+    val polys = graft.vector.Vectorize.outlines(staged, minArea = 0.0)
+      .filter(col("wkt").isNotNull)
+      .select("label", "wkt").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    graft.vector.Rasterize(s, polys)
+      .groupBy(col("id").as("label")).agg(count(lit(1)).as("n_cells"))
+      .orderBy(col("label"))
+  }
+
   /** The reference DTM (5-iteration classifyGround loop + mirror/median
     * + final fill), STAGED-input bit-exact: the loop's raw output and
     * the small-void-filled MIN it mirrors (both pinned by DtmSpec's
@@ -254,6 +291,6 @@ object Shr3dQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(q_shr3d_class, q_shr3d_outlines, q_outlines_v3, q_outlines_ref,
-      q_shr3d_dtm)
+    Seq(q_shr3d_class, q_shr3d_outlines, q_outlines_cover, q_outlines_v3,
+      q_outlines_ref, q_shr3d_dtm)
 }
