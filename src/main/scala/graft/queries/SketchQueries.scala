@@ -34,5 +34,31 @@ object SketchQueries {
     direct.join(rolled, Seq("lang")).orderBy(col("lang"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_theta_rollup)
+  /** Per-lang doc-length quartiles via the KLL sketch. Exactness
+    * contract: KLL retains every update until its capacity (>= k
+    * items) is exceeded, so with k = 4096 far above the largest
+    * per-lang group at any test SF (~2k docs at sf0.1) the sketch is
+    * in exact mode and its INCLUSIVE-rank quantile is precisely the
+    * ceil(p*n)-th order statistic, which the dual computes from a
+    * sorted list. Beyond capacity KLL's compaction picks a RANDOM
+    * offset — results are rank-error-bounded (~1.65%/k,
+    * SketchSpec-pinned) but not bit-reproducible, unlike theta — so
+    * size k to the largest group whenever determinism matters. */
+  val q_kll_quantiles: QueryDef = QueryDef.sqlChecked(
+    "q_kll_quantiles",
+    """SELECT lang,
+      |  list_sort(list(CAST(n_chars AS DOUBLE)))[CAST(ceil(0.25 * count(*)) AS INT)] AS p25,
+      |  list_sort(list(CAST(n_chars AS DOUBLE)))[CAST(ceil(0.50 * count(*)) AS INT)] AS p50,
+      |  list_sort(list(CAST(n_chars AS DOUBLE)))[CAST(ceil(0.75 * count(*)) AS INT)] AS p75
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(Sketches.kllQuantiles(col("n_chars").cast("double"),
+        Seq(0.25, 0.50, 0.75), k = 4096).as("q"))
+      .select(col("lang"), col("q")(0).as("p25"), col("q")(1).as("p50"),
+        col("q")(2).as("p75"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q_theta_rollup, q_kll_quantiles)
 }

@@ -79,6 +79,26 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(got - n / 2.0) < 0.025 * n, s"median estimate $got")
   }
 
+  test("kll stays exact under many-way merges while n <= k") {
+    // the q_kll_quantiles contract: k sized above the largest group
+    // keeps every weight-1 item through arbitrary partial merges
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+    val n = 2100 // ~ the largest per-lang group at sf0.1
+    val vals = (1 to n).map(_.toDouble)
+    for (parts <- Seq(8, 32, 64)) {
+      val m = KllDoublesSketch.newHeapInstance(4096)
+      vals.grouped(math.max(1, n / parts)).foreach { sh =>
+        val s = KllDoublesSketch.newHeapInstance(4096)
+        sh.foreach(s.update(_)); m.merge(s)
+      }
+      val got = Seq(0.25, 0.5, 0.75).map(p =>
+        m.getQuantile(p, QuantileSearchCriteria.INCLUSIVE))
+      val want = Seq(0.25, 0.5, 0.75).map(p => vals(math.ceil(p * n).toInt - 1))
+      assert(got == want && m.getNumRetained == n, s"parts=$parts")
+    }
+  }
+
   test("kll of an empty group is null") {
     import spark.implicits._
     val empty = Seq.empty[Double].toDF("v")
