@@ -113,7 +113,71 @@ object TextQueries {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Gopher-style repetition signal: the fraction of a doc's 3-gram
+    * shingles that are repeats of an earlier shingle in the same doc.
+    * Exact double (derived from two integer counts). */
+  val q_repetition: QueryDef = QueryDef.sqlChecked(
+    "q_repetition",
+    s"""WITH ${TextOps.shingleCteSql},
+       |c AS (SELECT doc_id, count(*) AS n_shingles,
+       |  count(DISTINCT s) AS n_uniq FROM sh GROUP BY doc_id)
+       |SELECT doc_id, n_shingles, n_uniq,
+       |  1.0 - n_uniq / CAST(n_shingles AS DOUBLE) AS dup_frac
+       |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextOps.shingles3(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("s")).as("n_uniq"))
+      .withColumn("dup_frac",
+        lit(1.0) - col("n_uniq") / col("n_shingles").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed side-table root for the line-dedup fixture below. */
+  final val SideRoot = "/tmp/graft_text_side"
+
+  /** Deterministic multi-line doc with realistic cross-doc line reuse:
+    * 4-9 lines from a 2000-phrase pool (so typical docs lose SOME lines
+    * to earlier occurrences and keep the rest) plus a 1-in-4 shared
+    * boilerplate footer that dedups down to a single corpus-wide
+    * survivor. */
+  def lineDoc(seed: Long, id: Long): String = {
+    def d(i: Int): Long = graft.ingest.WebPages.draw(seed, id, i) >>> 1
+    val n = 4 + (d(0) % 6).toInt
+    val body = (0 until n).map { i =>
+      val p = d(1 + i) % 2000
+      s"phrase $p filler ${p * 7 % 13} tail ${p % 5}"
+    }
+    val footer = if (d(15) % 4 == 0) Seq(s"boilerplate footer ${d(15) % 3}")
+                 else Seq.empty
+    (body ++ footer).mkString("\n")
+  }
+
+  /** C4-style corpus-level exact line dedup (`LineDedup.dedupLines`):
+    * every line kept only at its first (doc_id, pos) occurrence, docs
+    * reassembled in original line order, emptied docs dropped —
+    * bit-exact against the dual replaying the same rule with a
+    * row_number window over the staged fixture. */
+  val q_line_dedup: QueryDef = QueryDef.sqlChecked(
+    "q_line_dedup",
+    s"""WITH d AS (SELECT * FROM '$SideRoot/linedocs/*.parquet'),
+       |sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+       |lines AS (SELECT doc_id, unnest(ls) AS line,
+       |  unnest(range(len(ls))) AS pos FROM sp),
+       |r AS (SELECT doc_id, pos, line, row_number() OVER (
+       |  PARTITION BY line ORDER BY doc_id, pos) AS rn FROM lines)
+       |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+       |FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    s.range(1000L).map(id => (id, lineDoc(11L, id))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$SideRoot/linedocs")
+    graft.dedup.LineDedup.dedupLines(s.read.parquet(s"$SideRoot/linedocs"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_token_stats, q_lang_guess, q_quality_score, q_fingerprint,
-    q_dedup_exact, q_dedup_prefix, q_minhash_sig, q_simhash, q_ngram_jaccard)
+    q_dedup_exact, q_dedup_prefix, q_minhash_sig, q_simhash, q_ngram_jaccard,
+    q_repetition, q_line_dedup)
 }
