@@ -83,6 +83,44 @@ class PlanSpec extends SparkSpec {
       s"expected aggregate below explode:\n$p")
   }
 
+  test("bloom dedup: codegen'd probe, no sort-merge anti-join") {
+    import graft.ingest.WebPages
+    import spark.implicits._
+    val seen = spark.range(0, 2000).map(id => WebPages.makePage(7L, id)).toDF()
+      .select("url", "warc_ts")
+    val batch = spark.range(1500, 3500).map(id => WebPages.makePage(7L, id)).toDF()
+      .select("url", "warc_ts")
+    val df = graft.dedup.Incremental.newRows(batch, seen, "url",
+      estimatedItems = 4096, numBits = 1L << 16)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), "bloom probe missing from plan")
+    assert(!p.contains("SortMergeJoin"),
+      "anti-join must stay hash/broadcast at this size")
+  }
+
+  test("theta rollup: partial aggregation on both levels (map-side combine)") {
+    val df = SparkEntry.queries("q_theta_rollup")(spark, sfSmoke)
+    val p = df.queryExecution.executedPlan.toString
+    // TypedImperativeAggregate partials: ObjectHashAggregate partial_ rows
+    assert(p.contains("ObjectHashAggregate"), "sketch agg not object-hash")
+    assert(p.contains("partial_graft_theta_distinct")
+      || p.contains("partial_"), "no map-side partial for the sketch agg")
+    assert(!p.contains("SortAggregate"), "sketch agg fell back to sort-agg")
+  }
+
+  test("line dedup: hash aggregates only, no window over the line key") {
+    import spark.implicits._
+    val d = spark.range(500L)
+      .map(id => (id, graft.queries.TextQueries.lineDoc(3L, id)))
+      .toDF("doc_id", "text")
+    val df = graft.dedup.LineDedup.dedupLines(d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "keeper selection must not be a window")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      "keeper min(struct) must partial-aggregate map-side")
+  }
+
   test("reference trace: all joins hash-based, no cartesian/range scans") {
     import graft.stencil.TileStencil.Bounds
     import spark.implicits._
