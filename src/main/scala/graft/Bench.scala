@@ -25,6 +25,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.sql.GraftFunctions.register(s) // SQL surface on every engine session
     s
   }
 

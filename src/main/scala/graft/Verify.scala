@@ -16,6 +16,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sql.GraftFunctions.register(spark) // SQL surface on every engine session
     new java.io.File(outDir).mkdirs()
     // optional local-iteration filter (driver sets no filter = run all)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

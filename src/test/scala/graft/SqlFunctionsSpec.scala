@@ -1,0 +1,97 @@
+package graft
+
+import graft.index.CellFunctions
+import graft.similarity.DotProduct
+import graft.sketch.Sketches
+import graft.sql.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** The SQL function surface must agree with the Column API builders it
+  * shares with `GraftExtensions`. */
+class SqlFunctionsSpec extends SparkSpec {
+
+  GraftFunctions.register(spark)
+
+  private def docsGeo = {
+    import spark.implicits._
+    graft.core.Geo.withGeo(
+      spark.range(200L).select(col("id").as("doc_id")))
+  }
+
+  test("graft_cell in SQL == CellFunctions.cellId") {
+    docsGeo.createOrReplaceTempView("sqlspec_pts")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_cell(lon, lat, 10) AS c FROM sqlspec_pts")
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    val viaCol = docsGeo.select(col("doc_id"),
+        CellFunctions.cellId(col("lon"), col("lat"), 10).as("c"))
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    assert(viaSql == viaCol)
+  }
+
+  test("graft_hex_cell in SQL == HexFunctions") {
+    docsGeo.createOrReplaceTempView("sqlspec_pts")
+    val viaSql = spark.sql(
+      "SELECT graft_hex_cell(lon, lat, 8) AS c FROM sqlspec_pts ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val viaCol = docsGeo.orderBy("doc_id")
+      .select(graft.index.HexCellFunctions.hexCellId(col("lon"), col("lat"), 8))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaCol)
+  }
+
+  test("graft_dot in SQL == VectorFunctions.dot") {
+    import spark.implicits._
+    val v = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    v.createOrReplaceTempView("sqlspec_vec")
+    assert(spark.sql("SELECT graft_dot(a, b) FROM sqlspec_vec")
+      .head.getDouble(0) == 32.0)
+    assert(v.select(DotProduct(col("a"), col("b")))
+      .head.getDouble(0) == 32.0)
+  }
+
+  test("theta family in SQL: distinct, sketch+union+estimate agree") {
+    import spark.implicits._
+    (0 until 3000).map(i => (s"g${i % 3}", s"s${i % 7}", s"t${i % 500}"))
+      .toDF("g", "sub", "v").createOrReplaceTempView("sqlspec_docs")
+    val direct = spark.sql(
+      """SELECT g, graft_theta_distinct(v) AS n FROM sqlspec_docs
+        |GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val rolled = spark.sql(
+      """SELECT g, graft_theta_union(sk) AS n FROM (
+        |  SELECT g, sub, graft_theta_sketch(v) AS sk FROM sqlspec_docs
+        |  GROUP BY g, sub)
+        |GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(direct == rolled)
+    val viaEstimate = spark.sql(
+      """SELECT g, graft_theta_estimate(graft_theta_union_sketch(sk)) AS n FROM (
+        |  SELECT g, sub, graft_theta_sketch(v) AS sk FROM sqlspec_docs
+        |  GROUP BY g, sub)
+        |GROUP BY g ORDER BY g""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaEstimate == rolled)
+    assert(direct.map(_._2) == Seq(500L, 500L, 500L))
+  }
+
+  test("graft_kll_quantiles in SQL == Column API") {
+    import spark.implicits._
+    (1 to 100).map(_.toDouble).toDF("v").createOrReplaceTempView("sqlspec_v")
+    val viaSql = spark.sql(
+      "SELECT graft_kll_quantiles(v, array(0.25, 0.5, 0.75)) FROM sqlspec_v")
+      .head.getSeq[Double](0)
+    val viaCol = spark.table("sqlspec_v")
+      .agg(Sketches.kllQuantiles(col("v"), Seq(0.25, 0.5, 0.75)))
+      .head.getSeq[Double](0)
+    assert(viaSql == viaCol)
+  }
+
+  test("sizing arguments must be literals") {
+    docsGeo.createOrReplaceTempView("sqlspec_pts")
+    intercept[Exception] {
+      spark.sql("SELECT graft_cell(lon, lat, CAST(doc_id AS INT)) FROM sqlspec_pts")
+        .collect()
+    }
+  }
+}
