@@ -46,7 +46,10 @@ object WebPages {
     math.min(999, math.floor(math.exp(u * math.log(1000.0))).toInt - 1) + 1
   }
 
-  def makePage(seed: Long, id: Long): Page = {
+  /** The metadata head of [[makePage]] — identical (url, warc_ts, lang,
+    * baseId) draws without building html or extracting text. Use when a
+    * fixture only needs page identity (e.g. url-dedup corpora). */
+  def makeMeta(seed: Long, id: Long): (String, Timestamp, String, Long) = {
     val dom = domainRank(seed, id)
     // ~1/16 rows are re-captures of an earlier url
     val recapture = (draw(seed, id, 1) & 15L) == 0L && id > 16
@@ -57,6 +60,11 @@ object WebPages {
     val tsOffset = (draw(seed, id, 3) >>> 1) % (86400L * 365 * 1000)
     val ts = new Timestamp(1704067200000L + tsOffset) // base 2024-01-01T00Z
     val lang = Langs((baseDom % Langs.length.toLong).toInt)
+    (url, ts, lang, baseId)
+  }
+
+  def makePage(seed: Long, id: Long): Page = {
+    val (url, ts, lang, baseId) = makeMeta(seed, id)
     val nTokens = 30 + ((draw(seed, baseId, 4) >>> 1) % 120).toInt
     val sb = new StringBuilder
     var i = 0

@@ -121,10 +121,12 @@ object WebQueries {
        |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.url = b.url)
        |ORDER BY url, warc_ts, lang""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val cols = Seq("url", "warc_ts", "lang")
-    val seen = WebPages.generate(s, 3000L).toDF().select(cols.map(col): _*)
-    val batch = s.range(2000L, 5000L)
-      .map(id => WebPages.makePage(42L, id)).toDF().select(cols.map(col): _*)
+    def meta(from: Long, to: Long) = s.range(from, to)
+      .map { id =>
+        val (url, ts, lang, _) = WebPages.makeMeta(42L, id); (url, ts, lang)
+      }.toDF("url", "warc_ts", "lang")
+    val seen = meta(0L, 3000L)
+    val batch = meta(2000L, 5000L)
     seen.write.mode("overwrite").parquet(s"$SideRoot/seen")
     batch.write.mode("overwrite").parquet(s"$SideRoot/batch")
     graft.dedup.Incremental.newRows(

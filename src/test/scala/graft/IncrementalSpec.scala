@@ -10,8 +10,9 @@ class IncrementalSpec extends SparkSpec {
 
   private def pages(from: Long, to: Long) = {
     import spark.implicits._
-    spark.range(from, to).map(id => WebPages.makePage(7L, id)).toDF()
-      .select("url", "warc_ts", "lang")
+    spark.range(from, to).map { id =>
+      val (url, ts, lang, _) = WebPages.makeMeta(7L, id); (url, ts, lang)
+    }.toDF("url", "warc_ts", "lang")
   }
 
   test("newRows == plain left-anti join on an overlapping batch") {

@@ -86,10 +86,11 @@ class PlanSpec extends SparkSpec {
   test("bloom dedup: codegen'd probe, no sort-merge anti-join") {
     import graft.ingest.WebPages
     import spark.implicits._
-    val seen = spark.range(0, 2000).map(id => WebPages.makePage(7L, id)).toDF()
-      .select("url", "warc_ts")
-    val batch = spark.range(1500, 3500).map(id => WebPages.makePage(7L, id)).toDF()
-      .select("url", "warc_ts")
+    def meta(a: Long, b: Long) = spark.range(a, b).map { id =>
+      val (url, ts, _, _) = WebPages.makeMeta(7L, id); (url, ts)
+    }.toDF("url", "warc_ts")
+    val seen = meta(0, 2000)
+    val batch = meta(1500, 3500)
     val df = graft.dedup.Incremental.newRows(batch, seen, "url",
       estimatedItems = 4096, numBits = 1L << 16)
     df.collect()
