@@ -149,6 +149,8 @@ object WebQueries {
     val port = (d(3) % 4) match {
       case 0 => if (scheme.equalsIgnoreCase("http")) ":80" else ":443"
       case 1 => ":8080"
+      // the OTHER scheme's default — must be kept, not stripped
+      case 2 => if (scheme.equalsIgnoreCase("http")) ":443" else ":80"
       case _ => ""
     }
     val path = (d(4) % 3) match {

@@ -46,6 +46,22 @@ class UrlSpec extends SparkSpec {
     assert(norm("http://x.example.com:8080/p?a=1").head != vs.head)
   }
 
+  test("edge shapes: bare query, empty query, mismatched default port") {
+    assert(norm(
+      "http://h.example.com?b=2&a=1", // query without path
+      "http://h.example.com?",        // empty query marker
+      "http://x.example.com:443/p",   // https default on http -> kept
+      "https://x.example.com:80/p",   // http default on https -> kept
+      "http://x.example.com/p#f?notquery" // '?' inside fragment
+    ) == Seq(
+      "http://h.example.com/?a=1&b=2",
+      "http://h.example.com/",
+      "http://x.example.com:443/p",
+      "https://x.example.com:80/p",
+      "http://x.example.com/p"
+    ))
+  }
+
   test("host and registered domain extraction") {
     import spark.implicits._
     val r = Seq("https://A.B.Example.COM:443/x?q=1#f").toDF("url")
