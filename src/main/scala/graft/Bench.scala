@@ -44,17 +44,21 @@ object Bench {
     val results = levels.map { cpus =>
       forkedLevel(cpus, nDocs).getOrElse(inProcessLevel(cpus, nDocs))
     }
-    val Seq((dpsN, secN, chkN), (dps4N, sec4N, chk4N)) = results
+    val Seq((dpsN, secN, bestN, chkN), (dps4N, sec4N, best4N, chk4N)) = results
     require(chkN == chk4N, "checksum differs across parallelism levels")
     val eff = dps4N.toDouble / (4.0 * dpsN.toDouble)
-    s""""scaling":{"docs":$nDocs,"n2":{"sec":$secN,"docs_per_sec":$dpsN},""" +
-      s""""n8":{"sec":$sec4N,"docs_per_sec":$dps4N},""" +
-      s""""efficiency_2_8":$eff,"checksum":$chkN}"""
+    // best-of-5 efficiency: capability reading robust to noisy-neighbor
+    // bursts hitting one level's median (both are emitted; BASELINE.md
+    // documents the protocols)
+    val effBest = (nDocs / best4N) / (4.0 * (nDocs / bestN))
+    s""""scaling":{"docs":$nDocs,"n2":{"sec":$secN,"best_sec":$bestN,"docs_per_sec":$dpsN},""" +
+      s""""n8":{"sec":$sec4N,"best_sec":$best4N,"docs_per_sec":$dps4N},""" +
+      s""""efficiency_2_8":$eff,"efficiency_2_8_best":$effBest,"checksum":$chkN}"""
   }
 
   /** One scaling level in a fresh fixed-heap child JVM (the BASELINE.md
-    * apparatus). Returns (docs/sec, median sec, checksum). */
-  private def forkedLevel(cpus: Int, nDocs: Long): Option[(Long, Double, Long)] =
+    * apparatus). Returns (docs/sec, median sec, best sec, checksum). */
+  private def forkedLevel(cpus: Int, nDocs: Long): Option[(Long, Double, Double, Long)] =
     try {
       val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
         "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
@@ -97,12 +101,13 @@ object Bench {
         for {
           med <- num("median_sec").map(_.toDouble)
           chk <- num("checksum").map(_.toLong)
-        } yield ((nDocs / med).toLong, med, chk)
+        } yield ((nDocs / med).toLong, med,
+          num("best_sec").map(_.toDouble).getOrElse(med), chk)
       }
     } catch { case _: Throwable => None }
 
   /** Legacy in-process pair (one JVM, sessions rebuilt per level). */
-  private def inProcessLevel(cpus: Int, nDocs: Long): (Long, Double, Long) = {
+  private def inProcessLevel(cpus: Int, nDocs: Long): (Long, Double, Double, Long) = {
     val s = session(cpus.toString)
     try {
       (1 to 3).foreach(_ => Flagship.run(s, nDocs))
@@ -110,7 +115,7 @@ object Bench {
       val med = runs.map(_.seconds).sorted.apply(2)
       val chk = runs.map(_.gridChecksum).distinct
       require(chk.size == 1, s"non-deterministic checksum at local[$cpus]")
-      ((nDocs / med).toLong, med, chk.head)
+      ((nDocs / med).toLong, med, runs.map(_.seconds).min, chk.head)
     } finally s.stop()
   }
 

@@ -32,11 +32,15 @@ object ScalingBench {
       Flagship.run(spark, nDocs)
     }
     val med = runs.map(_.seconds).sorted.apply(2)
+    // best-of-5: the noise-robust capability reading — on a shared box
+    // a noisy-neighbor burst can slow 3 of 5 runs and drag the median,
+    // while the fastest run shows what the level can actually sustain
+    val best = runs.map(_.seconds).min
     val chk = runs.map(r => (r.gridChecksum, r.keptContentChecksum)).distinct
     require(chk.size == 1, s"non-deterministic checksums: $chk")
     println(
       s"""{"cpus":$cpus,"docs":$nDocs,"runs_sec":[${runs.map(_.seconds).mkString(",")}],""" +
-        s""""median_sec":$med,"docs_per_sec":${nDocs / med},""" +
+        s""""median_sec":$med,"best_sec":$best,"docs_per_sec":${nDocs / med},""" +
         s""""checksum":${chk.head._1},"content_checksum":${chk.head._2},"pip_hits":${runs.head.pipHits}}""")
     spark.stop()
   }

@@ -33,7 +33,9 @@ import org.apache.spark.sql.types.BinaryType
  * The default 2^26 bits (8 MiB) holds ~4.7M keys at 1% fpp. Past
  * ~10^9 keys a single bloom saturates — shard by key-hash prefix and
  * probe per-shard blooms (the snapshot layer already partitions its
- * manifests by prefix), or raise `numBits`.
+ * manifests by prefix), or raise `numBits` (values beyond the default
+ * 2^26 also need `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`
+ * raised — BloomFilterAggregate validates against that conf).
  */
 object Incremental {
 
