@@ -60,5 +60,37 @@ object SketchQueries {
       .orderBy(col("lang"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_theta_rollup, q_kll_quantiles)
+  /** Fixed side-table root for the heavy-hitters fixture below. */
+  final val SideRoot = "/tmp/graft_sketch_side"
+
+  /** Per-lang heavy-hitter domains over a Zipf-skewed staged crawl
+    * (`Sketches.freqItems`, Misra-Gries). Exactness contract: each lang
+    * sees ~170 distinct domains, far under maxMapSize 2048, so no
+    * counter is ever evicted, getMaximumError() is 0, and every
+    * estimate equals the exact count — the dual is a plain
+    * GROUP BY + HAVING. The eviction regime (error-bounded,
+    * no-false-negatives) is SketchSpec-pinned. */
+  val q_freq_domains: QueryDef = QueryDef.sqlChecked(
+    "q_freq_domains",
+    s"""WITH p AS (SELECT * FROM '$SideRoot/freqpages/*.parquet'),
+       |c AS (SELECT lang, regexp_extract(url, 'https://([^/]+)/', 1) AS item,
+       |  count(*) AS n FROM p GROUP BY 1, 2)
+       |SELECT lang, item, n FROM c WHERE n >= 20
+       |ORDER BY lang, n DESC, item""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    s.range(5000L).map { id =>
+      val (url, _, lang, _) = graft.ingest.WebPages.makeMeta(13L, id)
+      (url, lang)
+    }.toDF("url", "lang")
+      .write.mode("overwrite").parquet(s"$SideRoot/freqpages")
+    val p = s.read.parquet(s"$SideRoot/freqpages")
+      .withColumn("item", regexp_extract(col("url"), "https://([^/]+)/", 1))
+    p.groupBy("lang")
+      .agg(Sketches.freqItems(col("item"), minCount = 20L).as("fi"))
+      .select(col("lang"), explode(col("fi")).as("f"))
+      .select(col("lang"), col("f.item").as("item"), col("f.n").as("n"))
+      .orderBy(col("lang"), col("n").desc, col("item"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q_theta_rollup, q_kll_quantiles, q_freq_domains)
 }

@@ -1,5 +1,7 @@
 package graft.sketch
 
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
@@ -88,6 +90,84 @@ object Sketches {
   def kllQuantiles(c: Column, probs: Seq[Double], k: Int = 200): Column =
     Bridge.column(KllQuantilesAgg(Bridge.expression(c), k, probs)
       .toAggregateExpression())
+
+  /** Heavy hitters of a string column: items with estimated count >=
+    * minCount as array<struct<item, n>>, (n desc, item asc)-sorted. */
+  def freqItems(c: Column, minCount: Long, maxMapSize: Int = 2048): Column =
+    Bridge.column(FreqItemsAgg(Bridge.expression(c), maxMapSize, minCount)
+      .toAggregateExpression())
+}
+
+/**
+ * Misra-Gries heavy hitters over a string column — the per-group
+ * frequent-tokens / frequent-urls profile at corpus scale. State is a
+ * bounded map of `maxMapSize` counters regardless of input size (vs an
+ * exact GROUP BY item whose key space is the vocabulary). Exactness
+ * contract: while no counter eviction has happened (distinct items per
+ * group <= ~0.75 * maxMapSize) `getMaximumError() == 0` and every
+ * estimate IS the exact count — the driver oracle runs in that regime;
+ * beyond it, NO_FALSE_NEGATIVES returns every true heavy hitter with
+ * estimates within the documented error bound (spec-pinned).
+ */
+case class FreqItemsAgg(
+    child: Expression, maxMapSize: Int, minCount: Long,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ItemsSketch[String]]
+  with UnaryLike[Expression] {
+
+  require(maxMapSize > 0 && (maxMapSize & (maxMapSize - 1)) == 0,
+    "maxMapSize must be a power of two")
+
+  // ArrayOfStringsSerDe is not java-serializable — never hold it as a
+  // field of this (serialized) expression
+  @transient private lazy val serde = new ArrayOfStringsSerDe()
+
+  override def prettyName: String = "graft_freq_items"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("item", StringType, nullable = false),
+      StructField("n", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): ItemsSketch[String] =
+    new ItemsSketch[String](maxMapSize)
+
+  override def update(s: ItemsSketch[String], input: InternalRow): ItemsSketch[String] = {
+    val v = child.eval(input)
+    if (v != null) s.update(v.asInstanceOf[UTF8String].toString)
+    s
+  }
+
+  override def merge(s: ItemsSketch[String],
+                     o: ItemsSketch[String]): ItemsSketch[String] = s.merge(o)
+
+  override def eval(s: ItemsSketch[String]): Any = {
+    val rows = s.getFrequentItems(minCount, ErrorType.NO_FALSE_NEGATIVES)
+      .map(r => (r.getItem, r.getEstimate))
+      .sortBy { case (item, n) => (-n, item) }
+      .map { case (item, n) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(item), n))
+      }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(s: ItemsSketch[String]): Array[Byte] =
+    s.toByteArray(serde)
+  override def deserialize(bytes: Array[Byte]): ItemsSketch[String] =
+    ItemsSketch.getInstance(Memory.wrap(bytes), serde)
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqItemsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqItemsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): FreqItemsAgg =
+    copy(child = c)
 }
 
 /** Theta-sketch distinct aggregate over raw values. */

@@ -2,7 +2,7 @@ package graft.sql
 
 import graft.index.{CellIdExpr, HexCellIdExpr}
 import graft.similarity.DotProductExpr
-import graft.sketch.{KllQuantilesAgg, Sketches, ThetaEstimateExpr, ThetaSketchAgg, ThetaUnionAgg}
+import graft.sketch.{FreqItemsAgg, KllQuantilesAgg, Sketches, ThetaEstimateExpr, ThetaSketchAgg, ThetaUnionAgg}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -88,6 +88,12 @@ object GraftFunctions {
         require(args.length == 1 || args.length == 2, "graft_theta_union_sketch(sk[, lgK])")
         val lgK = if (args.length == 2) constInt(args(1), "lgK") else Sketches.DefaultLgK
         ThetaUnionAgg(args(0), lgK, emitSketch = true) }),
+    (FunctionIdentifier("graft_freq_items"), info("graft_freq_items"),
+      { args: Seq[Expression] =>
+        require(args.length == 2 || args.length == 3,
+          "graft_freq_items(x, minCount[, maxMapSize])")
+        val mm = if (args.length == 3) constInt(args(2), "maxMapSize") else 2048
+        FreqItemsAgg(args(0), mm, constInt(args(1), "minCount").toLong) }),
     (FunctionIdentifier("graft_kll_quantiles"), info("graft_kll_quantiles"),
       { args: Seq[Expression] =>
         require(args.length == 2 || args.length == 3, "graft_kll_quantiles(x, probs[, k])")

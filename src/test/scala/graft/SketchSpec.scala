@@ -99,6 +99,45 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("freq items: exact mode equals GROUP BY count, invariant to partitioning") {
+    import spark.implicits._
+    // zipf-ish: item i appears ~ 3000/i times, 40 distinct << maxMapSize
+    val d = (1 to 40).flatMap(i => Seq.fill(3000 / i)(s"item$i")).toDF("v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.agg(Sketches.freqItems(col("v"), minCount = 100L).as("f"))
+        .select(explode(col("f")).as("x"))
+        .select(col("x.item"), col("x.n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = run(d.repartition(16))
+    val want = d.groupBy("v").count().filter(col("count") >= 100)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (i, n) => (-n, i) }.toSeq
+    assert(got == want)
+    assert(run(d.coalesce(1)) == got)
+  }
+
+  test("freq items: eviction regime keeps every true heavy hitter") {
+    import graft.sketch.FreqItemsAgg
+    import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+    // small map (64 counters), 1000 distinct: real eviction. The
+    // no-false-negatives guarantee holds for items whose true count
+    // exceeds the sketch's maximum error, so the heavies must dominate
+    // the tail weight.
+    val sk = new ItemsSketch[String](64)
+    (1 to 1000).foreach(i => (0 until (if (i <= 3) 5000 else 2))
+      .foreach(_ => sk.update(s"i$i")))
+    assert(sk.getMaximumError > 0) // really in the eviction regime
+    assert(sk.getMaximumError < 5000) // heavies are above the error band
+    val hh = sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+      .map(_.getItem).toSet
+    assert(Set("i1", "i2", "i3").subsetOf(hh)) // no false negatives
+    // estimates never stray beyond the documented error
+    (1 to 3).foreach { i =>
+      val est = sk.getEstimate(s"i$i")
+      assert(est >= 5000 - sk.getMaximumError && est <= 5000 + sk.getMaximumError)
+    }
+  }
+
   test("kll of an empty group is null") {
     import spark.implicits._
     val empty = Seq.empty[Double].toDF("v")

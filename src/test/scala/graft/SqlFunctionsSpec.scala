@@ -87,6 +87,22 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("graft_freq_items in SQL == Column API (exact regime)") {
+    import spark.implicits._
+    (1 to 30).flatMap(i => Seq.fill(600 / i)(s"w$i")).toDF("v")
+      .createOrReplaceTempView("sqlspec_freq")
+    val viaSql = spark.sql(
+      "SELECT graft_freq_items(v, 50) AS f FROM sqlspec_freq")
+      .select(explode(col("f")).as("x"))
+      .select(col("x.item"), col("x.n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = spark.table("sqlspec_freq").groupBy("v").count()
+      .filter(col("count") >= 50)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (i, n) => (-n, i) }.toSeq
+    assert(viaSql == want)
+  }
+
   test("sizing arguments must be literals") {
     docsGeo.createOrReplaceTempView("sqlspec_pts")
     intercept[Exception] {
