@@ -47,12 +47,23 @@ object Sketches {
   private[sketch] def newUnion(lgK: Int): Union =
     SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
 
+  /** DataSketches' update(byte[]) is a silent NO-OP on an empty array,
+    * which would drop empty strings / empty binaries from the distinct
+    * count (DuckDB's count(DISTINCT) keeps them). Appending a constant
+    * marker byte is injective (a+m == b+m iff a == b), so distinctness
+    * is preserved and '' becomes countable. */
+  private def withMarker(b: Array[Byte]): Array[Byte] = {
+    val out = java.util.Arrays.copyOf(b, b.length + 1)
+    out(b.length) = 0x01
+    out
+  }
+
   private[sketch] def updateWith(u: Union, dt: DataType, v: Any): Unit = dt match {
-    case StringType => u.update(v.asInstanceOf[UTF8String].getBytes)
+    case StringType => u.update(withMarker(v.asInstanceOf[UTF8String].getBytes))
     case LongType => u.update(v.asInstanceOf[Long])
     case IntegerType => u.update(v.asInstanceOf[Int].toLong)
     case DoubleType => u.update(v.asInstanceOf[Double])
-    case BinaryType => u.update(v.asInstanceOf[Array[Byte]])
+    case BinaryType => u.update(withMarker(v.asInstanceOf[Array[Byte]]))
     case other => throw new IllegalStateException(s"unsupported type $other")
   }
 
@@ -170,30 +181,18 @@ case class FreqItemsAgg(
     copy(child = c)
 }
 
-/** Theta-sketch distinct aggregate over raw values. */
-case class ThetaSketchAgg(
-    child: Expression, lgK: Int, emitSketch: Boolean,
-    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+/** Shared Union-buffer plumbing for the two theta aggregates — they
+  * differ only in what `update` feeds the union and the input type. */
+abstract class ThetaAggBase extends TypedImperativeAggregate[Union]
+  with UnaryLike[Expression] {
 
-  override def prettyName: String = "graft_theta_distinct"
+  def lgK: Int
+  def emitSketch: Boolean
+
   override def nullable: Boolean = false
   override def dataType: DataType = if (emitSketch) BinaryType else LongType
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType | LongType | IntegerType | DoubleType | BinaryType =>
-      TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName does not support ${other.catalogString}")
-  }
-
   override def createAggregationBuffer(): Union = Sketches.newUnion(lgK)
-
-  override def update(u: Union, input: InternalRow): Union = {
-    val v = child.eval(input)
-    if (v != null) Sketches.updateWith(u, child.dataType, v)
-    u
-  }
 
   override def merge(u: Union, other: Union): Union = {
     u.union(other.getResult)
@@ -208,6 +207,28 @@ case class ThetaSketchAgg(
   override def deserialize(bytes: Array[Byte]): Union = {
     val u = Sketches.newUnion(lgK)
     u.union(Memory.wrap(bytes))
+    u
+  }
+}
+
+/** Theta-sketch distinct aggregate over raw values. */
+case class ThetaSketchAgg(
+    child: Expression, lgK: Int, emitSketch: Boolean,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends ThetaAggBase {
+
+  override def prettyName: String = "graft_theta_distinct"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | LongType | IntegerType | DoubleType | BinaryType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName does not support ${other.catalogString}")
+  }
+
+  override def update(u: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) Sketches.updateWith(u, child.dataType, v)
     u
   }
 
@@ -223,11 +244,9 @@ case class ThetaSketchAgg(
 case class ThetaUnionAgg(
     child: Expression, lgK: Int, emitSketch: Boolean,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+  extends ThetaAggBase {
 
   override def prettyName: String = "graft_theta_union"
-  override def nullable: Boolean = false
-  override def dataType: DataType = if (emitSketch) BinaryType else LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -235,27 +254,9 @@ case class ThetaUnionAgg(
       s"$prettyName expects serialized sketches, got ${other.catalogString}")
   }
 
-  override def createAggregationBuffer(): Union = Sketches.newUnion(lgK)
-
   override def update(u: Union, input: InternalRow): Union = {
     val v = child.eval(input)
     if (v != null) u.union(Memory.wrap(v.asInstanceOf[Array[Byte]]))
-    u
-  }
-
-  override def merge(u: Union, other: Union): Union = {
-    u.union(other.getResult)
-    u
-  }
-
-  override def eval(u: Union): Any =
-    if (emitSketch) u.getResult.toByteArray
-    else Math.round(u.getResult.getEstimate)
-
-  override def serialize(u: Union): Array[Byte] = u.getResult.toByteArray
-  override def deserialize(bytes: Array[Byte]): Union = {
-    val u = Sketches.newUnion(lgK)
-    u.union(Memory.wrap(bytes))
     u
   }
 

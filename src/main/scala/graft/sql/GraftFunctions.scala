@@ -33,6 +33,15 @@ object GraftFunctions {
     }
   }
 
+  private def constLong(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(s"$what: got $other")
+    }
+  }
+
   private def constDoubles(e: Expression, what: String): Seq[Double] = {
     require(e.foldable, s"$what must be a literal array")
     (e.eval(), e.dataType) match {
@@ -93,7 +102,7 @@ object GraftFunctions {
         require(args.length == 2 || args.length == 3,
           "graft_freq_items(x, minCount[, maxMapSize])")
         val mm = if (args.length == 3) constInt(args(2), "maxMapSize") else 2048
-        FreqItemsAgg(args(0), mm, constInt(args(1), "minCount").toLong) }),
+        FreqItemsAgg(args(0), mm, constLong(args(1), "minCount")) }),
     (FunctionIdentifier("graft_kll_quantiles"), info("graft_kll_quantiles"),
       { args: Seq[Expression] =>
         require(args.length == 2 || args.length == 3, "graft_kll_quantiles(x, probs[, k])")

@@ -66,18 +66,24 @@ object UrlOps {
   }
 
   /** Heuristic registered domain: the last two dot-labels of the host
-    * (`a.b.site.example.com` -> `example.com`). Public-suffix lists are
-    * out of scope; two labels is the standard cheap approximation. */
+    * (`a.b.site.example.com` -> `example.com`). A retained non-default
+    * port (`hostOf` keeps `:8080`) is stripped first so one domain never
+    * splits into per-port keys. Public-suffix lists are out of scope;
+    * two labels is the standard cheap approximation. */
   def registeredDomain(host: Column): Column =
-    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    regexp_extract(substring_index(host, ":", 1), "([^.]+\\.[^.]+)$", 1)
 
-  /** Canonical form per the rules above. */
+  /** Canonical form per the rules above. Urls without a `://` scheme
+    * separator (relative links, bare hosts — real crawls are full of
+    * them) cannot be decomposed by this algebra and pass through
+    * unchanged rather than being mangled into case-folded garbage. */
   def normalize(u: Column): Column = {
     val q = queryOf(u)
     val sortedQ = array_join(array_sort(split(q, "&")), "&")
-    concat(
+    val canonical = concat(
       schemeOf(u), lit("://"), hostOf(u), pathOf(u),
       when(q === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+    when(instr(u, "://") > 0, canonical).otherwise(u)
   }
 
   // ---- DuckDB duals (same decomposition, DuckDB function names) ---------
@@ -108,10 +114,14 @@ object UrlOps {
        |       ELSE hostport END AS host
        |  FROM s3),
        |u AS (SELECT url, scheme, host, path, q,
-       |  scheme || '://' || host || path ||
-       |  CASE WHEN q = '' THEN ''
-       |       ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&')
-       |  END AS norm_url,
-       |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS reg_domain
+       |  CASE WHEN instr(url, '://') > 0
+       |       THEN scheme || '://' || host || path ||
+       |            CASE WHEN q = '' THEN ''
+       |                 ELSE '?' ||
+       |                   array_to_string(list_sort(string_split(q, '&')), '&')
+       |            END
+       |       ELSE url END AS norm_url,
+       |  regexp_extract(split_part(host, ':', 1),
+       |                 '([^.]+\\.[^.]+)$$', 1) AS reg_domain
        |  FROM s4)""".stripMargin
 }

@@ -105,8 +105,8 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     // TypedImperativeAggregate partials: ObjectHashAggregate partial_ rows
     assert(p.contains("ObjectHashAggregate"), "sketch agg not object-hash")
-    assert(p.contains("partial_graft_theta_distinct")
-      || p.contains("partial_"), "no map-side partial for the sketch agg")
+    assert(p.contains("partial_graft_theta_distinct"),
+      "no map-side partial for the sketch agg")
     assert(!p.contains("SortAggregate"), "sketch agg fell back to sort-agg")
   }
 
@@ -118,7 +118,7 @@ class PlanSpec extends SparkSpec {
     val df = graft.dedup.LineDedup.dedupLines(d)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Window"), "keeper selection must not be a window")
-    assert(p.contains("partial_min") || p.contains("partial_"),
+    assert(p.contains("partial_min"),
       "keeper min(struct) must partial-aggregate map-side")
   }
 

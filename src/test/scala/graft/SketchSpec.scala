@@ -138,6 +138,21 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("theta counts empty strings and empty byte arrays as values") {
+    // DataSketches' update(byte[]) silently ignores an empty array; the
+    // marker byte in Sketches.updateWith restores SQL semantics where
+    // '' is a countable distinct value (count(DISTINCT) keeps it).
+    import spark.implicits._
+    val d = Seq("", "a", "b", "", "a").toDF("v")
+    val r = d.agg(
+      Sketches.thetaDistinct(col("v")).as("approx"),
+      countDistinct(col("v")).as("exact")).head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    val bin = Seq(Array.emptyByteArray, Array[Byte](1), Array[Byte](1, 2))
+      .toDF("v")
+    assert(bin.agg(Sketches.thetaDistinct(col("v"))).head.getLong(0) == 3L)
+  }
+
   test("kll of an empty group is null") {
     import spark.implicits._
     val empty = Seq.empty[Double].toDF("v")

@@ -103,6 +103,18 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(viaSql == want)
   }
 
+  test("graft_freq_items takes a BIGINT threshold without truncation") {
+    // 3e9 parses as a Long literal; routed through a 32-bit parse it
+    // would wrap negative and return EVERY item as a heavy hitter.
+    import spark.implicits._
+    (1 to 30).flatMap(i => Seq.fill(600 / i)(s"w$i")).toDF("v")
+      .createOrReplaceTempView("sqlspec_freq_big")
+    val f = spark.sql(
+      "SELECT graft_freq_items(v, 3000000000) AS f FROM sqlspec_freq_big")
+      .select(size(col("f"))).head.getInt(0)
+    assert(f == 0, s"expected no items above 3e9, got $f")
+  }
+
   test("sizing arguments must be literals") {
     docsGeo.createOrReplaceTempView("sqlspec_pts")
     intercept[Exception] {

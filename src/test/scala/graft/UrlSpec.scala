@@ -52,23 +52,32 @@ class UrlSpec extends SparkSpec {
       "http://h.example.com?",        // empty query marker
       "http://x.example.com:443/p",   // https default on http -> kept
       "https://x.example.com:80/p",   // http default on https -> kept
-      "http://x.example.com/p#f?notquery" // '?' inside fragment
+      "http://x.example.com/p#f?notquery", // '?' inside fragment
+      "example.com/Path?b=2&a=1",          // schemeless -> untouched
+      "/relative/Link#f"                   // relative -> untouched
     ) == Seq(
       "http://h.example.com/?a=1&b=2",
       "http://h.example.com/",
       "http://x.example.com:443/p",
       "https://x.example.com:80/p",
-      "http://x.example.com/p"
+      "http://x.example.com/p",
+      "example.com/Path?b=2&a=1",
+      "/relative/Link#f"
     ))
   }
 
   test("host and registered domain extraction") {
     import spark.implicits._
-    val r = Seq("https://A.B.Example.COM:443/x?q=1#f").toDF("url")
+    val rows = Seq(
+      "https://A.B.Example.COM:443/x?q=1#f",
+      // non-default port is kept in host but must NOT leak into reg_domain
+      "https://a.example.com:8080/x").toDF("url")
       .select(UrlOps.hostOf(col("url")).as("h"),
         UrlOps.registeredDomain(UrlOps.hostOf(col("url"))).as("d"))
-      .head()
-    assert(r.getString(0) == "a.b.example.com")
-    assert(r.getString(1) == "example.com")
+      .collect()
+    assert(rows(0).getString(0) == "a.b.example.com")
+    assert(rows(0).getString(1) == "example.com")
+    assert(rows(1).getString(0) == "a.example.com:8080")
+    assert(rows(1).getString(1) == "example.com")
   }
 }
