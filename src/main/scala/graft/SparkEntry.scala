@@ -13,7 +13,8 @@ object SparkEntry {
       SimilarityQueries.all ++ StencilQueries.all ++ CcQueries.all ++
       AlignQueries.all ++ Shr3dQueries.all ++ WebQueries.all ++
       GridQueries2.all ++ MorphQueries.all ++ QuantQueries.all ++
-      MetaQueries.all ++ SketchQueries.all
+      MetaQueries.all ++ SketchQueries.all ++ TemporalQueries.all ++
+      PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * geocode -> cell index -> DSM max-grid (the SHR3D A1 analog). */

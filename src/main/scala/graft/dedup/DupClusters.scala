@@ -1,0 +1,97 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Connected components over a duplicate-pair edge list — the step every
+ * web-scale dedup pipeline runs AFTER candidate generation: exact/LSH/
+ * near-dup pair emitters ([[Dedup.lshPairs]], [[Dedup.embeddingNearDupPairs]],
+ * `ngramJaccard`) produce edges, and the pipeline must collapse them into
+ * transitive clusters so "A~B, B~C" keeps ONE of {A,B,C}, not two.
+ *
+ * Algorithm: hash-min label propagation with a pointer-jumping shortcut,
+ * all in DataFrame algebra (no RDDs, no graph library):
+ *
+ *   - every node starts labeled with itself;
+ *   - round: (a) neighbor step — each node takes the min label over
+ *     itself and its neighbors (one equi-join edges x labels + one
+ *     hash-aggregate min); (b) jump step — each node takes its label's
+ *     label (`l2(id) = min(l1(id), l1(l1(id)))`), halving pointer chains;
+ *   - stop when no label changed (one bounded `count` per round).
+ *
+ * The neighbor step alone converges in O(diameter) rounds; the jump step
+ * compresses label chains geometrically, giving O(log d) rounds in
+ * practice — the same two-phase shape as the published large-star/
+ * small-star map-reduce CC. Every step is a keyed join or aggregate that
+ * shuffles on node id, so the work per round is O(|E| + |V|) with
+ * map-side combine and no single-task bottleneck; labels are monotone
+ * non-increasing, so the result is deterministic under any partitioning.
+ *
+ * Each round's labels are `localCheckpoint`ed to cut the lineage chain
+ * (the same pattern as the ALIGN3D coarse-to-fine loop); without it the
+ * plan doubles per iteration.
+ *
+ * The cluster id is the minimum member id — which IS the canonical-doc
+ * choice (keep-min) used by the exact-dedup family, so
+ * `components(pairs)` composes directly with a `filter(id === cluster)`
+ * keep step.
+ */
+object DupClusters {
+
+  /** Undirected connected components.
+    *
+    * @param edges     two-column DataFrame of node-id pairs (Long); self
+    *                  loops and duplicate/reversed pairs are tolerated
+    * @param maxRounds safety bound on propagation rounds; exceeding it
+    *                  throws rather than returning a half-merged
+    *                  clustering (adversarial chains should use a bigger
+    *                  bound, not silently wrong output)
+    * @return (id, cluster) with cluster = min node id reachable
+    */
+  def components(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val Seq(a, b) = edges.columns.toSeq
+    // symmetrize once; nodes = endpoints
+    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+      .union(edges.select(col(b).as("src"), col(a).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var labels = sym.select(col("src").as("id"))
+      .union(edges.select(col(a).as("id")))
+      .union(edges.select(col(b).as("id")))
+      .distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(eager = true)
+
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxRounds rounds")
+      // (a) neighbor min: messages dst <- label(src), folded with self
+      val msgs = sym.join(labels, sym("src") === labels("id"))
+        .select(sym("dst").as("id"), col("lbl"))
+      val l1 = msgs.union(labels)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+      // (b) pointer jump: label of label
+      val byId = l1.select(col("id").as("jid"), col("lbl").as("jlbl"))
+      val l2 = l1.join(byId, l1("lbl") === byId("jid"), "left")
+        .select(l1("id"), least(l1("lbl"), coalesce(col("jlbl"), l1("lbl"))).as("lbl"))
+        .localCheckpoint(eager = true)
+      val changed = l2.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = l2
+      done = changed == 0
+    }
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
+  /** Keep-one-per-cluster: the canonical (min-id) member of each
+    * component, i.e. the rows a dedup pipeline retains. */
+  def keepCanonical(edges: DataFrame): DataFrame =
+    components(edges).filter(col("id") === col("cluster")).select("id")
+}

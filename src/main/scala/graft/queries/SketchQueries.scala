@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.sketch.Sketches
+import graft.sketch.{Sketches, TopK}
 import org.apache.spark.sql.functions._
 
 /**
@@ -92,5 +92,28 @@ object SketchQueries {
       .orderBy(col("lang"), col("n").desc, col("item"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_theta_rollup, q_kll_quantiles, q_freq_domains)
+  /** Top-3 longest docs per language via the bounded-heap TopK
+    * aggregate ([[graft.sketch.TopK]]) — exact at any k, but map-side
+    * partials keep only k pairs instead of window-sorting every row.
+    * The dual is the row_number form the aggregate replaces; ranks are
+    * recovered with posexplode over the (score desc, item asc) array. */
+  val q_topk_langs: QueryDef = QueryDef.sqlChecked(
+    "q_topk_langs",
+    """SELECT lang, rank, doc_id, n_chars FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY n_chars DESC, doc_id) AS rank
+      |  FROM documents) t
+      |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin) { (s, dir) =>
+    graft.core.Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(TopK.topK(col("doc_id"), col("n_chars"), 3).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("lang"), (col("pos") + 1).as("rank"),
+        col("t.item").as("doc_id"), col("t.score").as("n_chars"))
+      .orderBy("lang", "rank")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q_theta_rollup, q_kll_quantiles, q_freq_domains, q_topk_langs)
 }

@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.temporal.{AsOf, RangeJoin}
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal (as-of) join over the events table: for every click, the
+ * most recent purchase by the same user at or before the click time —
+ * the "state as the crawler saw it" join shape (page content as of a
+ * capture, price as of an order). The DuckDB dual uses the native
+ * `ASOF LEFT JOIN`, so the engine's union+running-window implementation
+ * ([[graft.temporal.AsOf]]) is pinned bit-exactly against a second,
+ * independently-implemented as-of semantics.
+ *
+ * The build side is pre-aggregated to one row per (user, ts) — max value
+ * — because "the row at time t" must be unique for as-of to be
+ * well-defined on either engine. Timestamps flow as epoch seconds
+ * (TIMESTAMP_NTZ -> UTC instant, matching DuckDB `epoch()`, same as
+ * q_sessionize).
+ */
+object TemporalQueries {
+
+  val q_asof_join: QueryDef = QueryDef.sqlChecked(
+    "q_asof_join",
+    """WITH e AS (SELECT event_id, user_id, event_type, value,
+      |                  epoch(ts) AS tsec FROM events),
+      |probe AS (SELECT event_id, user_id, tsec FROM e
+      |          WHERE event_type = 'click'),
+      |build AS (SELECT user_id, tsec, max(value) AS purchase_value
+      |          FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, p.tsec,
+      |       b.tsec AS tsec_build, b.purchase_value
+      |FROM probe p ASOF LEFT JOIN build b
+      |  ON p.user_id = b.user_id AND p.tsec >= b.tsec
+      |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      col("ts").cast("timestamp").cast("double").as("tsec"))
+    val probe = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "tsec")
+    val build = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "tsec").agg(max("value").as("purchase_value"))
+    AsOf.joinAsOf(probe, build, Seq("user_id"), "tsec", Seq("purchase_value"))
+      .select("event_id", "user_id", "tsec", "tsec_build", "purchase_value")
+      .orderBy("event_id")
+  }
+
+  /** Banded range join ([[graft.temporal.RangeJoin]]): purchases within
+    * the hour before each click, per user — bucketized to a hash
+    * equi-join on (user, time-bucket) + exact range filter, while the
+    * DuckDB dual states the raw interval predicate directly, so the
+    * bucket expansion's correctness (window fully covered, no double
+    * matches) is what the bit-compare pins. Aggregates are count/max
+    * (order-independent) — never an order-sensitive double sum. */
+  val q_range_join: QueryDef = QueryDef.sqlChecked(
+    "q_range_join",
+    """WITH e AS (SELECT event_id, user_id, event_type, value,
+      |                  epoch(ts) AS tsec FROM events),
+      |c AS (SELECT event_id, user_id, tsec FROM e
+      |      WHERE event_type = 'click'),
+      |p AS (SELECT user_id, tsec, value FROM e
+      |      WHERE event_type = 'purchase')
+      |SELECT c.event_id, count(*) AS n_purch, max(p.value) AS max_value
+      |FROM c JOIN p ON c.user_id = p.user_id
+      | AND p.tsec >= c.tsec - 3600 AND p.tsec <= c.tsec
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      col("ts").cast("timestamp").cast("double").as("tsec"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "tsec")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("user_id", "tsec", "value")
+    RangeJoin.joinRange(clicks, purchases, Seq("user_id"), "tsec",
+        lo = -3600.0, hi = 0.0)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_purch"), max("value").as("max_value"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q_asof_join, q_range_join)
+}
