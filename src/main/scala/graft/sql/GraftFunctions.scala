@@ -2,7 +2,7 @@ package graft.sql
 
 import graft.index.{CellIdExpr, HexCellIdExpr}
 import graft.similarity.DotProductExpr
-import graft.sketch.{FreqItemsAgg, KllQuantilesAgg, Sketches, ThetaEstimateExpr, ThetaSketchAgg, ThetaUnionAgg}
+import graft.sketch.{FreqItemsAgg, KllQuantilesAgg, Sketches, ThetaEstimateExpr, ThetaSketchAgg, ThetaUnionAgg, TopKAgg}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -107,7 +107,11 @@ object GraftFunctions {
       { args: Seq[Expression] =>
         require(args.length == 2 || args.length == 3, "graft_kll_quantiles(x, probs[, k])")
         val k = if (args.length == 3) constInt(args(2), "k") else 200
-        KllQuantilesAgg(args(0), k, constDoubles(args(1), "probs")) }))
+        KllQuantilesAgg(args(0), k, constDoubles(args(1), "probs")) }),
+    (FunctionIdentifier("graft_topk"), info("graft_topk"),
+      { args: Seq[Expression] =>
+        require(args.length == 3, "graft_topk(item, score, k)")
+        TopKAgg(args(0), args(1), constInt(args(2), "k")) }))
 
   /** Register every graft function on an existing session. */
   def register(spark: SparkSession): Unit =

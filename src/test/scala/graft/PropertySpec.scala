@@ -72,6 +72,32 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("topk buffer: any chunking + serde roundtrip equals sort-take-k") {
+    import graft.sketch.{TopKAgg, TopKBuffer}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val gen = for {
+      seed <- Gen.chooseNum(0, 100000)
+      n <- Gen.chooseNum(0, 300)
+      k <- Gen.chooseNum(1, 20)
+      cuts <- Gen.chooseNum(1, 8)
+    } yield (seed, n, k, cuts)
+    check(Prop.forAll(gen) { case (seed, n, k, cuts) =>
+      val r = new scala.util.Random(seed)
+      // small domains force heavy score AND item ties
+      val rows = Seq.fill(n)((r.nextInt(50).toLong, r.nextInt(40).toLong))
+      val agg = TopKAgg(Literal(0L), Literal(0L), k)
+      val chunks = (0 until cuts).map(c =>
+        rows.zipWithIndex.collect { case (x, i) if i % cuts == c => x })
+      val merged = chunks.map { ch =>
+        val b = new TopKBuffer(k)
+        ch.foreach { case (i, s) => b.add(i, s) }
+        agg.deserialize(agg.serialize(b)) // shuffle-boundary roundtrip
+      }.foldLeft(new TopKBuffer(k))(agg.merge)
+      val want = rows.sortBy { case (i, s) => (-s, i) }.take(k)
+      merged.sortedPairs.toSeq == want
+    })
+  }
+
   test("mt19937-64 uniform doubles stay in [0,1) and differ by seed") {
     check(Prop.forAll(Gen.chooseNum(0L, Long.MaxValue / 2)) { seed =>
       val r = new graft.align.Mt19937_64(seed)

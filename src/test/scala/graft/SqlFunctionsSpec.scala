@@ -115,6 +115,24 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(f == 0, s"expected no items above 3e9, got $f")
   }
 
+  test("graft_topk in SQL == Column API") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4)
+    (0 until 800).map(i => (s"g${i % 4}", i.toLong, rnd.nextInt(30).toLong))
+      .toDF("g", "item", "score").createOrReplaceTempView("sqlspec_topk")
+    val viaSql = spark.sql(
+      "SELECT g, graft_topk(item, score, 5) AS t FROM sqlspec_topk GROUP BY g")
+      .select(col("g"), explode(col("t")).as("x"))
+      .select(col("g"), col("x.item"), col("x.score")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val viaCol = spark.table("sqlspec_topk").groupBy("g")
+      .agg(graft.sketch.TopK.topK(col("item"), col("score"), 5).as("t"))
+      .select(col("g"), explode(col("t")).as("x"))
+      .select(col("g"), col("x.item"), col("x.score")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaSql == viaCol && viaSql.size == 20)
+  }
+
   test("sizing arguments must be literals") {
     docsGeo.createOrReplaceTempView("sqlspec_pts")
     intercept[Exception] {
