@@ -172,6 +172,65 @@ object Snapshots {
   def read(spark: SparkSession, m: Manifest): DataFrame =
     spark.read.parquet(m.dataPath)
 
+  /** Time travel: the table state as of wall-clock `tsMs` — the highest
+    * snapshot committed at or before that instant (None when the table
+    * had no committed snapshot yet). Reads only manifests; data files of
+    * superseded snapshots are never rewritten, so any historical state
+    * remains readable until explicitly vacuumed. */
+  def asOf(root: String, table: String, tsMs: Long): Option[Manifest] =
+    committed(root, table).filter(_.committedAtMs <= tsMs).lastOption
+
+  /** Time travel by snapshot id (exact match). */
+  def at(root: String, table: String, snapshotId: Long): Option[Manifest] =
+    committed(root, table).find(_.snapshotId == snapshotId)
+
+  /** Roll the table back to `snapshotId`: commits a NEW snapshot whose
+    * data path points at the old snapshot's files (no data copy, no
+    * history rewrite — exactly how Iceberg's rollback works). Readers of
+    * `latest` immediately see the old state; the intervening snapshots
+    * stay in history for audit until vacuumed. */
+  def rollback(root: String, table: String, snapshotId: Long): Manifest = {
+    val target = at(root, table, snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"rollback: no committed snapshot $snapshotId for $table"))
+    val id = latest(root, table).get.snapshotId + 1
+    val m = Manifest(table, id, target.rows, System.currentTimeMillis(),
+      target.dataPath, s"rollback-to-$snapshotId:${target.lineage}")
+    val dir = manifestDir(root, table)
+    val tmp = dir.resolve(s".$id.json.tmp")
+    Files.write(tmp, fmt(m).getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve(s"$id.json"), StandardCopyOption.ATOMIC_MOVE)
+    m
+  }
+
+  /** Expire history: drop manifests committed before `olderThanMs` and
+    * delete their data directories — UNLESS a surviving manifest still
+    * references the same dataPath (rollback aliases paths, so data files
+    * are reference-counted by surviving manifests, like Iceberg's
+    * expire_snapshots). The latest snapshot always survives. Returns the
+    * expired manifests. */
+  def vacuum(root: String, table: String, olderThanMs: Long): Seq[Manifest] = {
+    val all = committed(root, table)
+    if (all.isEmpty) return Nil
+    val keepId = all.last.snapshotId
+    val (expired, kept) = all.partition(m =>
+      m.snapshotId != keepId && m.committedAtMs < olderThanMs)
+    val live = kept.map(_.dataPath).toSet
+    expired.foreach { m =>
+      Files.deleteIfExists(manifestDir(root, table).resolve(s"${m.snapshotId}.json"))
+      if (!live.contains(m.dataPath)) {
+        val d = Paths.get(m.dataPath)
+        if (Files.isDirectory(d)) {
+          val stream = Files.walk(d)
+          try stream.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+          finally stream.close()
+        }
+      }
+    }
+    expired
+  }
+
   /** Resume point: reuse the latest committed snapshot whose lineage
     * matches, else compute + commit. Returns (df, resumed). */
   def resumeOrCompute(spark: SparkSession, root: String, table: String,

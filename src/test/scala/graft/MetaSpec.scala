@@ -21,6 +21,43 @@ class MetaSpec extends SparkSpec {
     assert(Snapshots.committed(root, "t").map(_.snapshotId) == Seq(0, 1))
   }
 
+  test("time travel: asOf picks the snapshot live at the instant, at by id") {
+    import spark.implicits._
+    val root = tmpRoot
+    val m0 = Snapshots.commit(Seq((1, "a")).toDF("k", "v"), root, "tt", "v1")
+    val m1 = Snapshots.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), root, "tt", "v2")
+    assert(Snapshots.asOf(root, "tt", m0.committedAtMs - 1).isEmpty) // pre-history
+    assert(Snapshots.asOf(root, "tt", m0.committedAtMs).get.snapshotId == 0)
+    // between the commits (if distinguishable) and at/after the last
+    if (m1.committedAtMs > m0.committedAtMs)
+      assert(Snapshots.asOf(root, "tt", m1.committedAtMs - 1).get.snapshotId == 0)
+    assert(Snapshots.asOf(root, "tt", m1.committedAtMs + 1000).get.snapshotId == 1)
+    // superseded snapshot's data stays readable through the old manifest
+    assert(Snapshots.read(spark, Snapshots.at(root, "tt", 0).get).count() == 1)
+    assert(Snapshots.read(spark, Snapshots.at(root, "tt", 1).get).count() == 2)
+    assert(Snapshots.at(root, "tt", 99).isEmpty)
+  }
+
+  test("rollback re-points latest without copying; vacuum respects aliases") {
+    import spark.implicits._
+    val root = tmpRoot
+    val m0 = Snapshots.commit(Seq((1, "a")).toDF("k", "v"), root, "rb", "v1")
+    Snapshots.commit(Seq((9, "z"), (8, "y")).toDF("k", "v"), root, "rb", "v2-bad")
+    val rb = Snapshots.rollback(root, "rb", 0)
+    assert(rb.snapshotId == 2 && rb.dataPath == m0.dataPath && rb.rows == 1)
+    assert(Snapshots.read(spark, Snapshots.latest(root, "rb").get)
+      .collect().map(_.toSeq).toSeq == Seq(Seq(1, "a")))
+    // vacuum everything older than now: snapshots 0 and 1 expire, but
+    // snapshot 0's data dir survives because the rollback (id 2, kept as
+    // latest) still references it; snapshot 1's data dir is deleted
+    val expired = Snapshots.vacuum(root, "rb", System.currentTimeMillis() + 1)
+    assert(expired.map(_.snapshotId) == Seq(0, 1))
+    assert(Snapshots.committed(root, "rb").map(_.snapshotId) == Seq(2))
+    assert(Snapshots.read(spark, Snapshots.latest(root, "rb").get).count() == 1)
+    assert(!Files.isDirectory(java.nio.file.Paths.get(root, "rb", "snap-1")))
+    intercept[IllegalArgumentException](Snapshots.rollback(root, "rb", 0))
+  }
+
   test("resume: matching lineage reuses, changed lineage recomputes") {
     import spark.implicits._
     val root = tmpRoot
