@@ -44,21 +44,26 @@ object Bench {
     val results = levels.map { cpus =>
       forkedLevel(cpus, nDocs).getOrElse(inProcessLevel(cpus, nDocs))
     }
-    val Seq((dpsN, secN, bestN, chkN), (dps4N, sec4N, best4N, chk4N)) = results
-    require(chkN == chk4N, "checksum differs across parallelism levels")
-    val eff = dps4N.toDouble / (4.0 * dpsN.toDouble)
+    val Seq(n, n4) = results
+    require(n.chk == n4.chk, "checksum differs across parallelism levels")
+    val eff = n4.dps.toDouble / (4.0 * n.dps.toDouble)
     // best-of-5 efficiency: capability reading robust to noisy-neighbor
     // bursts hitting one level's median (both are emitted; BASELINE.md
     // documents the protocols)
-    val effBest = (nDocs / best4N) / (4.0 * (nDocs / bestN))
-    s""""scaling":{"docs":$nDocs,"n2":{"sec":$secN,"best_sec":$bestN,"docs_per_sec":$dpsN},""" +
-      s""""n8":{"sec":$sec4N,"best_sec":$best4N,"docs_per_sec":$dps4N},""" +
-      s""""efficiency_2_8":$eff,"efficiency_2_8_best":$effBest,"checksum":$chkN}"""
+    val effBest = (nDocs / n4.best) / (4.0 * (nDocs / n.best))
+    s""""scaling":{"docs":$nDocs,"n2":{"sec":${n.med},"best_sec":${n.best},"docs_per_sec":${n.dps}},""" +
+      s""""n8":{"sec":${n4.med},"best_sec":${n4.best},"docs_per_sec":${n4.dps}},""" +
+      s""""efficiency_2_8":$eff,"efficiency_2_8_best":$effBest,"checksum":${n.chk}}"""
   }
+
+  /** One measured level of the warm protocol: median/best of 5 timed
+    * runs after 3 warm-ups, plus the result invariants. */
+  private final case class LevelStats(
+      dps: Long, med: Double, best: Double, chk: Long, pip: Long, cells: Long)
 
   /** One scaling level in a fresh fixed-heap child JVM (the BASELINE.md
     * apparatus). Returns (docs/sec, median sec, best sec, checksum). */
-  private def forkedLevel(cpus: Int, nDocs: Long): Option[(Long, Double, Double, Long)] =
+  private def forkedLevel(cpus: Int, nDocs: Long): Option[LevelStats] =
     try {
       val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
         "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
@@ -101,13 +106,15 @@ object Bench {
         for {
           med <- num("median_sec").map(_.toDouble)
           chk <- num("checksum").map(_.toLong)
-        } yield ((nDocs / med).toLong, med,
-          num("best_sec").map(_.toDouble).getOrElse(med), chk)
+        } yield LevelStats((nDocs / med).toLong, med,
+          num("best_sec").map(_.toDouble).getOrElse(med), chk,
+          num("pip_hits").map(_.toLong).getOrElse(-1L),
+          num("grid_cells").map(_.toLong).getOrElse(-1L))
       }
     } catch { case _: Throwable => None }
 
-  /** Legacy in-process pair (one JVM, sessions rebuilt per level). */
-  private def inProcessLevel(cpus: Int, nDocs: Long): (Long, Double, Double, Long) = {
+  /** Legacy in-process fallback (fresh session in THIS JVM). */
+  private def inProcessLevel(cpus: Int, nDocs: Long): LevelStats = {
     val s = session(cpus.toString)
     try {
       (1 to 3).foreach(_ => Flagship.run(s, nDocs))
@@ -115,7 +122,8 @@ object Bench {
       val med = runs.map(_.seconds).sorted.apply(2)
       val chk = runs.map(_.gridChecksum).distinct
       require(chk.size == 1, s"non-deterministic checksum at local[$cpus]")
-      ((nDocs / med).toLong, med, runs.map(_.seconds).min, chk.head)
+      LevelStats((nDocs / med).toLong, med, runs.map(_.seconds).min, chk.head,
+        runs.head.pipHits, runs.head.gridCells)
     } finally s.stop()
   }
 
@@ -146,9 +154,16 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
 
+    // Flagship throughput in a FRESH fixed-heap child JVM with the warm
+    // protocol (3 warm-ups + 5 timed, median) — measured in this JVM
+    // right after the 80-query sweep, the reading is dominated by the
+    // sweep's accumulated GC/codegen debt (round 3 measured a 9x
+    // distortion), not by the job. Sweep session is stopped first so the
+    // child gets the whole machine.
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000").toLong
-    val flag = Flagship.run(spark, nDocs)
     spark.stop()
+    val flag = forkedLevel(cpus.toInt, nDocs)
+      .getOrElse(inProcessLevel(cpus.toInt, nDocs))
 
     // the scaling pair needs enough work per run that fixed stage
     // overheads don't drown the 8-core side (at 2M docs the 8-core run
@@ -165,13 +180,14 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum + flag.seconds
+    val total = results.map(_._2).sum + flag.med
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failed,""" +
-        s""""flagship":{"docs":${flag.docs},"sec":${flag.seconds},""" +
-        s""""docs_per_sec":${flag.docsPerSec},"pip_hits":${flag.pipHits},""" +
-        s""""grid_cells":${flag.gridCells},"checksum":${flag.gridChecksum}},""" +
+        s""""flagship":{"docs":$nDocs,"sec":${flag.med},"best_sec":${flag.best},""" +
+        s""""docs_per_sec":${flag.dps},"pip_hits":${flag.pip},""" +
+        s""""grid_cells":${flag.cells},"checksum":${flag.chk},""" +
+        s""""protocol":"forked_warm_median_of_5"},""" +
         scaling.map(s => s + ",").getOrElse("") +
         s""""sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -41,7 +41,8 @@ object ScalingBench {
     println(
       s"""{"cpus":$cpus,"docs":$nDocs,"runs_sec":[${runs.map(_.seconds).mkString(",")}],""" +
         s""""median_sec":$med,"best_sec":$best,"docs_per_sec":${nDocs / med},""" +
-        s""""checksum":${chk.head._1},"content_checksum":${chk.head._2},"pip_hits":${runs.head.pipHits}}""")
+        s""""checksum":${chk.head._1},"content_checksum":${chk.head._2},""" +
+        s""""pip_hits":${runs.head.pipHits},"grid_cells":${runs.head.gridCells}}""")
     spark.stop()
   }
 }

@@ -184,6 +184,25 @@ object Snapshots {
   def at(root: String, table: String, snapshotId: Long): Option[Manifest] =
     committed(root, table).find(_.snapshotId == snapshotId)
 
+  /** Incremental read: the row-level change set between two committed
+    * snapshot states — `change='delete'` for rows in `fromId` but not
+    * `toId`, `change='insert'` for rows in `toId` but not `fromId` (set
+    * semantics, like SQL EXCEPT; an updated row appears as one delete +
+    * one insert). Pure DataFrame transform — the two states never pass
+    * through the driver; the anti-join shuffles hash-partition on the
+    * full row, so the diff of two 100 TB states is one co-partitioned
+    * pass, not a collect. */
+  def diff(spark: SparkSession, root: String, table: String,
+           fromId: Long, toId: Long): DataFrame = {
+    def state(id: Long): DataFrame = read(spark, at(root, table, id).getOrElse(
+      throw new IllegalArgumentException(s"diff: no committed snapshot $id for $table")))
+    val (from, to) = (state(fromId), state(toId))
+    val cols = from.columns.map(org.apache.spark.sql.functions.col).toSeq
+    import org.apache.spark.sql.functions.lit
+    from.except(to).select(lit("delete").as("change") +: cols: _*)
+      .unionAll(to.except(from).select(lit("insert").as("change") +: cols: _*))
+  }
+
   /** Roll the table back to `snapshotId`: commits a NEW snapshot whose
     * data path points at the old snapshot's files (no data copy, no
     * history rewrite — exactly how Iceberg's rollback works). Readers of
