@@ -127,14 +127,25 @@ object Bench {
     } finally s.stop()
   }
 
+  /** Queries per SparkSession during the sweep. One session across the
+    * whole (now 80+) query list accumulates state the queries themselves
+    * release only via GC — localCheckpoint blocks, cached plans,
+    * broadcast cleanup backlog — and late-alphabet queries were measured
+    * up to 5x slower than the same query alone (round-3 sweep:
+    * q_webpages_dedup 1.7 s standalone vs 9.4 s at position 78).
+    * Recycling bounds the debt so position in the sweep stops being a
+    * confounder; each query still pays its own full cold plan+codegen. */
+  private final val RecycleEvery = 16
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
-    val spark = session(cpus)
+    var spark = session(cpus)
 
     // session warm-up so the first measured query doesn't pay JIT/codegen
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    def warm(): Unit = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    warm()
 
     // optional comma-separated query filter (profiling aid; the driver
     // never sets it, so the contract output is unchanged)
@@ -142,7 +153,13 @@ object Bench {
       .map(_.split(",").filter(_.nonEmpty).toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .zipWithIndex
+      .map { case ((name, fn), i) =>
+      if (i > 0 && i % RecycleEvery == 0) {
+        spark.stop()
+        spark = session(cpus)
+        warm()
+      }
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -151,6 +168,11 @@ object Bench {
             System.err.println(s"BENCH FAILURE in $name: ${t.getClass.getName}: ${t.getMessage}")
             false
         }
+      // release blocks the finished query persisted (localCheckpoints):
+      // they are dead after count() but only GC would reclaim them, and
+      // accumulated blocks starve later queries' execution memory
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
 

@@ -237,6 +237,16 @@ object Snapshots {
     val live = kept.map(_.dataPath).toSet
     expired.foreach { m =>
       Files.deleteIfExists(manifestDir(root, table).resolve(s"${m.snapshotId}.json"))
+      // metadata side tables of the expired id (metrics, file stats)
+      for (side <- Seq("_metrics", "_filestats")) {
+        val d = Paths.get(root, table, side, m.snapshotId.toString)
+        if (Files.isDirectory(d)) {
+          val stream = Files.walk(d)
+          try stream.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+          finally stream.close()
+        }
+      }
       if (!live.contains(m.dataPath)) {
         val d = Paths.get(m.dataPath)
         if (Files.isDirectory(d)) {
@@ -248,6 +258,74 @@ object Snapshots {
       }
     }
     expired
+  }
+
+  /** Write `df` as the next snapshot CLUSTERED on `orderCols` (range
+    * partition into ~`numFiles` files + in-file sort) and index the
+    * footer stats of `statCols` — the write shape that makes
+    * [[readPruned]] effective: range partitioning gives files DISJOINT
+    * key intervals, so a key-range probe intersects O(range/fileSpan)
+    * files instead of all of them. Morton-encoded cell ids make this a
+    * 2-D spatial clustering (Z-order) for free. */
+  def commitClustered(df: DataFrame, root: String, table: String,
+                      lineage: String, orderCols: Seq[String],
+                      statCols: Seq[String], numFiles: Int): Manifest = {
+    import org.apache.spark.sql.functions.col
+    val oc = orderCols.map(col)
+    val m = commit(
+      df.repartitionByRange(numFiles, oc: _*).sortWithinPartitions(oc: _*),
+      root, table, lineage)
+    indexStats(df.sparkSession, root, table, m.snapshotId, statCols)
+    m
+  }
+
+  /** Collect + commit footer stats for snapshot `id` (side table
+    * `_filestats/<id>`; see [[FileStats]]). Idempotent overwrite. */
+  def indexStats(spark: SparkSession, root: String, table: String,
+                 id: Long, statCols: Seq[String]): Seq[FileStats.FileStat] = {
+    val m = at(root, table, id).getOrElse(throw new IllegalArgumentException(
+      s"indexStats: no committed snapshot $id for $table"))
+    val stats = FileStats.collect(spark, m.dataPath, statCols)
+    if (stats.nonEmpty) {
+      import spark.implicits._
+      stats.toDF().coalesce(1).write.mode("overwrite")
+        .parquet(Paths.get(root, table, "_filestats", id.toString).toString)
+    }
+    stats
+  }
+
+  /** The committed footer stats of snapshot `id` (empty if never
+    * indexed). */
+  def fileStats(spark: SparkSession, root: String, table: String,
+                id: Long): Seq[FileStats.FileStat] = {
+    val dir = Paths.get(root, table, "_filestats", id.toString)
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      import spark.implicits._
+      spark.read.parquet(dir.toString).as[FileStats.FileStat]
+        .collect().toSeq.sortBy(s => (s.path, s.col))
+    }
+  }
+
+  /** Key-range probe of the LATEST snapshot through its file-level
+    * stats: reads only data files whose [min, max] footer interval for
+    * `colName` intersects [lo, hi] (files without usable stats are
+    * conservatively read), then applies the exact predicate — result is
+    * bit-identical to filtering a full scan. Falls back to the full
+    * file set when the snapshot was never indexed. */
+  def readPruned(spark: SparkSession, root: String, table: String,
+                 colName: String, lo: Long, hi: Long)
+      : (DataFrame, FileStats.PruneReport) = {
+    val m = latest(root, table).getOrElse(throw new IllegalArgumentException(
+      s"readPruned: no committed snapshot for $table"))
+    val stats = fileStats(spark, root, table, m.snapshotId)
+    if (stats.isEmpty) {
+      import org.apache.spark.sql.functions.col
+      val all = FileStats.dataFiles(
+        spark.sparkContext.hadoopConfiguration, m.dataPath).size
+      (read(spark, m).where(col(colName) >= lo && col(colName) <= hi),
+        FileStats.PruneReport(all, all))
+    } else FileStats.readRange(spark, m.dataPath, stats, colName, lo, hi)
   }
 
   /** Resume point: reuse the latest committed snapshot whose lineage

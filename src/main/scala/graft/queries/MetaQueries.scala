@@ -78,5 +78,55 @@ object MetaQueries {
       .orderBy(col("change"), col("gx"), col("gy"), col("v"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_snapshot_scan, q_snapshot_diff)
+  /** Own root (see [[DiffRoot]] note). */
+  final val PruneRoot = "/tmp/graft_snap_prune"
+
+  /** Data-skipping file pruning (Iceberg-style, SURVEY.md §4.7): commit
+    * the cell-indexed documents CLUSTERED on the Morton cell id (range
+    * partitioning -> disjoint per-file cell intervals + parquet footer
+    * stats in `_filestats`), then probe one Morton quadrant of the id
+    * space through [[Snapshots.readPruned]]. The query REQUIRES that
+    * pruning actually skipped files — a quadrant probe over 8
+    * range-partitioned files must not read all 8 — so the driver row
+    * being green certifies both halves: the pruned scan loses no rows
+    * (bit-exact vs the DuckDB dual recomputing cells from the raw
+    * documents) and the stats actually engage. At the 100 TB design
+    * point this is the difference between a cell-range query touching
+    * ~range/fileSpan files and a full-table scan. */
+  val q_snapshot_prune: QueryDef = {
+    import graft.index.Cells
+    val res = Spatial.Res
+    // one Morton quadrant (top two interleaved bits = 01): a quarter of
+    // the 2*res-bit id space, i.e. the lon<0 / lat>=0 world quadrant
+    val lo = (res.toLong << 56) | (1L << (2 * res - 2))
+    val hi = (res.toLong << 56) | ((1L << (2 * res - 1)) - 1)
+    QueryDef.sqlChecked(
+      "q_snapshot_prune",
+      s"""WITH pts AS (SELECT doc_id, n_chars, ${Geo.lonSql("doc_id")} AS lon,
+         |  ${Geo.latSql("doc_id")} AS lat FROM documents),
+         |cxy AS (SELECT doc_id, n_chars, lon, lat,
+         |  ${Cells.cxSql("lon", res)} AS cx, ${Cells.cySql("lat", res)} AS cy FROM pts),
+         |cells AS (SELECT doc_id, n_chars,
+         |  ${Cells.packSql("cx", "cy", res)} AS cell FROM cxy)
+         |SELECT doc_id, n_chars, cell FROM cells
+         |WHERE cell BETWEEN $lo AND $hi ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(PruneRoot))
+      val cells = Geo.withGeo(Tables.documents(s, dir))
+        .withColumn("cell",
+          graft.index.CellFunctions.cellId(col("lon"), col("lat"), res))
+        .select("doc_id", "n_chars", "cell")
+      Snapshots.commitClustered(cells, PruneRoot, "cells", s"cells:$dir",
+        orderCols = Seq("cell"), statCols = Seq("cell"), numFiles = 8)
+      val (df, rep) = Snapshots.readPruned(s, PruneRoot, "cells", "cell", lo, hi)
+      require(rep.keptFiles < rep.totalFiles,
+        s"footer pruning did not engage: read ${rep.keptFiles}/${rep.totalFiles} files")
+      df.select("doc_id", "n_chars", "cell").orderBy(col("doc_id"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q_snapshot_scan, q_snapshot_diff, q_snapshot_prune)
 }

@@ -97,5 +97,81 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q_dup_clusters, q_hash_sample)
+  /** Near-dup similarity threshold for [[q_neardup_purge]] (fraction of
+    * the 16 minhashes that must agree). */
+  final val PurgeTau = 0.75
+
+  /** END-TO-END near-duplicate corpus purge — the composed pipeline a
+    * training-data run actually executes, not just its stages:
+    * MinHash signatures -> capped LSH band buckets -> candidate pairs
+    * -> est_sim >= tau filter -> transitive clustering (pointer-jumping
+    * CC) -> keep the min-doc_id representative per cluster -> anti-join
+    * the victims out of the corpus. Every stage is the already-verified
+    * operator ([[graft.dedup.Dedup]], [[DupClusters]]); this query pins
+    * their COMPOSITION bit-exactly against a DuckDB dual that replays
+    * the whole chain (signatures, band keys, the bucket cap, the sim
+    * fraction, a recursive-CTE closure, the anti-join).
+    *
+    * Scale shape: signatures are one hash-agg over exploded shingles;
+    * the pair join is bucket-bounded (never quadratic); clustering is
+    * O(log diameter) rounds; the purge is one left-anti join. No stage
+    * collects the corpus. */
+  val q_neardup_purge: QueryDef = {
+    import graft.dedup.Dedup
+    import graft.text.TextOps
+    val H = Dedup.NumHashes
+    val bands = 4
+    val rows = H / bands
+    val mins = (0 until H).map(j =>
+      s"min((${Dedup.hashA(j)} * hv + ${Dedup.hashB(j)}) % ${Dedup.MinHashP}) AS m$j")
+      .mkString(",\n  ")
+    val bandSel = (0 until bands).map { b =>
+      val key = (0 until rows).map(r => s"CAST(m${b * rows + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val simSum = (0 until H)
+      .map(j => s"CASE WHEN s1.m$j = s2.m$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    QueryDef.sqlChecked(
+      "q_neardup_purge",
+      s"""WITH RECURSIVE ${TextOps.shingleCteSql},
+         |h AS (SELECT doc_id, ${TextOps.hexToLongSql("md5(s)", 8)} AS hv FROM sh),
+         |sig AS (SELECT doc_id, $mins FROM h GROUP BY doc_id),
+         |bb AS ($bandSel),
+         |ok AS (SELECT band, key FROM bb GROUP BY band, key
+         |       HAVING count(*) <= ${Dedup.DefaultMaxBucket}),
+         |bbk AS (SELECT bb.* FROM bb JOIN ok USING (band, key)),
+         |p AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+         |      FROM bbk a JOIN bbk b USING (band, key)
+         |      WHERE a.doc_id < b.doc_id),
+         |e AS (SELECT doc1 AS x, doc2 AS y FROM p
+         |      JOIN sig s1 ON p.doc1 = s1.doc_id
+         |      JOIN sig s2 ON p.doc2 = s2.doc_id
+         |      WHERE CAST($simSum AS DOUBLE) / $H.0 >= $PurgeTau),
+         |sym AS (SELECT x, y FROM e UNION SELECT y AS x, x AS y FROM e),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT x, x FROM sym
+         |  UNION
+         |  SELECT s.x, reach.r FROM sym s JOIN reach ON s.y = reach.id),
+         |comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |victims AS (SELECT id FROM comp WHERE id <> cluster)
+         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         |LEFT JOIN victims v ON d.doc_id = v.id
+         |WHERE v.id IS NULL ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sigs = Dedup.minhashSignatures(docs)
+      val edges = Dedup.lshPairs(sigs, bands, rows)
+        .filter(col("est_sim") >= PurgeTau)
+        .select(col("doc1").as("x"), col("doc2").as("y"))
+      val victims = DupClusters.components(edges)
+        .filter(col("id") =!= col("cluster"))
+        .select(col("id").as("doc_id"))
+      docs.join(victims, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q_dup_clusters, q_hash_sample, q_neardup_purge)
 }

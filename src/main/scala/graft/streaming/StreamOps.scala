@@ -97,6 +97,39 @@ object StreamOps {
         col("gx"), col("gy"))
       .agg(max(col("qz")).as("v"))
 
+  /** Commit one micro-batch as the next snapshot of `table`, keyed by
+    * (queryName, batchId) in the lineage so a RESTARTED stream replaying
+    * a batch (foreachBatch is at-least-once) commits it exactly once —
+    * the snapshot layer's atomic manifest is what upgrades the sink to
+    * effectively-once. Returns the manifest (fresh or already-present). */
+  def commitBatch(batch: DataFrame, root: String, table: String,
+                  queryName: String, batchId: Long): graft.meta.Snapshots.Manifest = {
+    val lineage = s"stream:$queryName:batch-$batchId"
+    graft.meta.Snapshots.committed(root, table).find(_.lineage == lineage)
+      .getOrElse(graft.meta.Snapshots.commit(batch, root, table, lineage))
+  }
+
+  /** Streaming snapshot sink: every micro-batch becomes one committed
+    * snapshot of `root/table` (monotonic ids, atomic manifests), so the
+    * downstream side reads the stream INCREMENTALLY through the same
+    * snapshot API batch jobs use — [[graft.meta.Snapshots.diff]] between
+    * two ids is the change set, `latest` is the newest batch, and a
+    * consumer that remembers its last-processed id resumes exactly
+    * where it stopped. This is the engine's Iceberg-style streaming
+    * ingest (SURVEY.md §2.12): the write path is the batch commit, the
+    * streaming runtime only supplies batching + restart replay, and
+    * [[commitBatch]]'s lineage key de-duplicates replays. */
+  def snapshotSink(df: DataFrame, root: String, table: String,
+                   queryName: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        commitBatch(batch.toDF(), root, table, queryName, batchId)
+        ()
+      }
+
   final case class Ev(user_id: Long, tsec: Double, event_id: Long)
   final case class Session(user_id: Long, start: Double, end: Double, n: Long)
   final case class SessState(start: Double, last: Double, n: Long)

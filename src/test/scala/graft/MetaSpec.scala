@@ -141,4 +141,99 @@ class MetaSpec extends SparkSpec {
     val hot = Skew.hotKeys(df, col("k"), 5000).collect().map(_.getLong(0)).toSet
     assert(hot == Set(0L))
   }
+
+  // --- file-level data skipping (FileStats + commitClustered/readPruned) ---
+
+  /** 10k rows with a deterministic pseudo-shuffled long key in
+    * [0, 100000) and a payload column. */
+  private def skipData = {
+    import spark.implicits._
+    spark.range(10000)
+      .select((col("id") * 2654435761L % 100000L).as("k"),
+        (col("id") % 97).cast("int").as("p"))
+  }
+
+  test("clustered commit: footer stats exist, per-file ranges are disjoint") {
+    val root = tmpRoot
+    val m = Snapshots.commitClustered(skipData, root, "fs", "v1",
+      orderCols = Seq("k"), statCols = Seq("k"), numFiles = 8)
+    val stats = Snapshots.fileStats(spark, root, "fs", m.snapshotId)
+    assert(stats.nonEmpty && stats.forall(_.hasStats))
+    assert(stats.map(_.rows).sum == 10000)
+    assert(stats.forall(_.nulls == 0))
+    // range partitioning -> sorted by min, no interval overlap
+    val iv = stats.filter(_.col == "k").sortBy(_.min)
+    iv.sliding(2).foreach {
+      case Seq(a, b) => assert(a.max <= b.min,
+        s"overlapping file ranges: [${a.min},${a.max}] vs [${b.min},${b.max}]")
+      case _ =>
+    }
+    assert(iv.forall(s => s.min <= s.max))
+  }
+
+  test("pruned range read is bit-identical to filtering a full scan") {
+    import spark.implicits._
+    val root = tmpRoot
+    val data = skipData
+    Snapshots.commitClustered(data, root, "pr", "v1",
+      orderCols = Seq("k"), statCols = Seq("k"), numFiles = 8)
+    val full = Snapshots.read(spark, Snapshots.latest(root, "pr").get)
+    // range sweep: interior, touching min, touching max, single point,
+    // empty interior gap is impossible (dense keys) so use out-of-domain
+    val ranges = Seq((20000L, 45000L), (0L, 7L), (99990L, 99999L),
+      (50000L, 50000L), (200000L, 300000L), (Long.MinValue, Long.MaxValue))
+    for ((lo, hi) <- ranges) {
+      val (pruned, rep) = Snapshots.readPruned(spark, root, "pr", "k", lo, hi)
+      val want = full.where(col("k") >= lo && col("k") <= hi)
+        .as[(Long, Int)].collect().sorted.toSeq
+      val got = pruned.as[(Long, Int)].collect().sorted.toSeq
+      assert(got == want, s"range [$lo,$hi]")
+      assert(rep.keptFiles <= rep.totalFiles && rep.totalFiles > 0)
+      // out-of-domain probe must read nothing
+      if (lo == 200000L) assert(rep.keptFiles == 0 && got.isEmpty)
+    }
+  }
+
+  test("pruning engages on clustered layout, not on a random layout") {
+    val root = tmpRoot
+    val data = skipData
+    Snapshots.commitClustered(data, root, "cl", "v1",
+      orderCols = Seq("k"), statCols = Seq("k"), numFiles = 8)
+    val (_, repC) = Snapshots.readPruned(spark, root, "cl", "k", 40000L, 52000L)
+    // ~12% of the key space over 8 disjoint files -> at most 3 files
+    assert(repC.totalFiles >= 6 && repC.keptFiles <= 3,
+      s"clustered probe read ${repC.keptFiles}/${repC.totalFiles}")
+    // same data hash-partitioned (every file spans ~the whole key range)
+    val m = Snapshots.commit(data.repartition(8, col("p")), root, "rnd", "v1")
+    Snapshots.indexStats(spark, root, "rnd", m.snapshotId, Seq("k"))
+    val (dfR, repR) = Snapshots.readPruned(spark, root, "rnd", "k", 40000L, 52000L)
+    assert(repR.keptFiles == repR.totalFiles,
+      s"random layout should not prune: ${repR.keptFiles}/${repR.totalFiles}")
+    assert(dfR.count() ==
+      Snapshots.read(spark, Snapshots.latest(root, "cl").get)
+        .where(col("k").between(40000L, 52000L)).count())
+  }
+
+  test("unindexed snapshot: readPruned falls back to a full correct scan") {
+    val root = tmpRoot
+    Snapshots.commit(skipData, root, "ni", "v1")
+    val (df, rep) = Snapshots.readPruned(spark, root, "ni", "k", 10000L, 30000L)
+    assert(rep.keptFiles == rep.totalFiles) // nothing skipped, nothing lost
+    assert(df.count() ==
+      Snapshots.read(spark, Snapshots.latest(root, "ni").get)
+        .where(col("k").between(10000L, 30000L)).count())
+  }
+
+  test("vacuum removes the expired snapshot's filestats side table") {
+    val root = tmpRoot
+    Snapshots.commitClustered(skipData, root, "vf", "v1",
+      orderCols = Seq("k"), statCols = Seq("k"), numFiles = 4)
+    Snapshots.commitClustered(skipData.limit(100), root, "vf", "v2",
+      orderCols = Seq("k"), statCols = Seq("k"), numFiles = 2)
+    assert(Files.isDirectory(java.nio.file.Paths.get(root, "vf", "_filestats", "0")))
+    val expired = Snapshots.vacuum(root, "vf", System.currentTimeMillis() + 1)
+    assert(expired.map(_.snapshotId) == Seq(0))
+    assert(!Files.isDirectory(java.nio.file.Paths.get(root, "vf", "_filestats", "0")))
+    assert(Snapshots.fileStats(spark, root, "vf", 1).nonEmpty)
+  }
 }

@@ -163,4 +163,37 @@ class StreamingSpec extends SparkSpec {
       assert(gotCell == dsmCell)
     } finally q.stop()
   }
+
+  test("snapshot sink: one committed snapshot per micro-batch, replay-idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.meta.Snapshots
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-snap").toString
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.snapshotSink(
+      input.toDS().toDF("k", "v"), root, "ingest", "snap_sink").start()
+    try {
+      input.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      input.addData((3L, "c")); q.processAllAvailable()
+    } finally q.stop()
+
+    val ms = Snapshots.committed(root, "ingest")
+    assert(ms.map(_.snapshotId) == Seq(0, 1))
+    assert(ms.map(_.rows) == Seq(2, 1))
+    assert(ms.map(_.lineage) ==
+      Seq("stream:snap_sink:batch-0", "stream:snap_sink:batch-1"))
+    // incremental consumer: diff between the two batch states
+    val inserts = Snapshots.diff(spark, root, "ingest", 0, 1)
+      .filter(col("change") === "insert").count()
+    assert(inserts == 1)
+    // at-least-once replay of an already-committed batch is a no-op
+    val replayed = StreamOps.commitBatch(
+      Seq((9L, "x")).toDF("k", "v"), root, "ingest", "snap_sink", 1L)
+    assert(replayed.snapshotId == 1 && replayed.rows == 1)
+    assert(Snapshots.committed(root, "ingest").size == 2)
+    assert(Snapshots.read(spark, Snapshots.latest(root, "ingest").get)
+      .as[(Long, String)].collect().toSet == Set((3L, "c")))
+  }
 }
