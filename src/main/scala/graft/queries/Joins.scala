@@ -70,5 +70,39 @@ object Joins {
       .orderBy(col("aoi_id"), col("gx"), col("gy"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_pip_join, q_knn_join, q_rasterize_aoi)
+  /** J4 as a REAL stream (§2.12 x §2.4): the documents table is staged
+    * into a file-source directory, streamed through
+    * `StreamOps.pipEnrich` (stream-static broadcast cell join + exact
+    * JTS test, stateless — no watermark or state store), and the
+    * append-mode memory sink is aggregated per AOI afterwards. The dual
+    * replays the strict SQL predicates batch-side, so the check pins
+    * that streaming emission neither loses nor duplicates a hit:
+    * (n, id_sum) per AOI is bit-exact against the batch semantics. */
+  val q_stream_pip: QueryDef = QueryDef.sqlChecked(
+    "q_stream_pip",
+    s"""WITH $ptsCte
+       |SELECT aoi_id, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
+       |${Aoi.oracleHitsSql}
+       |) hits GROUP BY aoi_id ORDER BY aoi_id""".stripMargin) { (s, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-pip")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      tmp.resolve("documents.parquet"))
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(tmp.toString)
+    val pts = Geo.withGeo(stream).select("doc_id", "lon", "lat")
+    val hits = graft.streaming.StreamOps.pipEnrich(pts)
+    s.catalog.dropTempView("stream_pip_out")
+    val q = hits.writeStream.outputMode("append").format("memory")
+      .queryName("stream_pip_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("stream_pip_out").groupBy(col("aoi_id"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("aoi_id"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q_pip_join, q_knn_join, q_rasterize_aoi, q_stream_pip)
 }

@@ -97,6 +97,20 @@ object StreamOps {
         col("gx"), col("gy"))
       .agg(max(col("qz")).as("v"))
 
+  /** Stream-static point-in-polygon enrichment (J4 as a stream): a
+    * stream of geocoded pages (doc_id, lon, lat) joins the static AOI
+    * set through the SAME cell-cover + JTS path the batch join uses
+    * ([[graft.join.SpatialJoins.pipJoin]]). The static side (exploded
+    * polygon cell covers) is broadcast, the stream side carries one
+    * codegen'd cell id and is never shuffled, and the operator is
+    * stateless — no watermark or state store — so at 10^12 docs the
+    * per-micro-batch cost is a map-side hash probe. Emitted rows equal
+    * the batch join over the same input (append mode, exactly one row
+    * per (aoi, doc) hit). */
+  def pipEnrich(pts: DataFrame, aois: Seq[graft.join.Aoi.AoiDef] = graft.join.Aoi.defs,
+                res: Int = 7): DataFrame =
+    graft.join.SpatialJoins.pipJoin(pts, aois, res)
+
   /** Commit one micro-batch as the next snapshot of `table`, keyed by
     * (queryName, batchId) in the lineage so a RESTARTED stream replaying
     * a batch (foreachBatch is at-least-once) commits it exactly once —

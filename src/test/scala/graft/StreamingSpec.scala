@@ -89,6 +89,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static PIP enrichment across micro-batches == batch join") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ids = (1L to 4000L).toVector
+    val (b1, b2) = ids.splitAt(ids.size / 3) // uneven micro-batches
+
+    val input = MemoryStream[Long]
+    val pts = graft.core.Geo.withGeo(input.toDS().toDF("doc_id"))
+      .select("doc_id", "lon", "lat")
+    val q = StreamOps.pipEnrich(pts)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pip_stream_spec").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      // stateless stream-static join: no state store rows at all
+      assert(Option(q.lastProgress).forall(_.stateOperators.isEmpty))
+    } finally q.stop()
+    val got = spark.table("pip_stream_spec")
+      .select("aoi_id", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val batchPts = graft.core.Geo.withGeo(ids.toDF("doc_id"))
+      .select("doc_id", "lon", "lat")
+    val want = graft.join.SpatialJoins.pipJoin(batchPts, graft.join.Aoi.defs)
+      .select("aoi_id", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+    spark.catalog.dropTempView("pip_stream_spec")
+  }
+
   test("stateful sessionization matches the batch window query") {
     import spark.implicits._
     val evs = spark.read.parquet(s"$sfSmoke/events.parquet")
