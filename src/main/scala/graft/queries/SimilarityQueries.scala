@@ -146,6 +146,64 @@ object SimilarityQueries {
     }
   }
 
+  /** Fixed side-table root for the PQ staged-codebook oracle. */
+  final val PqSideRoot = "/tmp/graft_pq_side"
+
+  /** Product-quantization ANN (the compressed-domain scale path): train
+    * deterministic per-subspace codebooks on a bounded sample
+    * (driver-side, 256 vectors), stage them to a parquet side-table,
+    * PQ-encode the corpus row-locally (broadcast-literal codebooks, no
+    * shuffle), and score queries by ADC lookup-table folds over the
+    * m-byte codes. The DuckDB dual replays encode AND ADC bit-exactly
+    * from the staged codebooks (argmin with the same (dist, code)
+    * tie-break, folds in the same index order); training itself is
+    * pinned by PqSpec. Approximate vs exact cosine by construction —
+    * deterministic bit-for-bit. */
+  val q_pq_topk: QueryDef = {
+    val M = 16; val W = Dim / M; val NC = 32
+    QueryDef.sqlChecked(
+      "q_pq_topk",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+         |t AS (SELECT vec_id, v FROM e WHERE vec_id >= 3),
+         |cb AS (SELECT s, code, cv FROM '$PqSideRoot/cb/*.parquet'),
+         |enc AS (SELECT t.vec_id, cb.s, cb.code,
+         |  list_reduce(list_transform(range(1, ${W + 1}), i ->
+         |    (t.v[cb.s * $W + i] - cb.cv[i]) * (t.v[cb.s * $W + i] - cb.cv[i])),
+         |    (a, b) -> a + b) AS d
+         |  FROM t CROSS JOIN cb),
+         |codes AS (SELECT vec_id, s, code FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+         |  FROM enc) z WHERE rn = 1),
+         |lut AS (SELECT q.qid, cb.s, cb.code,
+         |  list_reduce(list_transform(range(1, ${W + 1}), i -> q.qv[cb.s * $W + i] * cb.cv[i]),
+         |    (a, b) -> a + b) AS pd
+         |  FROM q CROSS JOIN cb),
+         |sc AS (SELECT l.qid, c.vec_id,
+         |    list_reduce(list(l.pd ORDER BY l.s), (a, b) -> a + b) AS score
+         |  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+         |  GROUP BY l.qid, c.vec_id)
+         |SELECT qid, vec_id, score, CAST(rn AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, vec_id) AS rn FROM sc) z
+         |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = graft.similarity.Ann.withVec(Tables.embeddings(s, dir))
+      val t = e.filter(col("vec_id") >= 3).select(col("vec_id"), col("v"))
+      val sample = t.orderBy(col("vec_id")).limit(256)
+        .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
+      val cb = graft.similarity.Pq.train(sample, M, NC, iters = 4)
+      graft.similarity.Pq.codebookDf(s, cb)
+        .write.mode("overwrite").parquet(s"$PqSideRoot/cb")
+      val queries = e.filter(col("vec_id") < 3).orderBy(col("vec_id"))
+        .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+        .collect().map { case (id, v) => (id, v.toArray) }.toSeq
+      graft.similarity.Pq.adcTopK(queries, graft.similarity.Pq.encode(t, cb), cb, 10)
+        .orderBy(col("qid"), col("rank"))
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q_ann_topk, q_ann_ivf, q_embed_norm, q_embed_neardup, q_media_meta)
+    Seq(q_ann_topk, q_ann_ivf, q_pq_topk, q_embed_norm, q_embed_neardup,
+      q_media_meta)
 }
