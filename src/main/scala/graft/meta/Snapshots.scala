@@ -222,6 +222,27 @@ object Snapshots {
     m
   }
 
+  /** Small-file compaction (the `rewrite_data_files` maintenance op of
+    * Iceberg-style tables): rewrite the LATEST snapshot's data into
+    * `targetFiles` parquet files and commit the result as a new
+    * snapshot whose lineage records the source id. Content is
+    * row-identical (asserted); readers never block — the fragmented
+    * files are immutable and the new manifest lands atomically — and
+    * time travel to the pre-compaction state keeps working until
+    * [[vacuum]] reclaims it. One round-robin shuffle sized by
+    * `targetFiles`; at 100 TB the caller compacts a partition/tile
+    * slice at a time, not the whole table. */
+  def compact(spark: SparkSession, root: String, table: String,
+              targetFiles: Int): Manifest = {
+    val src = latest(root, table).getOrElse(throw new IllegalStateException(
+      s"compact: no committed snapshot for $table"))
+    val c = commit(read(spark, src).repartition(targetFiles), root, table,
+      s"compact:${src.snapshotId}")
+    require(c.rows == src.rows,
+      s"compaction changed row count: ${src.rows} -> ${c.rows}")
+    c
+  }
+
   /** Expire history: drop manifests committed before `olderThanMs` and
     * delete their data directories — UNLESS a surviving manifest still
     * references the same dataPath (rollback aliases paths, so data files

@@ -128,5 +128,42 @@ object MetaQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q_snapshot_scan, q_snapshot_diff, q_snapshot_prune)
+  /** Own root (same isolation argument as [[DiffRoot]]). */
+  final val CompactRoot = "/tmp/graft_snap_compact"
+
+  /** Small-file compaction roundtrip: commit the DSM fragmented across
+    * 16 files, compact to 2, and read the table back through the LATEST
+    * manifest — which must now be the compaction snapshot. The DuckDB
+    * dual recomputes the grid from the raw documents, so the green row
+    * certifies the rewrite lost/duplicated nothing; the query fn itself
+    * asserts the file count actually shrank, the lineage records the
+    * source id, and the pre-compaction snapshot stays time-travelable. */
+  val q_snapshot_compact: QueryDef = QueryDef.sqlChecked(
+    "q_snapshot_compact",
+    s"""WITH ${Gridding.splatCte}
+       |SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy
+       |ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(CompactRoot))
+    def parquetFiles(path: String): Int =
+      new java.io.File(path).listFiles.count(_.getName.endsWith(".parquet"))
+    val dsm = Gridding.dsm(Gridding.points(Geo.withGeo(Tables.documents(s, dir))))
+    val frag = Snapshots.commit(dsm.repartition(16), CompactRoot, "dsm",
+      lineage = s"dsm:$dir")
+    val comp = Snapshots.compact(s, CompactRoot, "dsm", targetFiles = 2)
+    require(comp.lineage == s"compact:${frag.snapshotId}", comp.lineage)
+    require(parquetFiles(comp.dataPath) < parquetFiles(frag.dataPath),
+      "compaction did not reduce the file count")
+    require(Snapshots.at(CompactRoot, "dsm", frag.snapshotId).isDefined,
+      "pre-compaction snapshot lost from history")
+    val m = Snapshots.latest(CompactRoot, "dsm").get
+    require(m.snapshotId == comp.snapshotId, s"latest is not the compaction: $m")
+    Snapshots.read(s, m).orderBy(col("gx"), col("gy"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q_snapshot_scan, q_snapshot_diff, q_snapshot_prune, q_snapshot_compact)
 }

@@ -58,6 +58,31 @@ class MetaSpec extends SparkSpec {
     intercept[IllegalArgumentException](Snapshots.rollback(root, "rb", 0))
   }
 
+  test("compact rewrites files, preserves content, vacuum reclaims fragments") {
+    import spark.implicits._
+    val root = tmpRoot
+    val data = (1 to 500).map(i => (i, s"row$i")).toDF("k", "v")
+    val frag = Snapshots.commit(data.repartition(16), root, "cp", "v1")
+    def files(path: String) =
+      new java.io.File(path).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files(frag.dataPath) == 16)
+    val comp = Snapshots.compact(spark, root, "cp", targetFiles = 2)
+    assert(comp.snapshotId == frag.snapshotId + 1)
+    assert(comp.lineage == s"compact:${frag.snapshotId}")
+    assert(files(comp.dataPath) == 2)
+    // row-identical content, both states readable (time travel intact)
+    val a = Snapshots.read(spark, frag).collect().map(_.toSeq).toSet
+    val b = Snapshots.read(spark, comp).collect().map(_.toSeq).toSet
+    assert(a == b && a.size == 500)
+    // vacuum expires the fragmented snapshot and deletes its data dir;
+    // the compacted latest survives untouched
+    val expired = Snapshots.vacuum(root, "cp", System.currentTimeMillis() + 1)
+    assert(expired.map(_.snapshotId) == Seq(frag.snapshotId))
+    assert(!Files.isDirectory(java.nio.file.Paths.get(frag.dataPath)))
+    assert(Snapshots.read(spark,
+      Snapshots.latest(root, "cp").get).count() == 500)
+  }
+
   test("resume: matching lineage reuses, changed lineage recomputes") {
     import spark.implicits._
     val root = tmpRoot
