@@ -90,25 +90,14 @@ object Pq {
   }
 
   /** Row-local PQ encode: corpus (vec_id, v) -> (vec_id, codes) with
-    * `codes(s)` = argmin_code sqDist(v[sub s], cent). The codebooks ride
-    * in as literals; per subspace the argmin is `least` over
-    * (dist, code) structs — zero shuffles, exactly the IVF-assignment
-    * pattern scaled down to ncode alternatives x m subspaces. */
-  def encode(corpus: DataFrame, cb: Codebooks): DataFrame = {
-    val codes = (0 until cb.m).map { s =>
-      val scored = (0 until cb.ncode).map { c =>
-        val cent = cb.cents(s)(c)
-        val dist = expr(
-          s"aggregate(zip_with(slice(v, ${s * cb.w + 1}, ${cb.w}), " +
-            s"array(${cent.mkString(",")}), (x, c) -> (x - c) * (x - c)), " +
-            "CAST(0 AS DOUBLE), (acc, t) -> acc + t)")
-        struct(dist.as("d"), lit(c).as("code"))
-      }
-      val best = if (scored.size == 1) scored.head else least(scored: _*)
-      best.getField("code")
-    }
-    corpus.select(col("vec_id"), array(codes: _*).as("codes"))
-  }
+    * `codes(s)` = argmin_code sqDist(v[sub s], cent), ties to the
+    * smaller code. One codegen'd [[PqEncodeExpr]] carrying the flattened
+    * codebook as a reference object — zero shuffles, and the expression
+    * tree stays O(1) regardless of m x ncode (the composed
+    * aggregate/least form built 512 higher-order folds at m=16/ncode=32
+    * and its analysis alone dominated the query). */
+  def encode(corpus: DataFrame, cb: Codebooks): DataFrame =
+    corpus.select(col("vec_id"), PqEncode(col("v"), cb).as("codes"))
 
   /** ADC lookup table for one query vector: lut(s)(c) = ascending-index
     * dot of the query subvector with centroid c of subspace s. */
