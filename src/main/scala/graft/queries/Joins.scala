@@ -103,6 +103,52 @@ object Joins {
       .orderBy(col("aoi_id"))
   }
 
+  /** Stream-STREAM interval join as a REAL streaming run: view events
+    * join click events of the same user within 600 s, both sides
+    * file-source streams with watermarks, state evicted by the range
+    * condition (see `StreamOps.intervalJoin`). The DuckDB dual replays
+    * the interval join batch-side; `lag_sec` subtracts epoch doubles in
+    * both engines (micros/1e6, identical IEEE op), so the check pins
+    * that stream-stream buffering neither loses nor duplicates a pair. */
+  val q_stream_join: QueryDef = QueryDef.sqlChecked(
+    "q_stream_join",
+    """WITH v AS (SELECT user_id, event_id AS view_id, ts AS vts
+      |  FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, event_id AS click_id, ts AS cts
+      |  FROM events WHERE event_type = 'click')
+      |SELECT v.user_id, v.view_id, c.click_id,
+      |  epoch(c.cts) - epoch(v.vts) AS lag_sec
+      |FROM v JOIN c ON c.user_id = v.user_id
+      |  AND c.cts >= v.vts AND c.cts <= v.vts + INTERVAL 600 SECOND
+      |ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-join")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      tmp.resolve("events.parquet"))
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def src() = s.readStream.schema(schema).parquet(tmp.toString)
+    // ts is TIMESTAMP_NTZ; session TZ is UTC so the cast matches epoch()
+    val views = src().filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").cast("timestamp").as("vts"))
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").cast("timestamp").as("cts"))
+    val joined = graft.streaming.StreamOps.intervalJoin(
+        views, clicks, "user_id", "c_user_id", "vts", "cts",
+        withinSec = 600, watermark = "1 hour")
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (col("cts").cast("double") - col("vts").cast("double")).as("lag_sec"))
+    s.catalog.dropTempView("stream_join_out")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("stream_join_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table("stream_join_out")
+      .orderBy(col("user_id"), col("view_id"), col("click_id"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q_pip_join, q_knn_join, q_rasterize_aoi, q_stream_pip)
+    Seq(q_pip_join, q_knn_join, q_rasterize_aoi, q_stream_pip, q_stream_join)
 }

@@ -111,6 +111,27 @@ object StreamOps {
                 res: Int = 7): DataFrame =
     graft.join.SpatialJoins.pipJoin(pts, aois, res)
 
+  /** Stream-stream interval join (the last §2.12 join shape next to the
+    * stateless stream-static [[pipEnrich]]): left rows (e.g. page views)
+    * join right rows (e.g. clicks) with the same key when the right
+    * event time falls in `[lTs, lTs + withinSec]`. Both sides carry a
+    * watermark, and the range condition on the two event-time columns is
+    * what lets Spark EVICT state: a buffered row is dropped once the
+    * other side's watermark passes its join horizon, so state is bounded
+    * by rows inside (watermark delay + withinSec), never by the streams.
+    * Works identically on batch frames (same plan semantics) — the spec
+    * asserts streaming output == the batch interval join. */
+  def intervalJoin(lhs: DataFrame, rhs: DataFrame,
+                   lKey: String, rKey: String, lTs: String, rTs: String,
+                   withinSec: Int, watermark: String = "1 hour"): DataFrame = {
+    val (l, r) =
+      if (lhs.isStreaming || rhs.isStreaming)
+        (lhs.withWatermark(lTs, watermark), rhs.withWatermark(rTs, watermark))
+      else (lhs, rhs)
+    l.join(r, expr(
+      s"$lKey = $rKey AND $rTs >= $lTs AND $rTs <= $lTs + INTERVAL $withinSec SECOND"))
+  }
+
   /** Commit one micro-batch as the next snapshot of `table`, keyed by
     * (queryName, batchId) in the lineage so a RESTARTED stream replaying
     * a batch (foreachBatch is at-least-once) commits it exactly once —

@@ -121,6 +121,51 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView("pip_stream_spec")
   }
 
+  test("stream-stream interval join == batch join; state bounded by watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // views and clicks over 20 users; clicks land 0..900 s after views,
+    // so only the <=600 s ones pair. Batches are time-ordered (the
+    // watermark must never drop an in-horizon row).
+    val base = 1700000000L
+    val views = (0 until 60).map(i =>
+      (i.toLong % 20, 1000L + i, new java.sql.Timestamp((base + i * 30) * 1000)))
+    val clicks = (0 until 60).map(i =>
+      (i.toLong % 20, 2000L + i, new java.sql.Timestamp((base + i * 30 + (i % 10) * 100) * 1000)))
+    val (v1, v2) = views.splitAt(30)
+    val (c1, c2) = clicks.splitAt(30)
+
+    val vIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def vDf(d: org.apache.spark.sql.DataFrame) =
+      d.toDF("user_id", "view_id", "vts")
+    def cDf(d: org.apache.spark.sql.DataFrame) =
+      d.toDF("c_user_id", "click_id", "cts")
+    val joined = StreamOps.intervalJoin(vDf(vIn.toDF()), cDf(cIn.toDF()),
+      "user_id", "c_user_id", "vts", "cts", withinSec = 600,
+      watermark = "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij_out").start()
+    try {
+      vIn.addData(v1); cIn.addData(c1); q.processAllAvailable()
+      vIn.addData(v2); cIn.addData(c2); q.processAllAvailable()
+      // the join IS stateful: both sides buffer within the horizon
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+    val got = spark.table("ij_out")
+      .select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = StreamOps.intervalJoin(
+        vDf(views.toDF()), cDf(clicks.toDF()),
+        "user_id", "c_user_id", "vts", "cts", withinSec = 600)
+      .select("view_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+    spark.catalog.dropTempView("ij_out")
+  }
+
   test("stateful sessionization matches the batch window query") {
     import spark.implicits._
     val evs = spark.read.parquet(s"$sfSmoke/events.parquet")
