@@ -113,15 +113,22 @@ object GraftFunctions {
         require(args.length == 3, "graft_topk(item, score, k)")
         TopKAgg(args(0), args(1), constInt(args(2), "k")) }))
 
-  /** Register every graft function on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Register every graft function on an existing session, plus the
+    * [[DotProductRewrite]] optimizer rule (idempotent). */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (id, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(DotProductRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ DotProductRewrite
+  }
 }
 
 /** `--conf spark.sql.extensions=graft.sql.GraftExtensions` */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => DotProductRewrite)
+  }
 }

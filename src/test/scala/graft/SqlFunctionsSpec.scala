@@ -133,6 +133,46 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(viaSql == viaCol && viaSql.size == 20)
   }
 
+  test("optimizer rewrites the zip_with dot fold to graft_dot") {
+    import spark.implicits._
+    // non-local source: a literal Seq would be constant-folded into a
+    // LocalRelation before the rewrite could be observed in the plan
+    val df = spark.range(1, 4).select(
+      array(col("id").cast("double"), lit(2.0), col("id").cast("double") * 3.0).as("a"),
+      array(lit(4.0), col("id").cast("double"), lit(6.0)).as("b"))
+    val fold = df.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), " +
+        "CAST(0 AS DOUBLE), (acc, t) -> acc + t)").as("d"))
+    assert(fold.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      s"rewrite did not fire:\n${fold.queryExecution.optimizedPlan}")
+    val viaExpr = df.select(DotProduct(col("a"), col("b")).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(fold.collect().map(_.getDouble(0)).toSeq == viaExpr)
+    // self-dot variant (the q_embed_norm shape)
+    val norm = df.select(expr(
+      "aggregate(transform(a, x -> x * x), " +
+        "CAST(0 AS DOUBLE), (acc, t) -> acc + t)").as("n"))
+    assert(norm.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    assert(norm.collect().map(_.getDouble(0)).toSeq ==
+      df.select(DotProduct(col("a"), col("a"))).collect().map(_.getDouble(0)).toSeq)
+    // near-miss shapes must NOT be rewritten: wrong zero, wrong zip op
+    val wrongZero = df.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), " +
+        "CAST(1 AS DOUBLE), (acc, t) -> acc + t)").as("d"))
+    assert(!wrongZero.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    val wrongOp = df.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x + y), " +
+        "CAST(0 AS DOUBLE), (acc, t) -> acc + t)").as("d"))
+    assert(!wrongOp.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+    // null/shape parity: length mismatch and a null element both -> NULL
+    val odd = Seq((Seq(1.0, 2.0), Seq(1.0)),
+      (Seq(1.0, Double.NaN), Seq(1.0, 2.0))).toDF("a", "b")
+    val oddFold = odd.select(expr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), " +
+        "CAST(0 AS DOUBLE), (acc, t) -> acc + t)").as("d")).collect()
+    assert(oddFold(0).isNullAt(0))
+  }
+
   test("sizing arguments must be literals") {
     docsGeo.createOrReplaceTempView("sqlspec_pts")
     intercept[Exception] {
