@@ -89,7 +89,7 @@ object Flagship {
         // exact mod-prime sum: order-free, never overflows at 10^12 rows
         sum(pmod(col("kept_hash"), lit(1000000007L))).as("ksum"))
         .head()
-      val hits = SpatialJoins.pointInPolygon(spark, geo, Aoi.defs).count()
+      val hits = SpatialJoins.pipJoin(geo, Aoi.defs).count()
       val dsmRow = Gridding.dsm(Gridding.points(geo))
         .agg(count(lit(1)).as("cells"), sum(col("v")).as("chk")).head()
       val secs = (System.nanoTime() - t0) / 1e9

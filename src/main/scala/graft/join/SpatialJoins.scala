@@ -40,19 +40,14 @@ object SpatialJoins {
       prepared(wkt).contains(gf.createPoint(new Coordinate(lon, lat)))
   }
 
-  /** Interior-only point-in-polygon join: docs (doc_id, lon, lat) x AOIs.
-    * Returns (aoi_id, doc_id, lon, lat). */
-  def pointInPolygon(spark: SparkSession, pts: DataFrame, aois: Seq[Aoi.AoiDef],
-                     res: Int = 7): DataFrame =
-    pipJoin(pts, aois, res)
-
-  /** The same join with the session taken from `pts` — the body is
-    * stateless (one codegen'd cell id on the probe side, a broadcast
-    * hash equi-join against the exploded cell-cover table, then the
-    * exact JTS test on cell-colocated candidates only), so it works
-    * unchanged on a STREAMING `pts`: Structured Streaming plans it as a
-    * stream-static broadcast join — no watermark, no state store, and
-    * the stream side is never shuffled. */
+  /** Interior-only point-in-polygon join: docs (doc_id, lon, lat) x AOIs,
+    * returns (aoi_id, doc_id, lon, lat). The session comes from `pts`,
+    * and the body is stateless (one codegen'd cell id on the probe side,
+    * a broadcast hash equi-join against the exploded cell-cover table,
+    * then the exact JTS test on cell-colocated candidates only), so it
+    * works unchanged on a STREAMING `pts`: Structured Streaming plans it
+    * as a stream-static broadcast join — no watermark, no state store,
+    * and the stream side is never shuffled. */
   def pipJoin(pts: DataFrame, aois: Seq[Aoi.AoiDef], res: Int = 7): DataFrame = {
     val spark = pts.sparkSession
     import spark.implicits._

@@ -238,8 +238,25 @@ object Snapshots {
       s"compact: no committed snapshot for $table"))
     val c = commit(read(spark, src).repartition(targetFiles), root, table,
       s"compact:${src.snapshotId}")
-    require(c.rows == src.rows,
-      s"compaction changed row count: ${src.rows} -> ${c.rows}")
+    if (c.rows != src.rows) {
+      // the manifest already landed (commit is atomic); retract it so a
+      // corrupt rewrite never stays visible as `latest` — readers fall
+      // back to the intact source snapshot. The orphaned data/metrics
+      // of the retracted id are unreferenced and harmless.
+      Files.deleteIfExists(
+        manifestDir(root, table).resolve(s"${c.snapshotId}.json"))
+      for (side <- Seq("_metrics", "_filestats")) {
+        val d = Paths.get(root, table, side, c.snapshotId.toString)
+        if (Files.isDirectory(d)) {
+          val stream = Files.walk(d)
+          try stream.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+          finally stream.close()
+        }
+      }
+      throw new IllegalStateException(
+        s"compaction changed row count: ${src.rows} -> ${c.rows}; manifest retracted")
+    }
     c
   }
 

@@ -23,7 +23,7 @@ object Joins {
        |${Aoi.oracleHitsSql}
        |) hits ORDER BY aoi_id, doc_id""".stripMargin) { (s, dir) =>
     val pts = Geo.withGeo(Tables.documents(s, dir)).select("doc_id", "lon", "lat")
-    SpatialJoins.pointInPolygon(s, pts, Aoi.defs)
+    SpatialJoins.pipJoin(pts, Aoi.defs)
       .select(col("aoi_id"), col("doc_id"))
       .orderBy(col("aoi_id"), col("doc_id"))
   }
@@ -84,7 +84,7 @@ object Joins {
        |SELECT aoi_id, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
        |${Aoi.oracleHitsSql}
        |) hits GROUP BY aoi_id ORDER BY aoi_id""".stripMargin) { (s, dir) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-pip")
+    val tmp = QueryDef.recreateDir("/tmp/graft_stream_pip_src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/documents.parquet"),
       tmp.resolve("documents.parquet"))
@@ -121,7 +121,7 @@ object Joins {
       |FROM v JOIN c ON c.user_id = v.user_id
       |  AND c.cts >= v.vts AND c.cts <= v.vts + INTERVAL 600 SECOND
       |ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-join")
+    val tmp = QueryDef.recreateDir("/tmp/graft_stream_join_src")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       tmp.resolve("events.parquet"))

@@ -24,11 +24,7 @@ object MetaQueries {
     s"""WITH ${Gridding.splatCte}
        |SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy
        |ORDER BY gx, gy""".stripMargin) { (s, dir) =>
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(Root))
+    QueryDef.recreateDir(Root)
     val dsm = Gridding.dsm(Gridding.points(Geo.withGeo(Tables.documents(s, dir))))
     Snapshots.commit(dsm, Root, "dsm", lineage = s"dsm:$dir")
     val m = Snapshots.latest(Root, "dsm").get
@@ -63,11 +59,7 @@ object MetaQueries {
        |  SELECT 'insert' AS change, gx, gy, v
        |  FROM (SELECT * FROM g1 EXCEPT SELECT * FROM g0))
        |ORDER BY change, gx, gy, v""".stripMargin) { (s, dir) =>
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(DiffRoot))
+    QueryDef.recreateDir(DiffRoot)
     val docs = Tables.documents(s, dir)
     def grid(d: org.apache.spark.sql.DataFrame) =
       Gridding.dsm(Gridding.points(Geo.withGeo(d)))
@@ -110,11 +102,7 @@ object MetaQueries {
          |  ${Cells.packSql("cx", "cy", res)} AS cell FROM cxy)
          |SELECT doc_id, n_chars, cell FROM cells
          |WHERE cell BETWEEN $lo AND $hi ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(PruneRoot))
+      QueryDef.recreateDir(PruneRoot)
       val cells = Geo.withGeo(Tables.documents(s, dir))
         .withColumn("cell",
           graft.index.CellFunctions.cellId(col("lon"), col("lat"), res))
@@ -143,11 +131,7 @@ object MetaQueries {
     s"""WITH ${Gridding.splatCte}
        |SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy
        |ORDER BY gx, gy""".stripMargin) { (s, dir) =>
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(CompactRoot))
+    QueryDef.recreateDir(CompactRoot)
     def parquetFiles(path: String): Int =
       new java.io.File(path).listFiles.count(_.getName.endsWith(".parquet"))
     val dsm = Gridding.dsm(Gridding.points(Geo.withGeo(Tables.documents(s, dir))))

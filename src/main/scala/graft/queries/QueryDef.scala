@@ -20,4 +20,17 @@ object QueryDef {
 
   def rowsOnly(name: String)(run: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, run, None)
+
+  /** Recreate `root` as an empty directory (recursive delete + mkdir) —
+    * the shared helper for queries that stage side tables or file-source
+    * inputs under a FIXED /tmp root, so repeated runs overwrite instead
+    * of accumulating temp copies. */
+  def recreateDir(root: String): java.nio.file.Path = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(root))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+  }
 }

@@ -91,7 +91,7 @@ object WebQueries {
          |ORDER BY aoi_id""".stripMargin) { (s, dir) =>
       val pages = WebPages.latestCapture(stagedPages(s))
         .withColumn("doc_id", xxhash64(col("url"))) // id for the PIP output
-      val hits = SpatialJoins.pointInPolygon(s, pages
+      val hits = SpatialJoins.pipJoin(pages
           .select(col("doc_id"), col("lon"), col("lat")), Aoi.defs)
       val withCell = pages
         .withColumn("cell", CellFunctions.cellId(col("lon"), col("lat"), CellRes))

@@ -86,8 +86,13 @@ object DotProductRewrite extends Rule[LogicalPlan] {
             isPairProduct(zf).isDefined && isZero(zero) &&
             isSumMerge(merge) && isIdentityFinish(finish) =>
         DotProductExpr(a, b)
+      // self-dot duplicates `v` into both children, so `v` must be
+      // deterministic — rewriting sum-of-squares over e.g. shuffle(arr)
+      // would evaluate two DIFFERENT permutations and pair mismatched
+      // elements (silently wrong); the original evaluates `v` once
       case ArrayAggregate(ArrayTransform(v, tf), zero, merge, finish)
-          if isDoubleArray(v) && isSelfProduct(tf).isDefined && isZero(zero) &&
+          if isDoubleArray(v) && v.deterministic &&
+            isSelfProduct(tf).isDefined && isZero(zero) &&
             isSumMerge(merge) && isIdentityFinish(finish) =>
         DotProductExpr(v, v)
     }

@@ -11,7 +11,7 @@ class JoinsSpec extends SparkSpec {
     Geo.withGeo(Tables.documents(spark, sfSmoke)).select("doc_id", "lon", "lat")
 
   test("pip join equals per-AOI strict predicate evaluation") {
-    val got = SpatialJoins.pointInPolygon(spark, pts, Aoi.defs)
+    val got = SpatialJoins.pipJoin(pts, Aoi.defs)
       .select("aoi_id", "doc_id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
     // independent Spark-side brute force from the SQL predicates
     val want = Aoi.defs.flatMap { a =>
