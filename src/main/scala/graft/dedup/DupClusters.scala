@@ -77,14 +77,19 @@ object DupClusters {
         .select(sym("dst").as("id"), col("lbl"))
       val l1 = msgs.union(labels)
         .groupBy("id").agg(min("lbl").as("lbl"))
-      // (b) pointer jump: label of label
+      // (b) pointer jump: label of label. The convergence flag is fused
+      // into the SAME checkpointed pass (one extra boolean column), so
+      // the per-round cost is one materialization job plus a shuffle-free
+      // count over its blocks — not a second join job re-shuffling the
+      // labels.
       val byId = l1.select(col("id").as("jid"), col("lbl").as("jlbl"))
       val l2 = l1.join(byId, l1("lbl") === byId("jid"), "left")
         .select(l1("id"), least(l1("lbl"), coalesce(col("jlbl"), l1("lbl"))).as("lbl"))
+        .join(labels.withColumnRenamed("lbl", "old"), "id")
+        .select(col("id"), col("lbl"), (col("lbl") =!= col("old")).as("chg"))
         .localCheckpoint(eager = true)
-      val changed = l2.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = l2
+      val changed = l2.filter(col("chg")).count()
+      labels = l2.select("id", "lbl")
       done = changed == 0
     }
     labels.select(col("id"), col("lbl").as("cluster"))
