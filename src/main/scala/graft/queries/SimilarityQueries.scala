@@ -93,11 +93,16 @@ object SimilarityQueries {
     * cid) tie-break, nProbe=4 probe, exact rank) is deterministic
     * arithmetic, so the DuckDB dual unrolls the whole index build and
     * reproduces the result row-for-row. */
-  val q_ann_ivf: QueryDef = {
-    val dot = (a: String, b: String) =>
-      s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
-    // one Lloyd round: assign to prev centroids, re-mean + normalize
-    def lloyd(prev: String, k: Int): String =
+  // (doc for q_ann_ivf below; dual builders shared with q_pq_ivf)
+
+  /** Ordered-fold dot product in DuckDB (the list_reduce dual of
+    * graft_dot / the aggregate(zip_with) fold). */
+  private def dot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** One unrolled Lloyd round over CTE `prev` -> centroids `c$k` +
+    * assignments `a$k` (shared by the IVF and IVF-PQ duals). */
+  private def lloyd(prev: String, k: Int): String =
       s"""s$k AS (SELECT t.vec_id, t.v, c.cid, ${dot("t.v", "c.cv")} AS cos
          |  FROM t CROSS JOIN $prev c),
          |a$k AS (SELECT vec_id, v, cid FROM (
@@ -118,6 +123,8 @@ object SimilarityQueries {
          |c$k AS (SELECT cid, list_transform(raw,
          |    x -> x / sqrt(${dot("raw", "raw")})) AS cv
          |  FROM cm$k)""".stripMargin
+
+  val q_ann_ivf: QueryDef =
     QueryDef.sqlChecked(
       "q_ann_ivf",
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -144,7 +151,6 @@ object SimilarityQueries {
       val t = e.filter(col("vec_id") >= 3).select(col("vec_id"), col("v"))
       Ann.ivfTopK(q, t, 10, nList = 16, nProbe = 4).orderBy(col("qid"), col("rank"))
     }
-  }
 
   /** Fixed side-table root for the PQ staged-codebook oracle. */
   final val PqSideRoot = "/tmp/graft_pq_side"
@@ -203,7 +209,67 @@ object SimilarityQueries {
     }
   }
 
+  /** IVF-PQ composed (the billion-vector architecture: coarse lists
+    * prune the corpus, PQ codes compress the scan inside probed lists).
+    * The DuckDB dual replays BOTH layers — the full unrolled Lloyd IVF
+    * build/probe (shared CTE builders with q_ann_ivf) and the PQ
+    * encode + ADC LUT fold from the staged codebook side-table — so the
+    * green row certifies the composition end-to-end. */
+  val q_pq_ivf: QueryDef = {
+    val M = 16; val W = Dim / M; val NC = 32
+    QueryDef.sqlChecked(
+      "q_pq_ivf",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+         |t AS (SELECT vec_id, v FROM e WHERE vec_id >= 3),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM t
+         |  WHERE vec_id < 19),
+         |${lloyd("c0", 1)},
+         |${lloyd("c1", 2)},
+         |qc AS (SELECT q.qid, q.qv, c.cid, ${dot("c.cv", "q.qv")} AS ccos
+         |  FROM q CROSS JOIN c2 c),
+         |probes AS (SELECT qid, qv, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY ccos DESC, cid) AS rn FROM qc) z WHERE rn <= 4),
+         |cb AS (SELECT s, code, cv FROM '$PqSideRoot/cb_ivf/*.parquet'),
+         |enc AS (SELECT t.vec_id, cb.s, cb.code,
+         |  list_reduce(list_transform(range(1, ${W + 1}), i ->
+         |    (t.v[cb.s * $W + i] - cb.cv[i]) * (t.v[cb.s * $W + i] - cb.cv[i])),
+         |    (a, b) -> a + b) AS d
+         |  FROM t CROSS JOIN cb),
+         |codes AS (SELECT vec_id, s, code FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+         |  FROM enc) z WHERE rn = 1),
+         |lut AS (SELECT q.qid, cb.s, cb.code,
+         |  list_reduce(list_transform(range(1, ${W + 1}), i -> q.qv[cb.s * $W + i] * cb.cv[i]),
+         |    (a, b) -> a + b) AS pd
+         |  FROM q CROSS JOIN cb),
+         |cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN a2 a ON a.cid = p.cid),
+         |sc AS (SELECT l.qid, c.vec_id,
+         |    list_reduce(list(l.pd ORDER BY l.s), (a, b) -> a + b) AS score
+         |  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+         |  JOIN cand ca ON ca.qid = l.qid AND ca.vec_id = c.vec_id
+         |  GROUP BY l.qid, c.vec_id)
+         |SELECT qid, vec_id, score, CAST(rn AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY score DESC, vec_id) AS rn FROM sc) z
+         |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = graft.similarity.Ann.withVec(Tables.embeddings(s, dir))
+      val t = e.filter(col("vec_id") >= 3).select(col("vec_id"), col("v"))
+      val sample = t.orderBy(col("vec_id")).limit(256)
+        .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
+      val cb = graft.similarity.Pq.train(sample, M, NC, iters = 4)
+      graft.similarity.Pq.codebookDf(s, cb)
+        .write.mode("overwrite").parquet(s"$PqSideRoot/cb_ivf")
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      graft.similarity.Pq.ivfPqTopK(q, t, cb, 10, nList = 16, nProbe = 4)
+        .orderBy(col("qid"), col("rank"))
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q_ann_topk, q_ann_ivf, q_pq_topk, q_embed_norm, q_embed_neardup,
-      q_media_meta)
+    Seq(q_ann_topk, q_ann_ivf, q_pq_topk, q_pq_ivf, q_embed_norm,
+      q_embed_neardup, q_media_meta)
 }

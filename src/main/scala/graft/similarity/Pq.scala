@@ -109,6 +109,43 @@ object Pq {
       acc
     }
 
+  /** IVF-PQ: the two scale layers composed — the IVF coarse quantizer
+    * prunes the corpus to the query's nProbe lists (touching
+    * nProbe/nList of the rows), and within the probed lists scoring
+    * reads only the m-code PQ columns via the ADC LUT fold (m bytes per
+    * vector instead of 4·D). This is the standard billion-vector ANN
+    * architecture; codes here quantize the raw vectors (not residuals —
+    * documented trade: residual encoding needs a per-list re-centering
+    * pass and buys accuracy at the same cost shape). Deterministic
+    * bit-for-bit: IVF build + probe are [[Ann.ivfIndex]]'s exact
+    * arithmetic, encode + ADC are [[encode]]/[[lut]]'s. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, cb: Codebooks, k: Int,
+                nList: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (centroids, assign) = Ann.ivfIndex(corpus, nList, iters)
+    val qc = queries.crossJoin(broadcast(centroids))
+      .withColumn("ccos", DotProduct(col("cv"), col("qv")))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))
+    val probes = qc.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nProbe).select(col("qid"), col("cid"))
+    val codes = encode(corpus, cb)
+    val luts = queries.select(col("qid"), col("qv")).as[(Long, Seq[Double])]
+      .collect().sortBy(_._1)
+      .map { case (qid, qv) => (qid, lut(qv.toArray, cb).map(_.toSeq).toSeq) }
+      .toSeq.toDF("qid", "lut")
+    val score = expr(
+      "aggregate(zip_with(codes, lut, (c, row) -> element_at(row, c + 1)), " +
+        "CAST(0 AS DOUBLE), (acc, t) -> acc + t)")
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    probes.join(assign, Seq("cid")).join(codes, Seq("vec_id"))
+      .join(broadcast(luts), Seq("qid"))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("score"), col("rank"))
+  }
+
   /** ADC top-k over an ENCODED corpus: queries (qid, qv) are collected
     * (they are the small side by contract), each becomes one LUT
     * literal, and the score is the ordered fold of lut[s][codes[s]] —

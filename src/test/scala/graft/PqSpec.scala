@@ -78,6 +78,31 @@ class PqSpec extends SparkSpec {
       s"PQ picks lose cosine mass: $gotMass vs optimal $optMass")
   }
 
+  test("IVF-PQ returns k ranked rows per query from probed lists only") {
+    import spark.implicits._
+    val e = Ann.withVec(Tables.embeddings(spark, sfSmoke))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val cb = Pq.train(sampleArr, M, NC, iters = 4)
+    val got = Pq.ivfPqTopK(q, corpus, cb, 10, nList = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(got.length == 30)
+    assert(got.groupBy(_._1).forall(_._2.map(_._3).sorted.toSeq == (1 to 10)))
+    // probe pruning engages: candidates come from <= nProbe/nList of the
+    // corpus, so the scored set per query is a strict subset
+    val (_, assign) = Ann.ivfIndex(corpus, 16, 2)
+    val listOf = assign.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val listsHit = got.groupBy(_._1).map { case (_, rows) =>
+      rows.map(r => listOf(r._2)).distinct.length
+    }
+    assert(listsHit.forall(_ <= 4), s"results crossed more than nProbe lists")
+    // deterministic across partitionings
+    val again = Pq.ivfPqTopK(q, corpus.repartition(7), cb, 10,
+      nList = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(got.toSeq.sorted == again.toSeq.sorted)
+  }
+
   test("ADC is deterministic across partitionings") {
     import spark.implicits._
     val cb = Pq.train(sampleArr, M, NC, iters = 4)
