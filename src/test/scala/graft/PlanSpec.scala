@@ -122,6 +122,42 @@ class PlanSpec extends SparkSpec {
       "keeper min(struct) must partial-aggregate map-side")
   }
 
+  test("pq encode is one codegen'd projection, no shuffle") {
+    import graft.core.Tables
+    import graft.similarity.{Ann, Pq}
+    import spark.implicits._
+    val corpus = Ann.withVec(Tables.embeddings(spark, sfSmoke))
+      .filter(org.apache.spark.sql.functions.col("vec_id") >= 3)
+      .select("vec_id", "v")
+    val sample = corpus.orderBy("vec_id").limit(32)
+      .select("v").as[Seq[Double]].collect().map(_.toArray)
+    val cb = Pq.train(sample, 16, 16)
+    val enc = Pq.encode(corpus, cb)
+    enc.collect()
+    val p = enc.queryExecution.executedPlan.toString
+    assert(p.contains("graft_pq_encode"), "custom expression missing")
+    assert(!p.contains("Exchange"), "encode must not shuffle")
+    assert(p.contains("*(1) Project"), "encode fell out of whole-stage codegen")
+  }
+
+  test("pq ADC scan broadcasts the LUTs and never shuffles the codes") {
+    import graft.core.Tables
+    import graft.similarity.{Ann, Pq}
+    import spark.implicits._
+    val corpus = Ann.withVec(Tables.embeddings(spark, sfSmoke))
+      .filter(org.apache.spark.sql.functions.col("vec_id") >= 3)
+      .select("vec_id", "v")
+    val sample = corpus.orderBy("vec_id").limit(32)
+      .select("v").as[Seq[Double]].collect().map(_.toArray)
+    val cb = Pq.train(sample, 16, 16)
+    val queries = Seq((0L, sample.head))
+    val df = Pq.adcTopK(queries, Pq.encode(corpus, cb), cb, 5)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "LUT side must broadcast")
+    assert(!p.contains("SortMergeJoin"), "codes must not shuffle-sort for the LUT join")
+  }
+
   test("reference trace: all joins hash-based, no cartesian/range scans") {
     import graft.stencil.TileStencil.Bounds
     import spark.implicits._
