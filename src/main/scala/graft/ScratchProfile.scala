@@ -25,6 +25,14 @@ object ScratchProfile {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  (n=$n)")
     }
     mode match {
+      case "fill" =>
+        val dir = "/root/testdata/sf0.1"
+        (1 to 4).foreach(i =>
+          time(s"q_fill_enclosed $i")(
+            SparkEntry.queries("q_fill_enclosed")(spark, dir).count()))
+        (1 to 3).foreach(i =>
+          time(s"q_fill_pyramid $i")(
+            SparkEntry.queries("q_fill_pyramid")(spark, dir).count()))
       case "minhash" =>
         val dir = "/root/testdata/sf0.1"
         val docs = graft.core.Tables.documents(spark, dir)

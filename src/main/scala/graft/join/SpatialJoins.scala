@@ -134,4 +134,36 @@ object SpatialJoins {
       roundCaches.foreach(_.unpersist())
     }
   }
+
+  /** Exact radius (distance) join: all (query, point) pairs within
+    * coordinate distance `radius` — the third classic spatial join next
+    * to J4 PIP and J5 kNN (geofencing, "documents near this site").
+    *
+    * Scale shape: every point inside disk(q, radius) lies inside the
+    * square [qlon ± radius, qlat ± radius], so each query explodes to
+    * the index cells covering that square (bounded by
+    * (radius/cellH + 2)^2 cells — small for sane radii, and broadcast),
+    * the candidate join is a broadcast hash equi-join on the point's
+    * codegen'd cell id, and the exact d2 <= r^2 test runs only on
+    * cell-colocated candidates. The point table is never shuffled, so
+    * the plan survives a 100 TB point side unchanged; output size is the
+    * true pair count, which the caller bounds by choosing the radius. */
+  def radiusJoin(pts: DataFrame, queries: Seq[KnnQuery], radius: Double,
+                 res: Int = 6): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    require(radius > 0, s"radius must be positive: $radius")
+    val cand = queries.flatMap { q =>
+      Cells.cover(q.qlon - radius, q.qlat - radius,
+          q.qlon + radius, q.qlat + radius, res)
+        .map(c => (q.qid, q.qlon, q.qlat, c))
+    }.toDF("qid", "qlon", "qlat", "cell")
+    pts.withColumn("cell", CellFunctions.cellId(col("lon"), col("lat"), res))
+      .join(broadcast(cand), "cell")
+      .withColumn("d2",
+        (col("lon") - col("qlon")) * (col("lon") - col("qlon"))
+          + (col("lat") - col("qlat")) * (col("lat") - col("qlat")))
+      .filter(col("d2") <= lit(radius * radius))
+      .select(col("qid"), col("doc_id"), col("d2"))
+  }
 }

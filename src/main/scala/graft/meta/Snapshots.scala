@@ -119,6 +119,18 @@ object Snapshots {
     val spark = df.sparkSession
     val id = latest(root, table).map(_.snapshotId + 1).getOrElse(0L)
     val dataPath = Paths.get(root, table, s"snap-$id").toString
+    writeWithMetrics(df, root, table, id, dataPath)
+    val rows = df.sparkSession.read.parquet(dataPath).count()
+    val m = Manifest(table, id, rows, System.currentTimeMillis(), dataPath, lineage)
+    writeManifest(root, m)
+    m
+  }
+
+  /** Write `df` to `dataPath` capturing per-partition write metrics into
+    * `_metrics/<id>` (the tail shared by [[commit]] and [[merge]]). */
+  private def writeWithMetrics(df: DataFrame, root: String, table: String,
+                               id: Long, dataPath: String): Unit = {
+    val spark = df.sparkSession
     val group = s"graft-snap-$table-$id-${System.nanoTime()}"
     val listener = new WriteMetricsListener(group)
     spark.sparkContext.addSparkListener(listener)
@@ -131,7 +143,6 @@ object Snapshots {
       org.apache.spark.sql.graftx.Bridge.drainListenerBus(spark.sparkContext)
       spark.sparkContext.removeSparkListener(listener)
     }
-    val rows = df.sparkSession.read.parquet(dataPath).count()
     val pm = listener.tasks.sortBy(_._1)
       .map { case (p, n, ms, mem) => PartitionMetric(id, p, n, ms, mem) }
     if (pm.nonEmpty) {
@@ -139,13 +150,16 @@ object Snapshots {
       pm.toDF().coalesce(1).write.mode("overwrite")
         .parquet(Paths.get(root, table, "_metrics", id.toString).toString)
     }
-    val m = Manifest(table, id, rows, System.currentTimeMillis(), dataPath, lineage)
-    val dir = manifestDir(root, table)
+  }
+
+  /** Commit a manifest record atomically (temp file + atomic rename). */
+  private def writeManifest(root: String, m: Manifest): Unit = {
+    val dir = manifestDir(root, m.table)
     Files.createDirectories(dir)
-    val tmp = dir.resolve(s".$id.json.tmp")
+    val tmp = dir.resolve(s".${m.snapshotId}.json.tmp")
     Files.write(tmp, fmt(m).getBytes("UTF-8"))
-    Files.move(tmp, dir.resolve(s"$id.json"), StandardCopyOption.ATOMIC_MOVE)
-    m
+    Files.move(tmp, dir.resolve(s"${m.snapshotId}.json"),
+      StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** The per-partition metrics metadata table across all committed
@@ -215,10 +229,101 @@ object Snapshots {
     val id = latest(root, table).get.snapshotId + 1
     val m = Manifest(table, id, target.rows, System.currentTimeMillis(),
       target.dataPath, s"rollback-to-$snapshotId:${target.lineage}")
-    val dir = manifestDir(root, table)
-    val tmp = dir.resolve(s".$id.json.tmp")
-    Files.write(tmp, fmt(m).getBytes("UTF-8"))
-    Files.move(tmp, dir.resolve(s"$id.json"), StandardCopyOption.ATOMIC_MOVE)
+    writeManifest(root, m)
+    m
+  }
+
+  /** Row-level MERGE into the latest snapshot (the `MERGE INTO` of an
+    * Iceberg-style table), copy-on-write at FILE granularity:
+    *
+    *  - upsert mode (`deleteMatched = false`): every target row whose
+    *    key matches a source row is REPLACED by that source row; source
+    *    rows with no target match are INSERTED;
+    *  - delete mode (`deleteMatched = true`): matched target rows are
+    *    dropped, unmatched source keys are no-ops (source may be
+    *    key-columns-only).
+    *
+    * Only data files that actually CONTAIN a matched key are rewritten:
+    * one pass over the target tags rows with `input_file_name()` and a
+    * key semi-join reduces to the touched-file list, the anti-join +
+    * union rewrite reads only those files, and every untouched file is
+    * HARD-LINKED into the new snapshot directory — no bytes copied, no
+    * history rewrite; the old snapshot stays readable (time travel) and
+    * [[vacuum]] stays safe because links keep the shared inodes alive
+    * until every referencing snapshot is gone. On an object store the
+    * same design carries the untouched-file list in the manifest instead
+    * of links (Iceberg's manifest-list), which this layer's single
+    * dataPath deliberately simplifies away.
+    *
+    * Scale shape: the touched-file discovery is one scan with a
+    * broadcastable key side (source is the small side of a MERGE by
+    * construction — at 100 TB the caller merges a batch of upserts, not
+    * a second table of equal size); the rewrite cost is proportional to
+    * the TOUCHED data, not the table, which is the point of file-level
+    * COW — a key-clustered table (see [[commitClustered]]) localizes
+    * matches to few files. The touched-file list itself is O(files)
+    * driver memory, the same order as the manifest listing. */
+  def merge(spark: SparkSession, root: String, table: String,
+            source: DataFrame, keyCols: Seq[String],
+            deleteMatched: Boolean = false): Manifest = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    require(keyCols.nonEmpty, "merge: keyCols must be non-empty")
+    val src = latest(root, table).getOrElse(throw new IllegalStateException(
+      s"merge: no committed snapshot for $table"))
+    val target = read(spark, src)
+    require(keyCols.forall(target.columns.contains),
+      s"merge: key columns $keyCols missing from target ${target.columns.toSeq}")
+    if (!deleteMatched)
+      require(target.columns.toSet == source.columns.toSet,
+        s"merge: source columns ${source.columns.toSeq} must match target " +
+          s"${target.columns.toSeq} for upsert")
+    val keys = source.select(keyCols.map(col): _*).distinct()
+      .localCheckpoint(eager = true) // source may be lazily derived; pin
+                                     // it so discovery + rewrite agree
+    val touched = target.withColumn("_file", input_file_name())
+      .join(keys, keyCols, "left_semi")
+      .select("_file").distinct()
+      .collect().map(_.getString(0)).sorted
+    val touchedLocal = touched.map(f =>
+      Paths.get(java.net.URI.create(f).getPath))
+
+    val id = src.snapshotId + 1
+    val dataPath = Paths.get(root, table, s"snap-$id")
+    val survivors =
+      if (touched.isEmpty) None
+      else Some(spark.read.parquet(touched: _*).join(keys, keyCols, "left_anti"))
+    val written = (survivors, deleteMatched) match {
+      case (None, true) => None // nothing matched, nothing to write
+      case (Some(s), true) => Some(s)
+      case (None, false) => Some(source.select(target.columns.map(col): _*))
+      case (Some(s), false) =>
+        Some(s.unionByName(source.select(target.columns.map(col): _*)))
+    }
+    written match {
+      case Some(df) => writeWithMetrics(df, root, table, id, dataPath.toString)
+      case None => Files.createDirectories(dataPath)
+    }
+    // hard-link every untouched file of the source snapshot into the new
+    // snapshot dir (original names are unique: spark part files carry a
+    // per-job uuid, so rewritten and linked names can never collide)
+    val touchedSet = touchedLocal.map(_.getFileName.toString).toSet
+    val srcDir = Paths.get(src.dataPath)
+    val stream = Files.list(srcDir)
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val name = p.getFileName.toString
+        if (name.endsWith(".parquet") && !name.startsWith("_") &&
+          !name.startsWith(".") && !touchedSet.contains(name))
+          Files.createLink(dataPath.resolve(name), p)
+      }
+    } finally stream.close()
+    val rows = spark.read.parquet(dataPath.toString).count()
+    val m = Manifest(table, id, rows, System.currentTimeMillis(),
+      dataPath.toString,
+      s"merge:${src.snapshotId}:${if (deleteMatched) "delete" else "upsert"}")
+    writeManifest(root, m)
     m
   }
 

@@ -48,6 +48,31 @@ object Joins {
     }
   }
 
+  /** Radius join: every (query, doc) pair within 8 coordinate degrees,
+    * vs the brute-force cross-join filter. d2 is the same
+    * subtract-square-add expression on both sides, so the doubles are
+    * bit-identical. */
+  val q_radius_join: QueryDef = {
+    val qs = SpatialJoins.DefaultKnnQueries
+    val radius = 8.0
+    val valuesSql = qs.map(q => s"(${q.qid}, ${q.qlon}, ${q.qlat})").mkString(", ")
+    QueryDef.sqlChecked(
+      "q_radius_join",
+      s"""WITH $ptsCte,
+         |q(qid, qlon, qlat) AS (VALUES $valuesSql)
+         |SELECT qid, doc_id,
+         |  (lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat) AS d2
+         |FROM pts CROSS JOIN q
+         |WHERE (lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat)
+         |  <= ${radius * radius}
+         |ORDER BY qid, doc_id""".stripMargin) { (s, dir) =>
+      val pts = Geo.withGeo(Tables.documents(s, dir)).select("doc_id", "lon", "lat")
+      SpatialJoins.radiusJoin(pts, qs, radius)
+        .select(col("qid"), col("doc_id"), col("d2"))
+        .orderBy(col("qid"), col("doc_id"))
+    }
+  }
+
   /** Vector -> raster: burn the AOI set onto the world grid (cell
     * centers at x.25/x.75 degrees never hit the .0005-offset AOI
     * boundaries, so JTS covers == the strict SQL predicates). */
@@ -150,5 +175,6 @@ object Joins {
   }
 
   val all: Seq[QueryDef] =
-    Seq(q_pip_join, q_knn_join, q_rasterize_aoi, q_stream_pip, q_stream_join)
+    Seq(q_pip_join, q_knn_join, q_radius_join, q_rasterize_aoi,
+      q_stream_pip, q_stream_join)
 }

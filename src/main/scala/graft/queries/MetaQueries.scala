@@ -148,6 +148,74 @@ object MetaQueries {
     Snapshots.read(s, m).orderBy(col("gx"), col("gy"))
   }
 
+  /** Own root (same isolation argument as [[DiffRoot]]). */
+  final val MergeRoot = "/tmp/graft_snap_merge"
+
+  /** Row-level MERGE (Iceberg-style copy-on-write upsert + delete,
+    * [[Snapshots.merge]]): commit a doc summary table key-clustered
+    * across 8 files, UPSERT a source batch (updates to existing keys +
+    * brand-new keys), then DELETE a key subset, and read the table back
+    * through the latest manifest. The DuckDB dual recomputes the final
+    * state relationally (base anti-join upserts ∪ upserts, minus the
+    * deleted keys), so the green row certifies the whole
+    * discover-touched-files → rewrite → hard-link-untouched → commit
+    * chain loses, duplicates, and corrupts nothing. The query fn itself
+    * asserts the COW actually engaged: the upsert touches only the
+    * key-range files the source hits, so at least one data FILE NAME
+    * must carry over (a linked, unrewritten file) and at least one must
+    * be new. */
+  val q_snapshot_merge: QueryDef = QueryDef.sqlChecked(
+    "q_snapshot_merge",
+    s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+       |base AS (SELECT doc_id, lang, n_chars FROM documents),
+       |ups AS (
+       |  SELECT doc_id, 'xx' AS lang, n_chars + 1000000 AS n_chars
+       |  FROM documents, mx WHERE doc_id % 4 = 0 AND doc_id * 8 < m
+       |  UNION ALL
+       |  SELECT doc_id + m + 1 AS doc_id, 'yy' AS lang, n_chars
+       |  FROM documents, mx WHERE doc_id % 16 = 0),
+       |merged AS (
+       |  SELECT b.* FROM base b LEFT JOIN ups u ON u.doc_id = b.doc_id
+       |  WHERE u.doc_id IS NULL
+       |  UNION ALL SELECT * FROM ups)
+       |SELECT doc_id, lang, n_chars FROM merged
+       |WHERE doc_id % 7 <> 3
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    QueryDef.recreateDir(MergeRoot)
+    def fileNames(path: String): Set[String] =
+      new java.io.File(path).listFiles.map(_.getName)
+        .filter(_.endsWith(".parquet")).toSet
+    val docs = Tables.documents(s, dir)
+    val base = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    Snapshots.commitClustered(base, MergeRoot, "docs", s"docs:$dir",
+      orderCols = Seq("doc_id"), statCols = Seq("doc_id"), numFiles = 8)
+    // upserts localized to the LOW key octile (touches only the first of
+    // the 8 key-range files) + inserts beyond max(doc_id) (new file) —
+    // both MERGE branches fire and most files must survive as links
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val ups = docs.where(col("doc_id") % 4 === 0 && col("doc_id") * 8 < maxId)
+      .select(col("doc_id"), lit("xx").as("lang"),
+        (col("n_chars") + 1000000L).as("n_chars"))
+      .unionByName(docs.where(col("doc_id") % 16 === 0)
+        .select((col("doc_id") + maxId + 1).as("doc_id"), lit("yy").as("lang"),
+          col("n_chars")))
+    val m0 = Snapshots.latest(MergeRoot, "docs").get
+    val m1 = Snapshots.merge(s, MergeRoot, "docs", ups, Seq("doc_id"))
+    val (before, after) = (fileNames(m0.dataPath), fileNames(m1.dataPath))
+    require((before & after).nonEmpty,
+      "no untouched file carried over — COW rewrote the whole table")
+    require((after -- before).nonEmpty, "merge wrote no new file")
+    // delete pass: drop doc_id % 7 == 3 (source is key-only)
+    val delKeys = s.read.parquet(m1.dataPath)
+      .where(col("doc_id") % 7 === 3).select("doc_id")
+    val m2 = Snapshots.merge(s, MergeRoot, "docs", delKeys, Seq("doc_id"),
+      deleteMatched = true)
+    require(m2.rows < m1.rows, s"delete removed nothing: ${m1.rows} -> ${m2.rows}")
+    Snapshots.read(s, Snapshots.latest(MergeRoot, "docs").get)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q_snapshot_scan, q_snapshot_diff, q_snapshot_prune, q_snapshot_compact)
+    Seq(q_snapshot_scan, q_snapshot_diff, q_snapshot_prune, q_snapshot_compact,
+      q_snapshot_merge)
 }

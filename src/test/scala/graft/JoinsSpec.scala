@@ -40,4 +40,24 @@ class JoinsSpec extends SparkSpec {
     assert(got == want)
     assert(got.size == qs.size * 5)
   }
+
+  test("radius join equals brute force, including boundary radii") {
+    val qs = SpatialJoins.DefaultKnnQueries
+    import spark.implicits._
+    val qdf = qs.map(q => (q.qid, q.qlon, q.qlat)).toDF("qid", "qlon", "qlat")
+    for (radius <- Seq(0.5, 3.0, 12.0)) {
+      val got = SpatialJoins.radiusJoin(pts, qs, radius)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      val want = pts.crossJoin(qdf)
+        .withColumn("d2",
+          (col("lon") - col("qlon")) * (col("lon") - col("qlon"))
+            + (col("lat") - col("qlat")) * (col("lat") - col("qlat")))
+        .filter(col("d2") <= radius * radius)
+        .select("qid", "doc_id")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(got == want, s"radius=$radius")
+    }
+    // a generous radius on a dense corpus must return hits
+    assert(SpatialJoins.radiusJoin(pts, qs, 12.0).count() > 0)
+  }
 }

@@ -83,6 +83,69 @@ class MetaSpec extends SparkSpec {
       Snapshots.latest(root, "cp").get).count() == 500)
   }
 
+  test("merge: upsert replaces matched rows, inserts new, links untouched files") {
+    import spark.implicits._
+    val root = tmpRoot
+    // 4 key-clustered files over k = 0..99
+    Snapshots.commitClustered(
+      spark.range(100).select(col("id").as("k"), (col("id") * 10).as("v")),
+      root, "mg", "v1", orderCols = Seq("k"), statCols = Seq("k"), numFiles = 4)
+    val m0 = Snapshots.latest(root, "mg").get
+    // source hits only keys 0..9 (one file's range) + inserts 200, 201
+    val src = Seq((0L, -1L), (5L, -2L), (9L, -3L), (200L, 1L), (201L, 2L))
+      .toDF("k", "v")
+    val m1 = Snapshots.merge(spark, root, "mg", src, Seq("k"))
+    assert(m1.rows == 102)
+    assert(m1.lineage == s"merge:0:upsert")
+    val got = Snapshots.read(spark, m1).as[(Long, Long)].collect().toMap
+    assert(got(0L) == -1L && got(5L) == -2L && got(9L) == -3L)
+    assert(got(200L) == 1L && got(201L) == 2L)
+    assert(got(10L) == 100L && got(99L) == 990L) // untouched rows intact
+    // COW: untouched files carried over by NAME (hard links), not rewritten
+    def names(p: String) = new java.io.File(p).listFiles
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val shared = names(m0.dataPath) & names(m1.dataPath)
+    assert(shared.nonEmpty, "expected at least one linked untouched file")
+    assert((names(m1.dataPath) -- names(m0.dataPath)).nonEmpty)
+    // the old snapshot still reads its full pre-merge state (time travel)
+    assert(Snapshots.read(spark, Snapshots.at(root, "mg", 0).get).count() == 100)
+  }
+
+  test("merge: delete mode drops matched keys only; key-only source ok") {
+    import spark.implicits._
+    val root = tmpRoot
+    Snapshots.commit(
+      spark.range(50).select(col("id").as("k"), (col("id") % 3).as("v")),
+      root, "mgd", "v1")
+    val m1 = Snapshots.merge(spark, root, "mgd",
+      Seq(3L, 7L, 999L).toDF("k"), Seq("k"), deleteMatched = true)
+    assert(m1.rows == 48) // 999 matched nothing
+    val ks = Snapshots.read(spark, m1).select("k").as[Long].collect().toSet
+    assert(!ks.contains(3L) && !ks.contains(7L) && ks.contains(8L))
+    assert(m1.lineage == "merge:0:delete")
+  }
+
+  test("merge: no matched key rewrites nothing, inserts land; vacuum keeps linked data") {
+    import spark.implicits._
+    val root = tmpRoot
+    Snapshots.commit(
+      spark.range(20).select(col("id").as("k"), col("id").as("v")),
+      root, "mgn", "v1")
+    val m0 = Snapshots.latest(root, "mgn").get
+    val m1 = Snapshots.merge(spark, root, "mgn",
+      Seq((500L, 1L)).toDF("k", "v"), Seq("k"))
+    assert(m1.rows == 21)
+    def names(p: String) = new java.io.File(p).listFiles
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert((names(m0.dataPath) -- names(m1.dataPath)).isEmpty,
+      "every pre-merge file must carry over when no key matches")
+    // vacuuming the pre-merge snapshot must not break the merged state:
+    // its dir is deleted but the linked inodes survive in snap-1
+    val expired = Snapshots.vacuum(root, "mgn", System.currentTimeMillis() + 1)
+    assert(expired.map(_.snapshotId) == Seq(0L))
+    assert(Snapshots.read(spark, Snapshots.latest(root, "mgn").get).count() == 21)
+  }
+
   test("resume: matching lineage reuses, changed lineage recomputes") {
     import spark.implicits._
     val root = tmpRoot
