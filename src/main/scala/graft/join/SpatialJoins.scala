@@ -135,6 +135,58 @@ object SpatialJoins {
     }
   }
 
+  /** Point-in-polygon join for a LARGE polygon table — the
+    * [[pipJoin]] twin for when the AOI set itself is too big to
+    * broadcast (millions of parcels/tiles, not six fixtures). The
+    * polygons arrive as a DataFrame (aoi_id, wkt); their covering index
+    * cells are computed EXECUTOR-side (one flatMap over the polygon
+    * table — never through the driver), and the candidate join is a
+    * SHUFFLE hash/merge equi-join on the cell id: both sides
+    * hash-partition by cell, so neither table needs to fit in driver or
+    * executor memory whole. The exact JTS test still runs only on
+    * cell-colocated candidates, with the per-executor prepared-geometry
+    * cache keyed by WKT. Same semantics as [[pipJoin]] (interior-only),
+    * asserted equal in JoinsSpec.
+    *
+    * Skew note: a polygon spanning many cells duplicates its (cell, wkt)
+    * row per covered cell — bounded by cover size at `res`; a HOT CELL
+    * (many polygons × many points) is the usual salting candidate, and
+    * the output key (cell) is exactly what `graft.core.Skew` two-level
+    * aggregation keys on downstream. */
+  def pipJoinLarge(pts: DataFrame, aois: DataFrame, res: Int = 7): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val coverUdf = udf((wkt: String) => {
+      val env = new WKTReader(new GeometryFactory()).read(wkt).getEnvelopeInternal
+      Cells.cover(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, res)
+    })
+    val cover = aois.select(col("aoi_id"), col("wkt"),
+      explode(coverUdf(col("wkt"))).as("cell"))
+    val containsUdf = udf((wkt: String, lon: Double, lat: Double) =>
+      Geoms.contains(wkt, lon, lat))
+    // shuffle_hash: the point of this variant is that the polygon side
+    // must NOT be broadcast (at scale it can't be); the hint keeps the
+    // test-scale plan shaped like the 100 TB plan
+    pts.withColumn("cell", CellFunctions.cellId(col("lon"), col("lat"), res))
+      .join(cover.hint("shuffle_hash"), "cell")
+      .filter(containsUdf(col("wkt"), col("lon"), col("lat")))
+      .select(col("aoi_id"), col("doc_id"), col("lon"), col("lat"))
+  }
+
+  /** Zonal statistics — the raster⟷vector aggregate: per zone polygon,
+    * aggregate the grid cells it covers (count/min/max/sum of the cell
+    * value). `zones` is a burned zone raster `(id, gx, gy)` (from
+    * [[graft.vector.Rasterize]]), `cells` a value grid `(gx, gy, v)`;
+    * both sides are keyed by the SAME (gx, gy), so after their
+    * respective aggregations this is one co-partitioned equi-join plus
+    * a hash aggregate with map-side combine — no driver state, no
+    * broadcast needed at any zone-table size. */
+  def zonalStats(cells: DataFrame, zones: DataFrame): DataFrame =
+    zones.join(cells, Seq("gx", "gy"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_cells"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"), sum(col("v")).as("sum_v"))
+
   /** Exact radius (distance) join: all (query, point) pairs within
     * coordinate distance `radius` — the third classic spatial join next
     * to J4 PIP and J5 kNN (geofencing, "documents near this site").

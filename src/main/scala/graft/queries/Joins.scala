@@ -73,6 +73,55 @@ object Joins {
     }
   }
 
+  /** PIP with the polygon table as a DataFrame and a SHUFFLE candidate
+    * join (the large-AOI-set plan shape — see
+    * [[SpatialJoins.pipJoinLarge]]); must equal the broadcast path and
+    * the strict-predicate dual exactly. */
+  val q_pip_large: QueryDef = QueryDef.sqlChecked(
+    "q_pip_large",
+    s"""WITH $ptsCte
+       |SELECT aoi_id, doc_id FROM (
+       |${Aoi.oracleHitsSql}
+       |) hits ORDER BY aoi_id, doc_id""".stripMargin) { (s, dir) =>
+    val pts = Geo.withGeo(Tables.documents(s, dir)).select("doc_id", "lon", "lat")
+    SpatialJoins.pipJoinLarge(pts, Aoi.df(s))
+      .select(col("aoi_id"), col("doc_id"))
+      .orderBy(col("aoi_id"), col("doc_id"))
+  }
+
+  /** Zonal statistics: per AOI polygon, count/min/max/sum of the DSM
+    * cells it covers — raster⟷vector composed end to end (burn the
+    * polygons, grid the points, co-partitioned cell join, aggregate).
+    * The dual burns via the strict center predicates (centers at
+    * x.25/x.75 never hit the .0005 AOI boundaries) and recomputes the
+    * DSM from the raw documents. */
+  val q_zonal_stats: QueryDef = QueryDef.sqlChecked(
+    "q_zonal_stats",
+    s"""WITH ${graft.grid.Gridding.splatCte},
+       |g AS (SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy),
+       |lattice AS (
+       |  SELECT x.range AS gx, y.range AS gy,
+       |    -180.0 + (x.range + 0.5) * 0.5 AS lon,
+       |    -85.0 + (y.range + 0.5) * 0.5 AS lat
+       |  FROM range(0, 722) x, range(0, 342) y),
+       |burn AS (
+       |${Aoi.defs.map(a =>
+            s"SELECT ${a.aoiId} AS aoi_id, gx, gy FROM lattice WHERE ${a.oracleSqlPredicate}")
+           .mkString("\nUNION ALL\n")})
+       |SELECT aoi_id, count(*) AS n_cells, min(v) AS min_v, max(v) AS max_v,
+       |  CAST(sum(v) AS BIGINT) AS sum_v
+       |FROM burn JOIN g USING (gx, gy)
+       |GROUP BY aoi_id ORDER BY aoi_id""".stripMargin) { (s, dir) =>
+    val dsm = graft.grid.Gridding.dsm(
+      graft.grid.Gridding.points(Geo.withGeo(Tables.documents(s, dir))))
+    val zones = graft.vector.Rasterize.geo(s,
+      Aoi.defs.map(a => (a.aoiId.toLong, a.wkt)), -180.0, -85.0, 0.5)
+    SpatialJoins.zonalStats(dsm, zones.select("id", "gx", "gy"))
+      .select(col("id").cast("int").as("aoi_id"), col("n_cells"),
+        col("min_v"), col("max_v"), col("sum_v"))
+      .orderBy(col("aoi_id"))
+  }
+
   /** Vector -> raster: burn the AOI set onto the world grid (cell
     * centers at x.25/x.75 degrees never hit the .0005-offset AOI
     * boundaries, so JTS covers == the strict SQL predicates). */
@@ -175,6 +224,6 @@ object Joins {
   }
 
   val all: Seq[QueryDef] =
-    Seq(q_pip_join, q_knn_join, q_radius_join, q_rasterize_aoi,
-      q_stream_pip, q_stream_join)
+    Seq(q_pip_join, q_pip_large, q_knn_join, q_radius_join, q_zonal_stats,
+      q_rasterize_aoi, q_stream_pip, q_stream_join)
 }

@@ -60,4 +60,36 @@ class JoinsSpec extends SparkSpec {
     // a generous radius on a dense corpus must return hits
     assert(SpatialJoins.radiusJoin(pts, qs, 12.0).count() > 0)
   }
+
+  test("pipJoinLarge equals broadcast pipJoin; polygon side not broadcast") {
+    val large = SpatialJoins.pipJoinLarge(pts, Aoi.df(spark))
+    val got = large.select("aoi_id", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val want = SpatialJoins.pipJoin(pts, Aoi.defs).select("aoi_id", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // the candidate join must be a shuffle join — the whole point of the
+    // variant is that the polygon side can be 100M rows
+    val plan = large.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("zonalStats equals per-zone brute force over the burned lattice") {
+    val docs = Geo.withGeo(Tables.documents(spark, sfSmoke))
+    val dsm = graft.grid.Gridding.dsm(graft.grid.Gridding.points(docs))
+    val zones = graft.vector.Rasterize.geo(spark,
+      Aoi.defs.map(a => (a.aoiId.toLong, a.wkt)), -180.0, -85.0, 0.5)
+    val got = SpatialJoins.zonalStats(dsm, zones.select("id", "gx", "gy"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val cells = dsm.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = zones.select("id", "gx", "gy").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1)
+      .map { case (id, zs) =>
+        val vs = zs.flatMap(z => cells.get(z._2))
+        id -> ((vs.length.toLong, vs.min, vs.max, vs.sum))
+      }
+    assert(got == want && got.nonEmpty)
+  }
 }
