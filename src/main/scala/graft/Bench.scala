@@ -70,7 +70,12 @@ object Bench {
         "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
         "sun.security.action", "sun.util.calendar")
         .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
-      val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")
+      // the child's heap is its OWN protocol constant: inheriting the
+      // parent's SPARK_DRIVER_MEM once sized two 48g fixed heaps on one
+      // box and the local[2] level swapped its way past the fork
+      // deadline — the fork must stay at the BASELINE.md 32g regardless
+      // of how big the sweep JVM was started
+      val mem = sys.env.getOrElse("SPARK_GRAFT_FORK_MEM", "32g")
       val cmd = (Seq("java") ++ opens ++ Seq(s"-Xmx$mem", s"-Xms$mem",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", System.getProperty("java.class.path"), "graft.ScalingBench"))

@@ -1,0 +1,56 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Test-set decontamination — the training-pipeline gate that removes
+ * corpus documents overlapping an evaluation benchmark (the reference
+ * pipeline has no analog; this is north-rule LLM-data territory, same
+ * family as [[Dedup]]): a document is CONTAMINATED when it shares at
+ * least one word n-gram with any benchmark text. Published pipelines
+ * (GPT-3 appx C, PaLM, Llama) use 8-13 gram collision; the engine keys
+ * on the same 3-gram shingles as the MinHash family ([[TextOps
+ * .shingles3]]) so one shingle extraction serves dedup, MinHash, and
+ * decontamination.
+ *
+ * Scale shape: the corpus side explodes to (doc_id, shingle) and
+ * DISTINCTs per doc (hash aggregate, map-side combine); the benchmark
+ * side distincts to a shingle set — benchmarks are eval-suite sized
+ * (10^4-10^6 rows), so Spark broadcasts it; a benchmark too big to
+ * broadcast degrades to a shuffle equi-join on the shingle, never a
+ * cross product. The join key is the raw shingle STRING — exact by
+ * construction; at the 100 TB point you'd pre-hash both sides to a
+ * 64-bit key (one in 2^64 false-positive flags a doc, acceptable for a
+ * REMOVAL gate) and the shape is unchanged.
+ */
+object Decontaminate {
+
+  /** (doc_id, n_shared) for every corpus document sharing >= 1 distinct
+    * 3-gram shingle with the benchmark; n_shared counts the distinct
+    * shared shingles (the thresholding knob: callers drop at
+    * n_shared >= k). Documents with no overlap are absent. */
+  def overlap(corpus: DataFrame, benchmark: DataFrame,
+              text: String = "text"): DataFrame = {
+    val corpusSh = TextOps.shingles3(corpus, text)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .distinct()
+    val benchSh = TextOps.shingles3(benchmark, text)
+      .select(explode(col("shingles")).as("s"))
+      .distinct()
+    corpusSh.join(benchSh, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The clean corpus: rows of `corpus` whose overlap with the benchmark
+    * is below `maxShared` distinct shingles (left-anti join on the
+    * flagged ids — one shuffle keyed by doc_id). */
+  def clean(corpus: DataFrame, benchmark: DataFrame, maxShared: Long = 1,
+            text: String = "text"): DataFrame = {
+    val flagged = overlap(corpus, benchmark, text)
+      .where(col("n_shared") >= maxShared)
+      .select("doc_id")
+    corpus.join(flagged, Seq("doc_id"), "left_anti")
+  }
+}

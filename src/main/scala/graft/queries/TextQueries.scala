@@ -176,8 +176,60 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** PII redaction (the C4/RefinedWeb scrub pass): PII is planted
+    * deterministically by doc_id residue — an email, a phone, an IPv4 —
+    * onto the digit-free synthetic text, redacted by the chained
+    * codegen'd regexp_replace, and the full redacted string is compared
+    * bit-exactly against DuckDB running the SAME patterns (written in
+    * the shared Java-regex/RE2 subset, 'g' flag). Only changed rows are
+    * returned so the diff is visible in the row count too. */
+  val q_redact_pii: QueryDef = {
+    // parses identically in Spark SQL and DuckDB (no dialect-specific
+    // casts; the synthetic text is digit-free, so the plants are the
+    // only possible matches)
+    val plant = "CASE doc_id % 13 " +
+      "WHEN 0 THEN ' mail me: first.last+spam@ex-mail.example.com ok' " +
+      "WHEN 1 THEN ' call +1 (555) 010-7788 now' " +
+      "WHEN 2 THEN ' from host 10.42.7.13 today' " +
+      "ELSE '' END"
+    QueryDef.sqlChecked(
+      "q_redact_pii",
+      s"""WITH aug AS (SELECT doc_id, text || $plant AS t2 FROM documents)
+         |SELECT doc_id, ${TextOps.redactPiiSql("t2")} AS red FROM aug
+         |WHERE ${TextOps.redactPiiSql("t2")} <> t2
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val aug = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), expr(plant)).as("t2"))
+      aug.select(col("doc_id"), TextOps.redactPii(col("t2")).as("red"), col("t2"))
+        .where(col("red") =!= col("t2"))
+        .select("doc_id", "red")
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Test-set decontamination: benchmark = every 97th document's text;
+    * a corpus doc is flagged with the count of DISTINCT 3-gram shingles
+    * it shares with the benchmark (the duplicated texts planted in the
+    * synthetic corpus guarantee non-trivial overlap beyond the
+    * benchmark's own members, which are excluded). The dual replays
+    * shingling + both distincts + the join in DuckDB. */
+  val q_decontam: QueryDef = QueryDef.sqlChecked(
+    "q_decontam",
+    s"""WITH ${TextOps.shingleCteSql},
+       |corpus AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+       |SELECT doc_id, count(*) AS n_shared
+       |FROM corpus JOIN bench USING (s)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.dedup.Decontaminate.overlap(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_token_stats, q_lang_guess, q_quality_score, q_fingerprint,
     q_dedup_exact, q_dedup_prefix, q_minhash_sig, q_simhash, q_ngram_jaccard,
-    q_repetition, q_line_dedup)
+    q_repetition, q_line_dedup, q_redact_pii, q_decontam)
 }

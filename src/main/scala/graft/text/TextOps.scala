@@ -136,6 +136,31 @@ object TextOps {
            |ELSE array() END""".stripMargin))
       .drop("__toks")
 
+  // ---- PII redaction (C4/RefinedWeb-style scrub pass) ----------------
+
+  /** (pattern, applied in this order). Email first — its local part
+    * contains digits the phone pattern would otherwise bite into; the
+    * replacement token carries no digits, so later patterns can never
+    * re-match inside an earlier redaction. Patterns are written in the
+    * common Java-regex/RE2 subset so the DuckDB dual applies the SAME
+    * automaton. */
+  final val PiiPatterns: Seq[String] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", // email
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", // ipv4
+    "\\+?[0-9][0-9()\\- ]{6,}[0-9]") // phone-like digit runs
+  final val PiiToken = "<PII>"
+
+  /** Redact emails, IPv4 addresses, and phone-like digit runs to
+    * [[PiiToken]] — chained codegen'd regexp_replace, no UDF. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text)((c, p) => regexp_replace(c, p, PiiToken))
+
+  /** DuckDB dual of [[redactPii]] (RE2 with the 'g' flag; single-quoted
+    * SQL strings keep the backslashes literal). */
+  def redactPiiSql(text: String): String =
+    PiiPatterns.foldLeft(text)((e, p) =>
+      s"regexp_replace($e, '$p', '$PiiToken', 'g')")
+
   /** CTE: documents -> (doc_id, s) one row per 3-gram shingle. */
   def shingleCteSql: String =
     s"""toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),

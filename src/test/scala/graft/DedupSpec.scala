@@ -25,6 +25,46 @@ class DedupSpec extends SparkSpec {
     (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
   }
 
+  test("decontaminate: overlap counts shared shingles, clean drops flagged docs") {
+    import spark.implicits._
+    import graft.dedup.Decontaminate
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares 'beta gamma delta' x2
+      (2L, "zeta eta theta iota kappa"), // disjoint
+      (3L, "one two beta gamma delta three")) // shares one 3-gram
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "xx beta gamma delta epsilon yy"))
+      .toDF("doc_id", "text")
+    val got = Decontaminate.overlap(corpus, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 1 shares 'beta gamma delta' and 'gamma delta epsilon'; doc 3 one
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+    val kept = Decontaminate.clean(corpus, bench).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+    // threshold: requiring >= 2 shared shingles spares the 1-gram doc
+    val kept2 = Decontaminate.clean(corpus, bench, maxShared = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(2L, 3L))
+  }
+
+  test("redactPii scrubs emails, ipv4, phones; leaves clean text alone") {
+    import spark.implicits._
+    import graft.text.TextOps
+    val rows = Seq(
+      "reach me at bob.smith+x@corp.example.org thanks",
+      "server 192.168.0.1 responded",
+      "call +1 (555) 010-7788 today",
+      "nothing sensitive here at all").toDF("t")
+    val got = rows.select(TextOps.redactPii(col("t")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      s"reach me at ${TextOps.PiiToken} thanks",
+      s"server ${TextOps.PiiToken} responded",
+      s"call ${TextOps.PiiToken} today",
+      "nothing sensitive here at all"))
+  }
+
   test("dropDuplicatesKeepMin keeps min doc_id per text") {
     val out = Dedup.dropDuplicatesKeepMin(synthDocs, "text")
     assert(out.count() == 25) // 20 base + 5 near-dups, exact dups dropped
