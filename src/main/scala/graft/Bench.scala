@@ -202,6 +202,16 @@ object Bench {
     // distortion), not by the job. Sweep session is stopped first so the
     // child gets the whole machine.
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000").toLong
+    // Pre-stage BOTH fork inputs at full parallelism while the sweep
+    // session is still alive: stageInput reuses an existing _SUCCESS
+    // path, so the forked children only read. Without this, a wiped /tmp
+    // makes the local[2] scaling child GENERATE 16M docs on 2 cores —
+    // measured past its own 20-minute kill deadline.
+    val scalingDocsPre =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_DOCS", "16000000").toLong
+    Flagship.stageInput(spark, nDocs)
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") == "1")
+      Flagship.stageInput(spark, scalingDocsPre)
     spark.stop()
     val flag = forkedLevel(cpus.toInt, nDocs)
       .getOrElse(inProcessLevel(cpus.toInt, nDocs))
@@ -210,11 +220,9 @@ object Bench {
     // overheads don't drown the 8-core side (at 2M docs the 8-core run
     // is ~3 s and efficiency reads artificially low; 16M is BASELINE.md's
     // measured protocol point)
-    val scalingDocs =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_DOCS", "16000000").toLong
     val scaling =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") == "1")
-        Some(scalingBlock(scalingDocs))
+        Some(scalingBlock(scalingDocsPre))
       else None
 
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }

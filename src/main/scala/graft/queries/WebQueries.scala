@@ -186,6 +186,50 @@ object WebQueries {
       .orderBy(col("url"))
   }
 
+  /** Streaming CDC-upsert into the snapshot table
+    * ([[graft.streaming.StreamOps.upsertSink]]): the staged page corpus
+    * is re-staged as FOUR parquet files and streamed one file per
+    * micro-batch (maxFilesPerTrigger=1), each batch folded into the
+    * table by the COW merge with latest-capture winner semantics
+    * (warc_ts desc, md5(text) desc). The final TABLE — not a query over
+    * a stream — must equal the batch dedup bit-exactly, which is
+    * order-independence across batches: recaptures of one url land in
+    * different micro-batches and the winner must still be the global
+    * one. The dual replays the window dedup over the same staged
+    * bytes. */
+  val q_stream_upsert: QueryDef = QueryDef.sqlChecked(
+    "q_stream_upsert",
+    s"""WITH pages AS (SELECT * FROM '$SideRoot/upsert_src/*.parquet'),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    PARTITION BY url ORDER BY warc_ts DESC, md5(text) DESC) AS rn
+       |  FROM pages)
+       |SELECT url, warc_ts, CAST(length(text) AS BIGINT) AS text_len
+       |FROM ranked WHERE rn = 1 ORDER BY url""".stripMargin) { (s, dir) =>
+    val src = s"$SideRoot/upsert_src"
+    val pages = withGeo(WebPages.generate(s, N).toDF())
+      .select("url", "warc_ts", "text", "lang")
+    pages.repartition(4).write.mode("overwrite").parquet(src)
+    val root = QueryDef.recreateDir("/tmp/graft_stream_upsert").toString
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = graft.streaming.StreamOps.upsertSink(stream, root, "pages",
+        keyCols = Seq("url"),
+        orderCols = Seq(col("warc_ts").desc, md5(col("text")).desc),
+        queryName = "stream_upsert")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val m = graft.meta.Snapshots.latest(root, "pages").get
+    require(m.snapshotId >= 3,
+      s"expected >= 4 micro-batch commits, saw id ${m.snapshotId}")
+    graft.meta.Snapshots.read(s, m)
+      .select(col("url"), col("warc_ts"),
+        length(col("text")).cast("long").as("text_len"))
+      .orderBy(col("url"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q_webpages_dedup, q_webpages_pipeline, q_bloom_dedup, q_url_norm)
+    Seq(q_webpages_dedup, q_webpages_pipeline, q_bloom_dedup, q_url_norm,
+      q_stream_upsert)
 }

@@ -165,6 +165,63 @@ object StreamOps {
         ()
       }
 
+  /** Fold one (micro-)batch of upserts into the snapshot table keyed by
+    * `keyCols`, keeping the winner per key under `orderCols` (e.g.
+    * `Seq(col("warc_ts").desc, md5(col("text")).desc)` — the flagship's
+    * latest-capture order) across BOTH the batch and the table's current
+    * matching rows. Because the winner is recomputed against current
+    * state, the final table is independent of how captures were split
+    * across batches and of their arrival ORDER — an old capture arriving
+    * late can never overwrite a newer row. Cost per batch: one key
+    * semi-join against current state + the COW [[Snapshots.merge]],
+    * which rewrites only the files containing matched keys. Value-
+    * idempotent: replaying a batch (foreachBatch redelivery after a
+    * restart) recomputes the same winners and leaves content unchanged. */
+  def upsertBatch(batch: DataFrame, root: String, table: String,
+                  keyCols: Seq[String],
+                  orderCols: Seq[org.apache.spark.sql.Column])
+      : graft.meta.Snapshots.Manifest = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    def winners(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+    graft.meta.Snapshots.latest(root, table) match {
+      case None =>
+        graft.meta.Snapshots.commit(winners(batch), root, table,
+          s"upsert-init:$table")
+      case Some(m) =>
+        val cur = graft.meta.Snapshots.read(spark, m)
+        val keys = batch.select(keyCols.map(col): _*).distinct()
+        val relevant = cur.join(keys, keyCols, "left_semi")
+        val win = winners(
+          batch.select(cur.columns.map(col).toSeq: _*).unionByName(relevant))
+        graft.meta.Snapshots.merge(spark, root, table, win, keyCols)
+    }
+  }
+
+  /** Streaming UPSERT sink — CDC into the Iceberg-style snapshot table:
+    * every micro-batch runs [[upsertBatch]], so the downstream reader
+    * always sees one row per key (the current winner), unlike
+    * [[snapshotSink]] which appends each batch as its own snapshot.
+    * This is the streaming face of the flagship's J6 latest-capture
+    * dedup with the table itself as the state store: no Spark state,
+    * unbounded key space, restart-safe through the committed manifests. */
+  def upsertSink(df: DataFrame, root: String, table: String,
+                 keyCols: Seq[String],
+                 orderCols: Seq[org.apache.spark.sql.Column],
+                 queryName: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        upsertBatch(batch.toDF(), root, table, keyCols, orderCols)
+        ()
+      }
+
   final case class Ev(user_id: Long, tsec: Double, event_id: Long)
   final case class Session(user_id: Long, start: Double, end: Double, n: Long)
   final case class SessState(start: Double, last: Double, n: Long)

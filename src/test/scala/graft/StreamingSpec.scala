@@ -166,6 +166,37 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView("ij_out")
   }
 
+  test("upsertBatch: order-independent winners, replay-idempotent, COW merges") {
+    import spark.implicits._
+    import graft.meta.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    def df(rows: (String, Long, String)*) = rows.toDF("url", "ts", "text")
+    val order = Seq(col("ts").desc, md5(col("text")).desc)
+    // batch 1: initial captures
+    StreamOps.upsertBatch(df(("a", 1L, "a1"), ("b", 5L, "b5")),
+      root, "t", Seq("url"), order)
+    // batch 2: newer capture of a, new url c
+    StreamOps.upsertBatch(df(("a", 9L, "a9"), ("c", 2L, "c2")),
+      root, "t", Seq("url"), order)
+    // batch 3: LATE (older) capture of a — must NOT win; tie on b at
+    // ts=5 resolved by md5(text) desc
+    StreamOps.upsertBatch(df(("a", 3L, "a3"), ("b", 5L, "b5x")),
+      root, "t", Seq("url"), order)
+    def state() = Snapshots.read(spark, Snapshots.latest(root, "t").get)
+      .as[(String, Long, String)].collect().toSet
+    val md5win = Seq("b5", "b5x").maxBy(t =>
+      java.security.MessageDigest.getInstance("MD5").digest(t.getBytes)
+        .map("%02x".format(_)).mkString)
+    val expect = Set(("a", 9L, "a9"), ("b", 5L, md5win), ("c", 2L, "c2"))
+    assert(state() == expect)
+    // replaying the last batch leaves content unchanged (value-idempotent)
+    val idBefore = Snapshots.latest(root, "t").get.snapshotId
+    StreamOps.upsertBatch(df(("a", 3L, "a3"), ("b", 5L, "b5x")),
+      root, "t", Seq("url"), order)
+    assert(state() == expect)
+    assert(Snapshots.latest(root, "t").get.snapshotId == idBefore + 1)
+  }
+
   test("stateful sessionization matches the batch window query") {
     import spark.implicits._
     val evs = spark.read.parquet(s"$sfSmoke/events.parquet")
