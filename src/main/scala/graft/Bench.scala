@@ -42,18 +42,24 @@ object Bench {
   private def scalingBlock(nDocs: Long): String = {
     val levels = Seq(2, 8)
     val results = levels.map { cpus =>
-      forkedLevel(cpus, nDocs).getOrElse(inProcessLevel(cpus, nDocs))
+      forkedLevel(cpus, nDocs).map((_, "forked"))
+        .getOrElse((inProcessLevel(cpus, nDocs), "inprocess"))
     }
-    val Seq(n, n4) = results
+    val Seq((n, nMode), (n4, n4Mode)) = results
     require(n.chk == n4.chk, "checksum differs across parallelism levels")
     val eff = n4.dps.toDouble / (4.0 * n.dps.toDouble)
     // best-of-5 efficiency: capability reading robust to noisy-neighbor
     // bursts hitting one level's median (both are emitted; BASELINE.md
     // documents the protocols)
     val effBest = (nDocs / n4.best) / (4.0 * (nDocs / n.best))
-    s""""scaling":{"docs":$nDocs,"n2":{"sec":${n.med},"best_sec":${n.best},"docs_per_sec":${n.dps}},""" +
-      s""""n8":{"sec":${n4.med},"best_sec":${n4.best},"docs_per_sec":${n4.dps}},""" +
-      s""""efficiency_2_8":$eff,"efficiency_2_8_best":$effBest,"checksum":${n.chk}}"""
+    // a level that fell back in-process makes the PAIR incomparable
+    // (different JVM state than the forked protocol) — say so in the
+    // artifact instead of letting the number stand unqualified
+    val mixed = nMode != n4Mode
+    s""""scaling":{"docs":$nDocs,"n2":{"sec":${n.med},"best_sec":${n.best},"docs_per_sec":${n.dps},"mode":"$nMode"},""" +
+      s""""n8":{"sec":${n4.med},"best_sec":${n4.best},"docs_per_sec":${n4.dps},"mode":"$n4Mode"},""" +
+      s""""efficiency_2_8":$eff,"efficiency_2_8_best":$effBest,""" +
+      s""""protocol_mixed":$mixed,"checksum":${n.chk}}"""
   }
 
   /** One measured level of the warm protocol: median/best of 5 timed
@@ -95,8 +101,14 @@ object Bench {
           .getLines().toVector))
       reader.setDaemon(true)
       reader.start()
+      // 45 min default: the box this runs on can degrade ~3x under a
+      // noisy neighbor (measured 2026-08-18: flagship 2.1 s -> 5.6 s
+      // median on the same commit), and a killed fork silently degrades
+      // the level to the in-process fallback — which mixes protocols and
+      // once produced a >1 "efficiency". A slow fork is a better
+      // artifact than a fast wrong one.
       val deadlineMin =
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK_TIMEOUT_MIN", "20").toLong
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK_TIMEOUT_MIN", "45").toLong
       if (!proc.waitFor(deadlineMin, java.util.concurrent.TimeUnit.MINUTES)) {
         proc.destroyForcibly()
         System.err.println(s"BENCH: forked level local[$cpus] exceeded " +
