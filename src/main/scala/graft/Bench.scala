@@ -9,8 +9,25 @@ import org.apache.spark.sql.SparkSession
   * same line to SPARK_GRAFT_BENCH_OUT (default /root/repo/BENCH_LAST.json)
   * so downstream tooling never has to fish the line out of sbt noise.
   * Per-query failures are recorded in a "failed" list (and on stderr)
-  * instead of being silently folded into the timings. */
+  * instead of being silently folded into the timings.
+  *
+  * TIMEOUT-PROOF BY CONSTRUCTION (round-3 lesson): the round-3 driver run
+  * was killed (rc=124) under a ~3x noisy-neighbor load before a single
+  * JSON byte was printed, so the round shipped no performance numbers at
+  * all. This main now (a) tracks its own wall-clock budget
+  * (SPARK_GRAFT_BENCH_BUDGET_MIN, default 15) and degrades each stage to
+  * fit the time that is actually left, and (b) emits a complete, valid
+  * JSON line after EVERY stage (sweep -> flagship -> scaling), both to
+  * stdout and to SPARK_GRAFT_BENCH_OUT, so an external kill at any point
+  * still leaves the most complete measurement on record. The last line
+  * printed is always the most complete one. */
 object Bench {
+
+  private val benchT0 = System.nanoTime()
+  private def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
+  private val budgetSec: Double =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_MIN", "15").toDouble * 60.0
+  private def remainSec: Double = budgetSec - elapsedSec
 
   private def session(cpus: String): SparkSession = {
     SparkSession.clearActiveSession()
@@ -29,47 +46,18 @@ object Bench {
     s
   }
 
-  /** BASELINE.md scaling protocol on the north rule's N-vs-4N pair
-    * (2 -> 8 cores — the regime where cores, not the box's memory
-    * bandwidth, are the scaled resource; see BASELINE.md for the full
-    * three-level warm table and the multi-JVM corroboration). Each
-    * level runs [[ScalingBench]] (3 warm-ups + 5 timed, median) in a
-    * FRESH fixed-heap child JVM — round 2 measured the pair inside one
-    * reused JVM and GC debris from the 2-core runs depressed the 8-core
-    * side to a sub-0.8 reading; a per-level fresh JVM is exactly what
-    * tools/run_bench.sh measures and what a real spark-submit does.
-    * Falls back to the in-process pair if the child can't launch. */
-  private def scalingBlock(nDocs: Long): String = {
-    val levels = Seq(2, 8)
-    val results = levels.map { cpus =>
-      forkedLevel(cpus, nDocs).map((_, "forked"))
-        .getOrElse((inProcessLevel(cpus, nDocs), "inprocess"))
-    }
-    val Seq((n, nMode), (n4, n4Mode)) = results
-    require(n.chk == n4.chk, "checksum differs across parallelism levels")
-    val eff = n4.dps.toDouble / (4.0 * n.dps.toDouble)
-    // best-of-5 efficiency: capability reading robust to noisy-neighbor
-    // bursts hitting one level's median (both are emitted; BASELINE.md
-    // documents the protocols)
-    val effBest = (nDocs / n4.best) / (4.0 * (nDocs / n.best))
-    // a level that fell back in-process makes the PAIR incomparable
-    // (different JVM state than the forked protocol) — say so in the
-    // artifact instead of letting the number stand unqualified
-    val mixed = nMode != n4Mode
-    s""""scaling":{"docs":$nDocs,"n2":{"sec":${n.med},"best_sec":${n.best},"docs_per_sec":${n.dps},"mode":"$nMode"},""" +
-      s""""n8":{"sec":${n4.med},"best_sec":${n4.best},"docs_per_sec":${n4.dps},"mode":"$n4Mode"},""" +
-      s""""efficiency_2_8":$eff,"efficiency_2_8_best":$effBest,""" +
-      s""""protocol_mixed":$mixed,"checksum":${n.chk}}"""
-  }
-
-  /** One measured level of the warm protocol: median/best of 5 timed
-    * runs after 3 warm-ups, plus the result invariants. */
+  /** One measured level of the warm protocol: median/best of the timed
+    * runs after warm-ups, plus the result invariants. */
   private final case class LevelStats(
       dps: Long, med: Double, best: Double, chk: Long, pip: Long, cells: Long)
 
   /** One scaling level in a fresh fixed-heap child JVM (the BASELINE.md
-    * apparatus). Returns (docs/sec, median sec, best sec, checksum). */
-  private def forkedLevel(cpus: Int, nDocs: Long): Option[LevelStats] =
+    * apparatus). `deadlineSec` is a hard kill: a fork that overruns it is
+    * destroyed and the level reported as absent — NOT silently re-run
+    * in-process (round 3's 45-min fallback chain is what blew the
+    * driver's overall timeout). */
+  private def forkedLevel(cpus: Int, nDocs: Long, warmups: Int, runs: Int,
+      deadlineSec: Long): Option[LevelStats] =
     try {
       val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
         "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
@@ -88,31 +76,24 @@ object Bench {
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_CPUS", cpus.toString)
       pb.environment().put("SPARK_GRAFT_BENCH_DOCS", nDocs.toString)
+      pb.environment().put("SPARK_GRAFT_BENCH_WARMUPS", warmups.toString)
+      pb.environment().put("SPARK_GRAFT_BENCH_RUNS", runs.toString)
       // Spark logs flood stderr: discard it or the pipe buffer fills
       // and the child deadlocks before printing its stdout JSON line
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val proc = pb.start()
       // read stdout on a reaper thread with a hard deadline: a hung
-      // child must not wedge the whole bench (it would also make the
-      // in-process fallback unreachable)
+      // child must not wedge the whole bench
       val out = new java.util.concurrent.atomic.AtomicReference(Vector.empty[String])
       val reader = new Thread(() =>
         out.set(scala.io.Source.fromInputStream(proc.getInputStream)
           .getLines().toVector))
       reader.setDaemon(true)
       reader.start()
-      // 45 min default: the box this runs on can degrade ~3x under a
-      // noisy neighbor (measured 2026-08-18: flagship 2.1 s -> 5.6 s
-      // median on the same commit), and a killed fork silently degrades
-      // the level to the in-process fallback — which mixes protocols and
-      // once produced a >1 "efficiency". A slow fork is a better
-      // artifact than a fast wrong one.
-      val deadlineMin =
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_FORK_TIMEOUT_MIN", "45").toLong
-      if (!proc.waitFor(deadlineMin, java.util.concurrent.TimeUnit.MINUTES)) {
+      if (!proc.waitFor(deadlineSec, java.util.concurrent.TimeUnit.SECONDS)) {
         proc.destroyForcibly()
         System.err.println(s"BENCH: forked level local[$cpus] exceeded " +
-          s"$deadlineMin min, killed — falling back to in-process")
+          s"$deadlineSec s, killed — level reported absent")
         return None
       }
       reader.join(10000)
@@ -130,22 +111,63 @@ object Bench {
       }
     } catch { case _: Throwable => None }
 
-  /** Legacy in-process fallback (fresh session in THIS JVM). */
-  private def inProcessLevel(cpus: Int, nDocs: Long): LevelStats = {
+  /** In-process fallback (fresh session in THIS JVM) — only used for the
+    * flagship block when there is no time left to fork, never for the
+    * scaling pair (mixing JVM protocols across the pair once produced a
+    * >1 "efficiency"). */
+  private def inProcessLevel(cpus: Int, nDocs: Long, warmups: Int,
+      runs: Int): LevelStats = {
     val s = session(cpus.toString)
     try {
-      (1 to 3).foreach(_ => Flagship.run(s, nDocs))
-      val runs = (1 to 5).map { _ => System.gc(); Flagship.run(s, nDocs) }
-      val med = runs.map(_.seconds).sorted.apply(2)
-      val chk = runs.map(_.gridChecksum).distinct
+      (1 to warmups).foreach(_ => Flagship.run(s, nDocs))
+      val timed = (1 to runs).map { _ => System.gc(); Flagship.run(s, nDocs) }
+      val med = timed.map(_.seconds).sorted.apply(timed.size / 2)
+      val chk = timed.map(_.gridChecksum).distinct
       require(chk.size == 1, s"non-deterministic checksum at local[$cpus]")
-      LevelStats((nDocs / med).toLong, med, runs.map(_.seconds).min, chk.head,
-        runs.head.pipHits, runs.head.gridCells)
+      LevelStats((nDocs / med).toLong, med, timed.map(_.seconds).min, chk.head,
+        timed.head.pipHits, timed.head.gridCells)
     } finally s.stop()
   }
 
+  private def levelJson(name: String, l: LevelStats, mode: String): String =
+    s""""$name":{"sec":${l.med},"best_sec":${l.best},"docs_per_sec":${l.dps},"mode":"$mode"}"""
+
+  /** BASELINE.md scaling protocol on the north rule's N-vs-4N pair
+    * (2 -> 8 cores — the regime where cores, not the box's memory
+    * bandwidth, are the scaled resource; see BASELINE.md). Each level
+    * runs [[ScalingBench]] in a FRESH fixed-heap child JVM. A level
+    * whose fork dies or overruns its share of the remaining budget is
+    * reported absent and the efficiency omitted — a partial artifact
+    * beats a killed bench. */
+  private def scalingBlock(nDocs: Long, warmups: Int, runs: Int): String = {
+    // local[2] does ~3-4x the wall work of local[8]: give it the larger
+    // share of whatever budget remains, with a floor so a fork is never
+    // launched with an unmeetable deadline
+    val d2 = math.max(120L, (remainSec * 0.62).toLong)
+    val n2 = forkedLevel(2, nDocs, warmups, runs, d2)
+    val d8 = math.max(90L, (remainSec * 0.9).toLong)
+    val n8 = forkedLevel(8, nDocs, warmups, runs, d8)
+    val levels = Seq(
+      n2.map(l => levelJson("n2", l, "forked")),
+      n8.map(l => levelJson("n8", l, "forked"))).flatten
+    val eff = for (a <- n2; b <- n8) yield {
+      if (a.chk != b.chk)
+        System.err.println(s"BENCH: checksum differs across levels: ${a.chk} vs ${b.chk}")
+      val effMed = b.dps.toDouble / (4.0 * a.dps.toDouble)
+      // best-of efficiency: capability reading robust to noisy-neighbor
+      // bursts hitting one level's median (both are emitted; BASELINE.md
+      // documents the protocols)
+      val effBest = (nDocs / b.best) / (4.0 * (nDocs / a.best))
+      s""""efficiency_2_8":$effMed,"efficiency_2_8_best":$effBest,""" +
+        s""""checksums_match":${a.chk == b.chk}"""
+    }
+    val parts = levels ++ eff.toSeq ++
+      Seq(s""""docs":$nDocs,"timed_runs":$runs,"complete":${eff.isDefined}""")
+    s""""scaling":{${parts.mkString(",")}}"""
+  }
+
   /** Queries per SparkSession during the sweep. One session across the
-    * whole (now 80+) query list accumulates state the queries themselves
+    * whole (now 90+) query list accumulates state the queries themselves
     * release only via GC — localCheckpoint blocks, cached plans,
     * broadcast cleanup backlog — and late-alphabet queries were measured
     * up to 5x slower than the same query alone (round-3 sweep:
@@ -158,6 +180,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
+
+    def emit(json: String): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+      println(json)
+      System.out.flush()
+    }
+
     var spark = session(cpus)
 
     // session warm-up so the first measured query doesn't pay JIT/codegen
@@ -171,17 +201,49 @@ object Bench {
     // Each query is run twice in the same session and BOTH times are
     // reported: the first (cold) run pays plan + whole-stage-codegen +
     // JIT for every generated class the query touches, which for the
-    // deep pipelines (q_fill_enclosed: CCL + stencil + enclosure test)
-    // measured up to 10x the query's steady-state time AND varies with
-    // the query's position relative to the session recycle boundary.
-    // The warm (second) run is the per-query figure of merit — it is
-    // what a long-lived executor JVM on a real cluster runs — while the
-    // cold run keeps compile cost visible instead of hiding it.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // deep pipelines measured up to 10x steady-state AND varies with the
+    // query's position relative to the session recycle boundary. The
+    // warm (second) run is the per-query figure of merit — it is what a
+    // long-lived executor JVM on a real cluster runs — while the cold
+    // run keeps compile cost visible. Under budget pressure (elapsed >
+    // 40% of budget mid-sweep) remaining queries run ONCE and are named
+    // in "queries_once" so consumers know those figures are cold.
+    val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .zipWithIndex
-      .map { case ((name, fn), i) =>
+    val results =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double, Boolean, Boolean)]
+
+    def jsonWith(flagship: Option[String], scaling: Option[String],
+        stages: Seq[String], flagSec: Double = 0.0): String = {
+      val qs = results.collect { case (k, v, _, true, _) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val qsCold = results.map { case (k, _, c, _, _) => "\"" + k + "\":" + c }
+        .mkString("{", ",", "}")
+      val failed = results.collect { case (k, _, _, false, _) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val onceList = results.collect { case (k, _, _, true, false) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val totalWarm = results.collect { case (_, v, _, true, _) => v }.sum
+      val totalCold = results.map(_._3).sum
+      s"""{"metric":"total","value":${totalWarm + flagSec},"unit":"sec","queries":$qs,""" +
+        s""""queries_protocol":"warm_second_run","queries_cold":$qsCold,""" +
+        s""""total_cold":$totalCold,"queries_once":$onceList,""" +
+        s""""failed":$failed,""" +
+        flagship.map(f => f + ",").getOrElse("") +
+        scaling.map(s => s + ",").getOrElse("") +
+        s""""stages_done":[${stages.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""queries_done":${results.size},"queries_total":${toRun.size},""" +
+        s""""elapsed_sec":${"%.1f".format(elapsedSec)},"budget_sec":$budgetSec,""" +
+        s""""sf":"$sfDir"}"""
+    }
+
+    toRun.zipWithIndex.foreach { case ((name, fn), i) =>
       if (i > 0 && i % RecycleEvery == 0) {
+        // PARTIAL CHECKPOINT: the sweep itself is the longest stage — a
+        // kill mid-sweep must still leave every completed query's timing
+        // on record (round 3 shipped nothing because the first byte of
+        // JSON was scheduled after the whole sweep)
+        emit(jsonWith(None, None, Seq("sweep_partial")))
         spark.stop()
         spark = session(cpus)
         warm()
@@ -203,61 +265,65 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val (cold, okCold) = once()
-      val (warmSec, okWarm) = if (okCold) once() else (cold, false)
-      (name, warmSec, cold, okCold && okWarm)
+      val warmRun =
+        if (okCold && elapsedSec < budgetSec * 0.4) Some(once()) else None
+      // (name, figure-of-merit sec, cold sec, ok, figure-is-warm)
+      results += (warmRun match {
+        case Some((w, okW)) => (name, w, cold, okCold && okW, true)
+        case None           => (name, cold, cold, okCold, false)
+      })
     }
 
+    // STAGE CHECKPOINT 1: the sweep alone is already a shippable artifact
+    emit(jsonWith(None, None, Seq("sweep")))
+
     // Flagship throughput in a FRESH fixed-heap child JVM with the warm
-    // protocol (3 warm-ups + 5 timed, median) — measured in this JVM
-    // right after the 80-query sweep, the reading is dominated by the
-    // sweep's accumulated GC/codegen debt (round 3 measured a 9x
-    // distortion), not by the job. Sweep session is stopped first so the
-    // child gets the whole machine.
+    // protocol — measured in this JVM right after the 90-query sweep the
+    // reading is dominated by the sweep's accumulated GC/codegen debt
+    // (round 3 measured a 9x distortion), not by the job. Pre-stage BOTH
+    // fork inputs at full parallelism while the sweep session is alive:
+    // stageInput reuses an existing _SUCCESS path, so the forked children
+    // only read. Without this a wiped /tmp makes the local[2] scaling
+    // child GENERATE the docs on 2 cores — measured past its own kill
+    // deadline.
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000").toLong
-    // Pre-stage BOTH fork inputs at full parallelism while the sweep
-    // session is still alive: stageInput reuses an existing _SUCCESS
-    // path, so the forked children only read. Without this, a wiped /tmp
-    // makes the local[2] scaling child GENERATE 16M docs on 2 cores —
-    // measured past its own 20-minute kill deadline.
-    val scalingDocsPre =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_DOCS", "16000000").toLong
+    val scalingDocs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_DOCS", "8000000").toLong
+    val scalingOn =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") == "1" &&
+        remainSec > 240
     Flagship.stageInput(spark, nDocs)
-    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") == "1")
-      Flagship.stageInput(spark, scalingDocsPre)
+    if (scalingOn) Flagship.stageInput(spark, scalingDocs)
     spark.stop()
-    val flag = forkedLevel(cpus.toInt, nDocs)
-      .getOrElse(inProcessLevel(cpus.toInt, nDocs))
+
+    val flag =
+      if (remainSec > 150)
+        forkedLevel(cpus.toInt, nDocs, warmups = 2, runs = 3,
+          deadlineSec = math.max(90L, (remainSec * 0.3).toLong))
+          .map((_, "forked_warm_median_of_3"))
+          .getOrElse((inProcessLevel(cpus.toInt, nDocs, 1, 2), "inprocess_median_of_2"))
+      else (inProcessLevel(cpus.toInt, nDocs, 1, 2), "inprocess_median_of_2")
+    val flagJson =
+      s""""flagship":{"docs":$nDocs,"sec":${flag._1.med},"best_sec":${flag._1.best},""" +
+        s""""docs_per_sec":${flag._1.dps},"pip_hits":${flag._1.pip},""" +
+        s""""grid_cells":${flag._1.cells},"checksum":${flag._1.chk},""" +
+        s""""protocol":"${flag._2}"}"""
+
+    // STAGE CHECKPOINT 2: sweep + flagship
+    emit(jsonWith(Some(flagJson), None, Seq("sweep", "flagship"), flag._1.med))
 
     // the scaling pair needs enough work per run that fixed stage
     // overheads don't drown the 8-core side (at 2M docs the 8-core run
-    // is ~3 s and efficiency reads artificially low; 16M is BASELINE.md's
-    // measured protocol point)
+    // is ~3 s and efficiency reads artificially low; 8M is round 2's
+    // measured protocol point — 16M was round 3's and helped blow the
+    // driver timeout under load)
     val scaling =
-      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") == "1")
-        Some(scalingBlock(scalingDocsPre))
-      else None
+      if (scalingOn) Some(scalingBlock(scalingDocs, warmups = 2, runs = 3))
+      else Some(s""""scaling":{"complete":false,"skipped":"${
+        if (remainSec <= 240) "budget_exhausted" else "disabled_by_env"}"}""")
 
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val qsCold = results.map { case (k, _, c, _) => "\"" + k + "\":" + c }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.map(_._2).sum + flag.med
-    val totalCold = results.map(_._3).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""queries_protocol":"warm_second_run","queries_cold":$qsCold,""" +
-        s""""total_cold":$totalCold,""" +
-        s""""failed":$failed,""" +
-        s""""flagship":{"docs":$nDocs,"sec":${flag.med},"best_sec":${flag.best},""" +
-        s""""docs_per_sec":${flag.dps},"pip_hits":${flag.pip},""" +
-        s""""grid_cells":${flag.cells},"checksum":${flag.chk},""" +
-        s""""protocol":"forked_warm_median_of_5"},""" +
-        scaling.map(s => s + ",").getOrElse("") +
-        s""""sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
-    println(json)
+    // FINAL: the complete artifact
+    emit(jsonWith(Some(flagJson), scaling, Seq("sweep", "flagship", "scaling"),
+      flag._1.med))
   }
 }

@@ -26,14 +26,18 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    (1 to 3).foreach(_ => Flagship.run(spark, nDocs)) // JIT/codegen warm-up
-    val runs = (1 to 5).map { _ =>
+    // run counts are protocol knobs so the parent bench can trade
+    // precision for wall-clock under a noisy-neighbor load
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "3").toInt
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    (1 to warmups).foreach(_ => Flagship.run(spark, nDocs)) // JIT/codegen warm-up
+    val runs = (1 to nRuns).map { _ =>
       System.gc() // measure the job, not the previous run's garbage
       Flagship.run(spark, nDocs)
     }
-    val med = runs.map(_.seconds).sorted.apply(2)
-    // best-of-5: the noise-robust capability reading — on a shared box
-    // a noisy-neighbor burst can slow 3 of 5 runs and drag the median,
+    val med = runs.map(_.seconds).sorted.apply(nRuns / 2)
+    // best-of-N: the noise-robust capability reading — on a shared box
+    // a noisy-neighbor burst can slow most runs and drag the median,
     // while the fastest run shows what the level can actually sustain
     val best = runs.map(_.seconds).min
     val chk = runs.map(r => (r.gridChecksum, r.keptContentChecksum)).distinct

@@ -43,13 +43,16 @@ object Decontaminate {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
   }
 
-  /** The clean corpus: rows of `corpus` whose overlap with the benchmark
-    * is below `maxShared` distinct shingles (left-anti join on the
-    * flagged ids — one shuffle keyed by doc_id). */
-  def clean(corpus: DataFrame, benchmark: DataFrame, maxShared: Long = 1,
-            text: String = "text"): DataFrame = {
+  /** The clean corpus: rows of `corpus` sharing FEWER than
+    * `minSharedToDrop` distinct shingles with the benchmark survive; a
+    * document is dropped once n_shared >= minSharedToDrop (left-anti
+    * join on the flagged ids — one shuffle keyed by doc_id). The name
+    * states the drop gate directly: with the default 1, ANY overlap
+    * drops the document. */
+  def clean(corpus: DataFrame, benchmark: DataFrame,
+            minSharedToDrop: Long = 1, text: String = "text"): DataFrame = {
     val flagged = overlap(corpus, benchmark, text)
-      .where(col("n_shared") >= maxShared)
+      .where(col("n_shared") >= minSharedToDrop)
       .select("doc_id")
     corpus.join(flagged, Seq("doc_id"), "left_anti")
   }

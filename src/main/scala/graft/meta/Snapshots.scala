@@ -1,6 +1,6 @@
 package graft.meta
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -153,13 +153,28 @@ object Snapshots {
   }
 
   /** Commit a manifest record atomically (temp file + atomic rename). */
+  /** Publish a manifest with CREATE_NEW semantics: two committers that
+    * both derived the same next snapshot id (latest+1) must not silently
+    * last-write-win — on Linux ATOMIC_MOVE replaces an existing target,
+    * which would drop the first committer's snapshot without any error.
+    * A hard link from a unique temp name fails atomically with
+    * FileAlreadyExistsException if the id is already taken, so the losing
+    * committer gets an exception (Iceberg's optimistic-commit conflict)
+    * instead of a lost update. */
   private def writeManifest(root: String, m: Manifest): Unit = {
     val dir = manifestDir(root, m.table)
     Files.createDirectories(dir)
-    val tmp = dir.resolve(s".${m.snapshotId}.json.tmp")
+    val tmp = Files.createTempFile(dir, s".${m.snapshotId}-", ".json.tmp")
     Files.write(tmp, fmt(m).getBytes("UTF-8"))
-    Files.move(tmp, dir.resolve(s"${m.snapshotId}.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    val dst = dir.resolve(s"${m.snapshotId}.json")
+    try Files.createLink(dst, tmp)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"concurrent commit conflict: snapshot ${m.snapshotId} of " +
+            s"'${m.table}' was already committed by another writer", e)
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** The per-partition metrics metadata table across all committed
@@ -280,6 +295,17 @@ object Snapshots {
     val keys = source.select(keyCols.map(col): _*).distinct()
       .localCheckpoint(eager = true) // source may be lazily derived; pin
                                      // it so discovery + rewrite agree
+    if (!deleteMatched) {
+      // Iceberg MERGE errors when multiple source rows match one target
+      // key; a duplicate-key source here would silently insert several
+      // rows per key instead. Enforce the same contract (delete mode is
+      // exempt: duplicate keys delete the same rows idempotently).
+      val srcCnt = source.count()
+      val keyCnt = keys.count()
+      require(srcCnt == keyCnt,
+        s"merge: source has duplicate keys ($srcCnt rows but $keyCnt " +
+          s"distinct keys over $keyCols); deduplicate the source first")
+    }
     val touched = target.withColumn("_file", input_file_name())
       .join(keys, keyCols, "left_semi")
       .select("_file").distinct()

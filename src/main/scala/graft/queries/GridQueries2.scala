@@ -165,6 +165,27 @@ object GridQueries2 {
       .orderBy(col("ux"), col("uy"))
   }
 
+  /** Tile-pyramid rollup (§2.7 family, the upward overview dual of the
+    * reference's downward void-fill pyramid): DSM level 0 plus three
+    * overview levels, each parent the max of its up-to-4 children. The
+    * dual chains the same floor-div-2 regrouping; `//` in DuckDB and
+    * shiftright in Spark agree on non-negative coords. */
+  val q_tile_pyramid: QueryDef = QueryDef.sqlChecked(
+    "q_tile_pyramid",
+    s"""WITH ${Gridding.splatCte},
+       |l0 AS (SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy),
+       |l1 AS (SELECT gx // 2 AS gx, gy // 2 AS gy, max(v) AS v FROM l0 GROUP BY 1, 2),
+       |l2 AS (SELECT gx // 2 AS gx, gy // 2 AS gy, max(v) AS v FROM l1 GROUP BY 1, 2),
+       |l3 AS (SELECT gx // 2 AS gx, gy // 2 AS gy, max(v) AS v FROM l2 GROUP BY 1, 2)
+       |SELECT 0 AS level, gx, gy, CAST(v AS INT) AS v FROM l0
+       |UNION ALL SELECT 1, gx, gy, CAST(v AS INT) FROM l1
+       |UNION ALL SELECT 2, gx, gy, CAST(v AS INT) FROM l2
+       |UNION ALL SELECT 3, gx, gy, CAST(v AS INT) FROM l3
+       |ORDER BY level, gx, gy""".stripMargin) { (s, dir) =>
+    graft.grid.Pyramid.rollup(Gridding.dsm(docsPts(s, dir)), levels = 3)
+      .orderBy(col("level"), col("gx"), col("gy"))
+  }
+
   /** §2.12 streaming tile aggregation, batch-interpreted: the SAME
     * `StreamOps.tileMax` operator body (splat -> watermark ->
     * window(ts) x cell max) run over the doc cloud with a
@@ -196,5 +217,5 @@ object GridQueries2 {
 
   val all: Seq[QueryDef] =
     Seq(q_intensity_grid, q_minagl_grid, q_minagl_filtered, q_upsample,
-      q_tile_window)
+      q_tile_pyramid, q_tile_window)
 }

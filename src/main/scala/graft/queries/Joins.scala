@@ -214,11 +214,22 @@ object Joins {
       .select(col("user_id"), col("view_id"), col("click_id"),
         (col("cts").cast("double") - col("vts").cast("double")).as("lag_sec"))
     s.catalog.dropTempView("stream_join_out")
-    val q = joined.writeStream.outputMode("append").format("memory")
-      .queryName("stream_join_out")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    // a stream-stream join runs FOUR state stores per shuffle partition
+    // (left/right x keyToNumValues/keyWithIndexToValue), each paying a
+    // per-micro-batch snapshot+commit regardless of row count — at smoke
+    // scale that fixed cost dominated the query (21.9 s of the round-3
+    // sweep at 32 partitions). Scope the partition count to the
+    // streaming run and restore after; on a real cluster this knob is
+    // sized to executors, not left at the session default.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName("stream_join_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table("stream_join_out")
       .orderBy(col("user_id"), col("view_id"), col("click_id"))
   }

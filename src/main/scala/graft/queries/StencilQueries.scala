@@ -45,6 +45,54 @@ object StencilQueries {
       .orderBy(col("gx"), col("gy"))
   }
 
+  /** Horn 3x3 slope (L1 gradient magnitude) over the DSM — integer
+    * weights so both engines stay in exact arithmetic. The dual's inner
+    * join + count(*) = 8 enforces the kernel's full-support rule (all 8
+    * neighbors occupied and in-bounds; dsm cells are in-bounds by
+    * construction), and flat cells are filtered on both sides because 0
+    * is the sparse table's void encoding. */
+  val q_slope_horn: QueryDef = QueryDef.sqlChecked(
+    "q_slope_horn",
+    s"""WITH ${Gridding.splatCte(spec)},
+       |dsm AS (SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy),
+       |nb AS (SELECT d.gx, d.gy,
+       |  sum((CASE WHEN o.dx = 1 THEN 1 WHEN o.dx = -1 THEN -1 ELSE 0 END)
+       |      * (CASE WHEN o.dy = 0 THEN 2 ELSE 1 END) * n.v) AS gxs,
+       |  sum((CASE WHEN o.dy = 1 THEN 1 WHEN o.dy = -1 THEN -1 ELSE 0 END)
+       |      * (CASE WHEN o.dx = 0 THEN 2 ELSE 1 END) * n.v) AS gys,
+       |  count(*) AS nn
+       |  FROM dsm d CROSS JOIN $offsets8
+       |  JOIN dsm n ON n.gx = d.gx + o.dx AND n.gy = d.gy + o.dy
+       |  GROUP BY d.gx, d.gy)
+       |SELECT gx, gy, CAST(abs(gxs) + abs(gys) AS INT) AS v FROM nb
+       |WHERE nn = 8 AND abs(gxs) + abs(gys) <> 0
+       |ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+    TileStencil(dsm10(s, dir), Kernels.HornGradient, bounds, tileSize = 8)
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** D8 aspect / flow direction: index of the strictly-lowest neighbor
+    * (ties to the smallest index), full support required, local
+    * minima/flats void. The dual reproduces the argmin + tie-break as
+    * min(idx) over the rows attaining the group min. */
+  val q_aspect_d8: QueryDef = QueryDef.sqlChecked(
+    "q_aspect_d8",
+    s"""WITH ${Gridding.splatCte(spec)},
+       |dsm AS (SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy),
+       |nb AS (SELECT d.gx, d.gy, d.v, n.v AS nv, o.idx
+       |  FROM dsm d CROSS JOIN (VALUES (-1,-1,1), (-1,0,2), (-1,1,3),
+       |    (0,-1,4), (0,1,5), (1,-1,6), (1,0,7), (1,1,8)) o(dx, dy, idx)
+       |  JOIN dsm n ON n.gx = d.gx + o.dx AND n.gy = d.gy + o.dy),
+       |ag AS (SELECT gx, gy, count(*) AS nn, min(nv) AS mn, any_value(v) AS v
+       |  FROM nb GROUP BY gx, gy)
+       |SELECT a.gx, a.gy, CAST(min(b.idx) AS INT) AS v
+       |FROM ag a JOIN nb b ON b.gx = a.gx AND b.gy = a.gy AND b.nv = a.mn
+       |WHERE a.nn = 8 AND a.mn < a.v
+       |GROUP BY a.gx, a.gy ORDER BY a.gx, a.gy""".stripMargin) { (s, dir) =>
+    TileStencil(dsm10(s, dir), Kernels.AspectD8, bounds, tileSize = 8)
+      .orderBy(col("gx"), col("gy"))
+  }
+
   /** Morphological opening (W4 erosion then W5 dilation, r=1, dz=0) —
     * the DTM0 ground-surface primitive. */
   val q_morph_open: QueryDef = QueryDef.sqlChecked(
@@ -261,6 +309,7 @@ object StencilQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(q_edge_filter, q_morph_open, q_mask_open, q_fill_voids, q_fill_pyramid,
-      q_well_filter, q_spike_filter, q_tree_filter)
+    Seq(q_edge_filter, q_slope_horn, q_aspect_d8, q_morph_open, q_mask_open,
+      q_fill_voids, q_fill_pyramid, q_well_filter, q_spike_filter,
+      q_tree_filter)
 }

@@ -362,6 +362,61 @@ object Kernels {
     }
   }
 
+  /** Horn 3x3 gradient magnitude (L1) over the quantized DSM — the
+    * classic slope operator every DSM product family ships next to the
+    * reference's dzdx/dzdy boundary gradients (pubgeo `shr3d.cpp`
+    * computes first differences for W13; Horn 1981 is the 8-neighbor
+    * generalization). Integer throughout: gx = (ne+2e+se)-(nw+2w+sw),
+    * gy = (sw+2s+se)-(nw+2n+ne), out = |gx|+|gy|. Cells missing any of
+    * the 8 neighbors (image border or void) are voided — the operator
+    * reports slope only where the full stencil support exists, the same
+    * convention a production slope raster uses for nodata. Flat cells
+    * (|gx|+|gy| = 0) void too (0 IS the void encoding of the sparse
+    * table); the oracle applies the same filter. */
+  case object HornGradient extends Kernel {
+    val radius = 1
+    def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
+      if (get(x, y) == 0) return 0
+      if (x - 1 < 0 || x + 1 >= w || y - 1 < 0 || y + 1 >= h) return 0
+      val nw = get(x - 1, y - 1); val n = get(x, y - 1); val ne = get(x + 1, y - 1)
+      val wv = get(x - 1, y); val ev = get(x + 1, y)
+      val sw = get(x - 1, y + 1); val s = get(x, y + 1); val se = get(x + 1, y + 1)
+      if (nw == 0 || n == 0 || ne == 0 || wv == 0 || ev == 0 ||
+        sw == 0 || s == 0 || se == 0) return 0
+      val gx = (ne + 2 * ev + se) - (nw + 2 * wv + sw)
+      val gy = (sw + 2 * s + se) - (nw + 2 * n + ne)
+      math.abs(gx) + math.abs(gy)
+    }
+  }
+
+  /** Aspect as steepest-descent direction: the 1-based index (in the
+    * fixed (dx,dy) enumeration below — row-major, center skipped) of the
+    * strictly-lowest 8-neighbor, ties to the smallest index. Same
+    * full-support convention as [[HornGradient]]; cells that are local
+    * minima or flat (no neighbor strictly below) void — a drainage /
+    * flow-direction primitive (D8, O'Callaghan & Mark 1984). */
+  case object AspectD8 extends Kernel {
+    val radius = 1
+    final val Offsets: Seq[(Int, Int)] =
+      Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
+    def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
+      val me = get(x, y)
+      if (me == 0) return 0
+      if (x - 1 < 0 || x + 1 >= w || y - 1 < 0 || y + 1 >= h) return 0
+      var bestIdx = 0
+      var bestV = me
+      var i = 0
+      while (i < 8) {
+        val (dx, dy) = Offsets(i)
+        val v = get(x + dx, y + dy)
+        if (v == 0) return 0 // full support required
+        if (v < bestV) { bestV = v; bestIdx = i + 1 }
+        i += 1
+      }
+      bestIdx
+    }
+  }
+
   /** W8 tree filter over var = DSM - MIN (pubgeo `shr3d.cpp:140-164`):
     * void the cell if its var is <= maxTree but no 3x3 neighbor's var is
     * below the dz threshold (vegetation canopy detector). Voids not

@@ -147,7 +147,14 @@ object TextOps {
   final val PiiPatterns: Seq[String] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", // email
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", // ipv4
-    "\\+?[0-9][0-9()\\- ]{6,}[0-9]") // phone-like digit runs
+    // phone-like: 7-15 ACTUAL digits with at most two ()- or space
+    // separators between consecutive digits. The digit-count bound (vs
+    // the earlier unbounded [0-9()\- ]{6,} run) stops it from eating
+    // whole numeric tables and long ID/serial runs; separator-joined
+    // dates (2026-08-18 has 8 digits) still match — an intentional
+    // removal-direction bias for a scrub pass, where over-redacting a
+    // date is cheaper than leaking a phone number.
+    "\\+?[0-9](?:[()\\- ]{0,2}[0-9]){6,14}")
   final val PiiToken = "<PII>"
 
   /** Redact emails, IPv4 addresses, and phone-like digit runs to

@@ -43,7 +43,7 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(2L))
     // threshold: requiring >= 2 shared shingles spares the 1-gram doc
-    val kept2 = Decontaminate.clean(corpus, bench, maxShared = 2)
+    val kept2 = Decontaminate.clean(corpus, bench, minSharedToDrop = 2)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept2 == Set(2L, 3L))
   }

@@ -111,6 +111,25 @@ class MetaSpec extends SparkSpec {
     assert(Snapshots.read(spark, Snapshots.at(root, "mg", 0).get).count() == 100)
   }
 
+  test("merge: duplicate-key upsert source is rejected; delete mode exempt") {
+    import spark.implicits._
+    val root = tmpRoot
+    Snapshots.commit(
+      spark.range(10).select(col("id").as("k"), col("id").as("v")),
+      root, "mgu", "v1")
+    // Iceberg MERGE contract: multiple source rows per key is an error in
+    // upsert mode (it would insert several rows per key)...
+    val dup = Seq((1L, -1L), (1L, -2L), (4L, -3L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.merge(spark, root, "mgu", dup, Seq("k"))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+    // ...while delete mode is idempotent per key, so duplicates are fine
+    val m1 = Snapshots.merge(spark, root, "mgu",
+      Seq(1L, 1L, 4L).toDF("k"), Seq("k"), deleteMatched = true)
+    assert(m1.rows == 8)
+  }
+
   test("merge: delete mode drops matched keys only; key-only source ok") {
     import spark.implicits._
     val root = tmpRoot

@@ -106,4 +106,43 @@ class PyramidSpec extends SparkSpec {
     val cells = for (y <- 0L until 8; x <- 0L until 8) yield (x, y, (10 + x * y).toInt)
     runBoth(cells.toSeq, 8, 8, noSmoothing = false, 32)
   }
+
+  test("rollup: overview levels match brute force for max, min, and sum") {
+    import graft.grid.Pyramid
+    import org.apache.spark.sql.functions.{min => fmin, sum => fsum}
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val cells = (for (y <- 0L until 23; x <- 0L until 37; if r.nextDouble() < 0.4)
+      yield (x, y, 1 + r.nextInt(9999))).toSeq
+    def brute(op: Seq[Int] => Int): Map[(Int, Long, Long), Int] = {
+      var lvl = cells.map { case (x, y, v) => (x, y) -> v }.toMap
+      var out = lvl.map { case ((x, y), v) => (0, x, y) -> v }
+      for (k <- 1 to 3) {
+        lvl = lvl.groupBy { case ((x, y), _) => (x / 2, y / 2) }
+          .map { case (p, vs) => p -> op(vs.values.toSeq) }
+        out ++= lvl.map { case ((x, y), v) => (k, x, y) -> v }
+      }
+      out
+    }
+    type Agg = org.apache.spark.sql.Column => org.apache.spark.sql.Column
+    for ((aggCol, op) <- Seq[(Agg, Seq[Int] => Int)](
+        (c => org.apache.spark.sql.functions.max(c), s => s.max),
+        (c => fmin(c), s => s.min),
+        (c => fsum(c), s => s.sum))) {
+      val got = Pyramid.rollup(cells.toDF("gx", "gy", "v"), 3, aggCol)
+        .collect()
+        .map(r0 => (r0.getInt(0), r0.getLong(1), r0.getLong(2)) -> r0.getInt(3))
+        .toMap
+      assert(got == brute(op))
+    }
+  }
+
+  test("rollup: level 0 is the input verbatim and levels shrink geometrically") {
+    import graft.grid.Pyramid
+    import spark.implicits._
+    val cells = for (y <- 0L until 16; x <- 0L until 16) yield (x, y, (1 + x + 16 * y).toInt)
+    val got = Pyramid.rollup(cells.toDF("gx", "gy", "v"), 4)
+    val byLevel = got.collect().groupBy(_.getInt(0)).view.mapValues(_.length).toMap
+    assert(byLevel == Map(0 -> 256, 1 -> 64, 2 -> 16, 3 -> 4, 4 -> 1))
+  }
 }

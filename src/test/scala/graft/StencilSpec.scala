@@ -38,7 +38,9 @@ class StencilSpec extends SparkSpec {
     "edge" -> Kernels.EdgeFilter(5000),
     "well" -> Kernels.WellFilter(1000),
     "spike" -> Kernels.SpikeFilter(1000),
-    "tree" -> Kernels.TreeFilter(30000, 1500))
+    "tree" -> Kernels.TreeFilter(30000, 1500),
+    "horn" -> Kernels.HornGradient,
+    "aspect_d8" -> Kernels.AspectD8)
 
   for ((name, k) <- kernels; density <- Seq(0.25, 0.9); tile <- Seq(7, 16, 128)) {
     test(s"$name == dense (density=$density, tile=$tile)") {
