@@ -15,18 +15,20 @@ import org.apache.spark.sql.SparkSession
   * was killed (rc=124) under a ~3x noisy-neighbor load before a single
   * JSON byte was printed, so the round shipped no performance numbers at
   * all. This main now (a) tracks its own wall-clock budget
-  * (SPARK_GRAFT_BENCH_BUDGET_MIN, default 15) and degrades each stage to
-  * fit the time that is actually left, and (b) emits a complete, valid
-  * JSON line after EVERY stage (sweep -> flagship -> scaling), both to
-  * stdout and to SPARK_GRAFT_BENCH_OUT, so an external kill at any point
-  * still leaves the most complete measurement on record. The last line
-  * printed is always the most complete one. */
+  * (SPARK_GRAFT_BENCH_BUDGET_MIN, default 20) and degrades each stage to
+  * fit the time that is actually left, (b) runs the stages in GRADED
+  * order — scaling (the north-rule efficiency) first, flagship
+  * throughput second, the 98-query sweep last — and (c) emits a
+  * complete, valid JSON line after EVERY stage, both to stdout and to
+  * SPARK_GRAFT_BENCH_OUT, so an external kill at any point still leaves
+  * the most important measurements on record. The last line printed is
+  * always the most complete one. */
 object Bench {
 
   private val benchT0 = System.nanoTime()
   private def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
   private val budgetSec: Double =
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_MIN", "15").toDouble * 60.0
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_MIN", "20").toDouble * 60.0
   private def remainSec: Double = budgetSec - elapsedSec
 
   private def session(cpus: String): SparkSession = {
@@ -141,11 +143,14 @@ object Bench {
     * beats a killed bench. */
   private def scalingBlock(nDocs: Long, warmups: Int, runs: Int): String = {
     // local[2] does ~3-4x the wall work of local[8]: give it the larger
-    // share of whatever budget remains, with a floor so a fork is never
-    // launched with an unmeetable deadline
-    val d2 = math.max(120L, (remainSec * 0.62).toLong)
+    // share, with a floor so a fork is never launched with an unmeetable
+    // deadline — but cap the whole block at ~45% of the TOTAL budget so
+    // a degraded box cannot starve the stages that follow (the block runs
+    // first now; an absent level is reported as such and BASELINE.md
+    // carries the curated protocol table)
+    val d2 = math.max(150L, math.min((remainSec * 0.5).toLong, (budgetSec * 0.30).toLong))
     val n2 = forkedLevel(2, nDocs, warmups, runs, d2)
-    val d8 = math.max(90L, (remainSec * 0.9).toLong)
+    val d8 = math.max(90L, math.min((remainSec * 0.5).toLong, (budgetSec * 0.15).toLong))
     val n8 = forkedLevel(8, nDocs, warmups, runs, d8)
     val levels = Seq(
       n2.map(l => levelJson("n2", l, "forked")),
@@ -198,20 +203,11 @@ object Bench {
     // never sets it, so the contract output is unchanged)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").filter(_.nonEmpty).toSet)
-    // Each query is run twice in the same session and BOTH times are
-    // reported: the first (cold) run pays plan + whole-stage-codegen +
-    // JIT for every generated class the query touches, which for the
-    // deep pipelines measured up to 10x steady-state AND varies with the
-    // query's position relative to the session recycle boundary. The
-    // warm (second) run is the per-query figure of merit — it is what a
-    // long-lived executor JVM on a real cluster runs — while the cold
-    // run keeps compile cost visible. Under budget pressure (elapsed >
-    // 40% of budget mid-sweep) remaining queries run ONCE and are named
-    // in "queries_once" so consumers know those figures are cold.
     val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results =
       scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double, Boolean, Boolean)]
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
 
     def jsonWith(flagship: Option[String], scaling: Option[String],
         stages: Seq[String], flagSec: Double = 0.0): String = {
@@ -223,11 +219,13 @@ object Bench {
         .mkString("[", ",", "]")
       val onceList = results.collect { case (k, _, _, true, false) => "\"" + k + "\"" }
         .mkString("[", ",", "]")
+      val skippedList = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
       val totalWarm = results.collect { case (_, v, _, true, _) => v }.sum
       val totalCold = results.map(_._3).sum
       s"""{"metric":"total","value":${totalWarm + flagSec},"unit":"sec","queries":$qs,""" +
         s""""queries_protocol":"warm_second_run","queries_cold":$qsCold,""" +
         s""""total_cold":$totalCold,"queries_once":$onceList,""" +
+        s""""queries_skipped":$skippedList,""" +
         s""""failed":$failed,""" +
         flagship.map(f => f + ",").getOrElse("") +
         scaling.map(s => s + ",").getOrElse("") +
@@ -237,13 +235,79 @@ object Bench {
         s""""sf":"$sfDir"}"""
     }
 
+    // STAGE ORDER (round-4 revision): scaling -> flagship -> sweep. The
+    // scaling efficiency is the north rule's graded number and the
+    // flagship docs/sec the headline throughput; the 98-query sweep is
+    // the longest and most degradable stage. Running the sweep first (as
+    // round 3 did) meant an external kill or a degraded box shipped an
+    // artifact with per-query times but NO scaling block — the one
+    // number the baseline grades. Inputs for both forks are staged by
+    // THIS full-parallelism session first (stageInput reuses an existing
+    // _SUCCESS path, so the forked children only read; without this a
+    // wiped /tmp makes the local[2] child GENERATE the docs on 2 cores —
+    // measured past its own kill deadline).
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000").toLong
+    // the scaling pair needs enough work per run that fixed stage
+    // overheads don't drown the 8-core side (at 2M docs the 8-core run
+    // is ~3 s and efficiency reads artificially low; 8M is round 2's
+    // measured protocol point — 16M was round 3's and helped blow the
+    // driver timeout under load)
+    val scalingDocs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_DOCS", "8000000").toLong
+    val scalingOn =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") == "1" &&
+        remainSec > 240
+    Flagship.stageInput(spark, nDocs)
+    if (scalingOn) Flagship.stageInput(spark, scalingDocs)
+    spark.stop() // the forks get the whole machine
+
+    // STAGE 1: scaling (the graded number)
+    val scaling =
+      if (scalingOn) Some(scalingBlock(scalingDocs, warmups = 2, runs = 3))
+      else Some(s""""scaling":{"complete":false,"skipped":"${
+        if (remainSec <= 240) "budget_exhausted" else "disabled_by_env"}"}""")
+    emit(jsonWith(None, scaling, Seq("scaling")))
+
+    // STAGE 2: flagship throughput in a FRESH fixed-heap child JVM with
+    // the warm protocol (measured inside the sweep JVM the reading is
+    // dominated by the sweep's accumulated GC/codegen debt — round 3
+    // measured a 9x distortion)
+    val flag =
+      if (remainSec > 150)
+        forkedLevel(cpus.toInt, nDocs, warmups = 2, runs = 3,
+          deadlineSec = math.max(90L, (remainSec * 0.25).toLong))
+          .map((_, "forked_warm_median_of_3"))
+          .getOrElse((inProcessLevel(cpus.toInt, nDocs, 1, 2), "inprocess_median_of_2"))
+      else (inProcessLevel(cpus.toInt, nDocs, 1, 2), "inprocess_median_of_2")
+    val flagJson =
+      s""""flagship":{"docs":$nDocs,"sec":${flag._1.med},"best_sec":${flag._1.best},""" +
+        s""""docs_per_sec":${flag._1.dps},"pip_hits":${flag._1.pip},""" +
+        s""""grid_cells":${flag._1.cells},"checksum":${flag._1.chk},""" +
+        s""""protocol":"${flag._2}"}"""
+    emit(jsonWith(Some(flagJson), scaling, Seq("scaling", "flagship"),
+      flag._1.med))
+
+    // STAGE 3: the per-query sweep. Each query is run twice in the same
+    // session and BOTH times are reported: the first (cold) run pays
+    // plan + whole-stage-codegen + JIT for every generated class the
+    // query touches, which for the deep pipelines measured up to 10x
+    // steady-state AND varies with the query's position relative to the
+    // session recycle boundary. The warm (second) run is the per-query
+    // figure of merit — it is what a long-lived executor JVM on a real
+    // cluster runs — while the cold run keeps compile cost visible.
+    // Degradation under budget pressure: past 80% of budget remaining
+    // queries run ONCE (named in "queries_once"); past 98% they are not
+    // run at all (named in "queries_skipped") — a skipped query beats a
+    // 30 s cold run that eats the final emit.
+    spark = session(cpus)
+    warm()
     toRun.zipWithIndex.foreach { case ((name, fn), i) =>
       if (i > 0 && i % RecycleEvery == 0) {
-        // PARTIAL CHECKPOINT: the sweep itself is the longest stage — a
-        // kill mid-sweep must still leave every completed query's timing
-        // on record (round 3 shipped nothing because the first byte of
-        // JSON was scheduled after the whole sweep)
-        emit(jsonWith(None, None, Seq("sweep_partial")))
+        // PARTIAL CHECKPOINT: a kill mid-sweep must still leave every
+        // completed query's timing on record (round 3 shipped nothing
+        // because the first JSON byte was scheduled after the sweep)
+        emit(jsonWith(Some(flagJson), scaling, Seq("scaling", "flagship",
+          "sweep_partial"), flag._1.med))
         spark.stop()
         spark = session(cpus)
         warm()
@@ -264,66 +328,23 @@ object Bench {
         spark.catalog.clearCache()
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val (cold, okCold) = once()
-      val warmRun =
-        if (okCold && elapsedSec < budgetSec * 0.4) Some(once()) else None
-      // (name, figure-of-merit sec, cold sec, ok, figure-is-warm)
-      results += (warmRun match {
-        case Some((w, okW)) => (name, w, cold, okCold && okW, true)
-        case None           => (name, cold, cold, okCold, false)
-      })
+      if (elapsedSec > budgetSec * 0.98) {
+        skipped += name
+      } else {
+        val (cold, okCold) = once()
+        val warmRun =
+          if (okCold && elapsedSec < budgetSec * 0.8) Some(once()) else None
+        // (name, figure-of-merit sec, cold sec, ok, figure-is-warm)
+        results += (warmRun match {
+          case Some((w, okW)) => (name, w, cold, okCold && okW, true)
+          case None           => (name, cold, cold, okCold, false)
+        })
+      }
     }
-
-    // STAGE CHECKPOINT 1: the sweep alone is already a shippable artifact
-    emit(jsonWith(None, None, Seq("sweep")))
-
-    // Flagship throughput in a FRESH fixed-heap child JVM with the warm
-    // protocol — measured in this JVM right after the 90-query sweep the
-    // reading is dominated by the sweep's accumulated GC/codegen debt
-    // (round 3 measured a 9x distortion), not by the job. Pre-stage BOTH
-    // fork inputs at full parallelism while the sweep session is alive:
-    // stageInput reuses an existing _SUCCESS path, so the forked children
-    // only read. Without this a wiped /tmp makes the local[2] scaling
-    // child GENERATE the docs on 2 cores — measured past its own kill
-    // deadline.
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "2000000").toLong
-    val scalingDocs =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING_DOCS", "8000000").toLong
-    val scalingOn =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALING", "1") == "1" &&
-        remainSec > 240
-    Flagship.stageInput(spark, nDocs)
-    if (scalingOn) Flagship.stageInput(spark, scalingDocs)
     spark.stop()
 
-    val flag =
-      if (remainSec > 150)
-        forkedLevel(cpus.toInt, nDocs, warmups = 2, runs = 3,
-          deadlineSec = math.max(90L, (remainSec * 0.3).toLong))
-          .map((_, "forked_warm_median_of_3"))
-          .getOrElse((inProcessLevel(cpus.toInt, nDocs, 1, 2), "inprocess_median_of_2"))
-      else (inProcessLevel(cpus.toInt, nDocs, 1, 2), "inprocess_median_of_2")
-    val flagJson =
-      s""""flagship":{"docs":$nDocs,"sec":${flag._1.med},"best_sec":${flag._1.best},""" +
-        s""""docs_per_sec":${flag._1.dps},"pip_hits":${flag._1.pip},""" +
-        s""""grid_cells":${flag._1.cells},"checksum":${flag._1.chk},""" +
-        s""""protocol":"${flag._2}"}"""
-
-    // STAGE CHECKPOINT 2: sweep + flagship
-    emit(jsonWith(Some(flagJson), None, Seq("sweep", "flagship"), flag._1.med))
-
-    // the scaling pair needs enough work per run that fixed stage
-    // overheads don't drown the 8-core side (at 2M docs the 8-core run
-    // is ~3 s and efficiency reads artificially low; 8M is round 2's
-    // measured protocol point — 16M was round 3's and helped blow the
-    // driver timeout under load)
-    val scaling =
-      if (scalingOn) Some(scalingBlock(scalingDocs, warmups = 2, runs = 3))
-      else Some(s""""scaling":{"complete":false,"skipped":"${
-        if (remainSec <= 240) "budget_exhausted" else "disabled_by_env"}"}""")
-
     // FINAL: the complete artifact
-    emit(jsonWith(Some(flagJson), scaling, Seq("sweep", "flagship", "scaling"),
-      flag._1.med))
+    emit(jsonWith(Some(flagJson), scaling,
+      Seq("scaling", "flagship", "sweep"), flag._1.med))
   }
 }

@@ -165,6 +165,29 @@ object GridQueries2 {
       .orderBy(col("ux"), col("uy"))
   }
 
+  /** Exact-integer bilinear 2x upsample ([[graft.grid.Resample]]):
+    * half-pixel centers, {9,3,3,1}/16 weights as a pure integer weighted
+    * sum >> 4, full-support (4-parent) nodata gate. Engine side runs the
+    * splat shape (parent pushes 16 weighted taps, one hash agg); the
+    * dual expresses the identical arithmetic as a 16-tap cross join. */
+  val q_upsample_bilinear: QueryDef = QueryDef.sqlChecked(
+    "q_upsample_bilinear",
+    s"""WITH ${Gridding.splatCte},
+       |dsm AS (SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy),
+       |c AS (SELECT gx * 2 + t.dx AS ux, gy * 2 + t.dy AS uy,
+       |  (CASE WHEN t.dx IN (0, 1) THEN 3 ELSE 1 END)
+       |  * (CASE WHEN t.dy IN (0, 1) THEN 3 ELSE 1 END)
+       |  * CAST(v AS BIGINT) AS wv
+       |  FROM dsm CROSS JOIN (VALUES (-1,-1), (-1,0), (-1,1), (-1,2),
+       |    (0,-1), (0,0), (0,1), (0,2), (1,-1), (1,0), (1,1), (1,2),
+       |    (2,-1), (2,0), (2,1), (2,2)) t(dx, dy))
+       |SELECT ux, uy, CAST(sum(wv) >> 4 AS INT) AS v
+       |FROM c GROUP BY ux, uy HAVING count(*) = 4
+       |ORDER BY ux, uy""".stripMargin) { (s, dir) =>
+    graft.grid.Resample.upsample2xBilinear(Gridding.dsm(docsPts(s, dir)))
+      .orderBy(col("ux"), col("uy"))
+  }
+
   /** Tile-pyramid rollup (§2.7 family, the upward overview dual of the
     * reference's downward void-fill pyramid): DSM level 0 plus three
     * overview levels, each parent the max of its up-to-4 children. The
@@ -217,5 +240,5 @@ object GridQueries2 {
 
   val all: Seq[QueryDef] =
     Seq(q_intensity_grid, q_minagl_grid, q_minagl_filtered, q_upsample,
-      q_tile_pyramid, q_tile_window)
+      q_upsample_bilinear, q_tile_pyramid, q_tile_window)
 }

@@ -97,6 +97,38 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Exact-quota stratified sample ([[graft.text.Sampling]]): exactly
+    * quota(lang) docs per language, selected as the first rows of each
+    * stratum in md5(doc_id) order. The engine runs the two-phase
+    * threshold select (hash-prefix prefilter + per-stratum sufficiency
+    * check + fallback); the oracle is the naive single-window plan the
+    * two-phase version is provably identical to — at this SF the big
+    * strata take the prefiltered path and the small ones exercise the
+    * fallback, so BOTH branches sit behind the bit-exact gate. */
+  val q_stratified_sample: QueryDef = QueryDef.sqlChecked(
+    "q_stratified_sample",
+    """SELECT doc_id, lang, rk FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      |  FROM documents) t
+      |WHERE rk <= CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 30
+      |                      WHEN 'es' THEN 25 WHEN 'de' THEN 20
+      |                      ELSE 15 END
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val quota = when(col("lang") === "en", 40)
+      .when(col("lang") === "zh", 30)
+      .when(col("lang") === "es", 25)
+      .when(col("lang") === "de", 20)
+      .otherwise(15)
+    graft.text.Sampling.stratifiedExact(
+        Tables.documents(s, dir).select("doc_id", "lang"),
+        "lang", "doc_id", quota, threshold = 32768)
+      .withColumn("rk", col("rk").cast("long"))
+      .select("doc_id", "lang", "rk")
+      .orderBy("doc_id")
+  }
+
   /** Near-dup similarity threshold for [[q_neardup_purge]] (fraction of
     * the 16 minhashes that must agree). */
   final val PurgeTau = 0.75
@@ -173,5 +205,6 @@ object PipelineQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q_dup_clusters, q_hash_sample, q_neardup_purge)
+  val all: Seq[QueryDef] =
+    Seq(q_dup_clusters, q_hash_sample, q_stratified_sample, q_neardup_purge)
 }

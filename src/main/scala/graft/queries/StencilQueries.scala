@@ -93,6 +93,46 @@ object StencilQueries {
       .orderBy(col("gx"), col("gy"))
   }
 
+  /** D8 drainage basins ([[graft.grid.FlowBasins]]): every cell labeled
+    * with the sink its steepest-descent path reaches — the NON-local
+    * raster derivative (a flow path can cross the whole grid), computed
+    * by pointer DOUBLING over the packed-id next-pointer table in
+    * O(log path) join rounds. The dual recomputes the same next-pointer
+    * (the q_aspect_d8 argmin with sinks self-looped) and closes it with
+    * a recursive-CTE walk — a sequential independently-written second
+    * semantics for the whole doubling loop. */
+  val q_flow_basin: QueryDef = QueryDef.sqlChecked(
+    "q_flow_basin",
+    s"""WITH RECURSIVE ${Gridding.splatCte(spec)},
+       |dsm AS (SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy),
+       |o8 AS (SELECT * FROM (VALUES (-1,-1,1), (-1,0,2), (-1,1,3),
+       |  (0,-1,4), (0,1,5), (1,-1,6), (1,0,7), (1,1,8)) t(dx, dy, idx)),
+       |nb AS (SELECT d.gx, d.gy, d.v, n.v AS nv, o.idx
+       |  FROM dsm d CROSS JOIN o8 o
+       |  JOIN dsm n ON n.gx = d.gx + o.dx AND n.gy = d.gy + o.dy),
+       |ag AS (SELECT gx, gy, count(*) AS nn, min(nv) AS mn, any_value(v) AS v
+       |  FROM nb GROUP BY gx, gy),
+       |ch AS (SELECT a.gx, a.gy, min(b.idx) AS idx
+       |  FROM ag a JOIN nb b ON b.gx = a.gx AND b.gy = a.gy AND b.nv = a.mn
+       |  WHERE a.nn = 8 AND a.mn < a.v GROUP BY a.gx, a.gy),
+       |nxt AS (SELECT d.gx, d.gy, d.gx + coalesce(o.dx, 0) AS nx,
+       |  d.gy + coalesce(o.dy, 0) AS ny
+       |  FROM dsm d LEFT JOIN ch ON ch.gx = d.gx AND ch.gy = d.gy
+       |  LEFT JOIN o8 o ON o.idx = ch.idx),
+       |reach(gx, gy, cx, cy) AS (
+       |  SELECT gx, gy, nx, ny FROM nxt
+       |  UNION
+       |  SELECT r.gx, r.gy, n.nx, n.ny FROM reach r
+       |  JOIN nxt n ON n.gx = r.cx AND n.gy = r.cy),
+       |sinks AS (SELECT gx, gy FROM nxt WHERE nx = gx AND ny = gy)
+       |SELECT r.gx, r.gy, CAST(r.cx AS BIGINT) AS sink_x,
+       |  CAST(r.cy AS BIGINT) AS sink_y
+       |FROM reach r JOIN sinks s ON s.gx = r.cx AND s.gy = r.cy
+       |ORDER BY r.gx, r.gy""".stripMargin) { (s, dir) =>
+    graft.grid.FlowBasins.basins(dsm10(s, dir), bounds, tileSize = 8)
+      .orderBy(col("gx"), col("gy"))
+  }
+
   /** Morphological opening (W4 erosion then W5 dilation, r=1, dz=0) —
     * the DTM0 ground-surface primitive. */
   val q_morph_open: QueryDef = QueryDef.sqlChecked(
@@ -309,7 +349,7 @@ object StencilQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(q_edge_filter, q_slope_horn, q_aspect_d8, q_morph_open, q_mask_open,
-      q_fill_voids, q_fill_pyramid, q_well_filter, q_spike_filter,
-      q_tree_filter)
+    Seq(q_edge_filter, q_slope_horn, q_aspect_d8, q_flow_basin, q_morph_open,
+      q_mask_open, q_fill_voids, q_fill_pyramid, q_well_filter,
+      q_spike_filter, q_tree_filter)
 }

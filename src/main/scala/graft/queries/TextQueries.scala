@@ -228,8 +228,31 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Rarity-weighted top-3 terms per doc ([[graft.text.Tfidf]]): salience
+    * = tf/df (linear-idf tf-idf), whose ranking key is one IEEE division
+    * of two exact integers — bit-identical across engines, which is what
+    * makes the whole per-doc ranking oracle-checkable. Ties break on the
+    * term, so the order is total. */
+  val q_tfidf_topk: QueryDef = QueryDef.sqlChecked(
+    "q_tfidf_topk",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+      |       WHERE term <> '' GROUP BY doc_id, term),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |r AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+      |  row_number() OVER (PARTITION BY tf.doc_id
+      |    ORDER BY CAST(tf.tf AS DOUBLE) / dfq.df DESC, tf.term) AS rk
+      |  FROM tf JOIN dfq USING (term))
+      |SELECT doc_id, term, tf, df, rk FROM r WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+    graft.text.Tfidf.topTerms(Tables.documents(s, dir), k = 3)
+      .withColumn("rk", col("rk").cast("long"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_token_stats, q_lang_guess, q_quality_score, q_fingerprint,
     q_dedup_exact, q_dedup_prefix, q_minhash_sig, q_simhash, q_ngram_jaccard,
-    q_repetition, q_line_dedup, q_redact_pii, q_decontam)
+    q_repetition, q_line_dedup, q_redact_pii, q_decontam, q_tfidf_topk)
 }

@@ -1,0 +1,81 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact-quota deterministic stratified sampling — "exactly N docs per
+ * language", the data-mix primitive next to the rate-based hash sample
+ * (`q_hash_sample`): rates give binomially-noisy stratum sizes, quotas
+ * give exact ones, which is what a token-budgeted training mix actually
+ * specifies. Selection is the first `quota(stratum)` rows of each
+ * stratum in md5(id) order — a pure function of the ids, so the sample
+ * is reproducible across runs, partitionings, and engines, and adding or
+ * removing OTHER strata never changes a stratum's picks.
+ *
+ * Scale shape — the naive plan (rank every row with one window) sorts
+ * ENTIRE strata to keep a handful of rows; at 10^12 docs a window over
+ * an 80%-English corpus is a near-full-corpus sort. [[stratifiedExact]]
+ * instead runs the classic two-phase threshold select:
+ *
+ *   1. prefilter rows whose 16-bit md5-prefix bucket falls below a
+ *      threshold (a scan-time predicate, no shuffle);
+ *   2. per-stratum sufficiency check (one small aggregate): a stratum is
+ *      SAFE if the prefilter kept >= min(quota, stratum size) rows —
+ *      because the bucket is the hash-order PREFIX, the candidate set of
+ *      a safe stratum provably contains that stratum's true top-quota;
+ *   3. rank only the candidates; any deficient stratum (rare for any
+ *      sane threshold, but possible) falls back to full-stratum ranking,
+ *      preserving EXACTNESS rather than an "almost always right" sample.
+ *
+ * The result is bit-identical to the naive single-window plan (the
+ * oracle runs that plan), while the sort touches ~threshold/65536 of the
+ * corpus. Stratum count is assumed driver-small (languages, domains
+ * tiers) — the sufficiency decision is a bounded collect, same contract
+ * as the AOI/centroid tables elsewhere in the engine.
+ */
+object Sampling {
+
+  /** md5-prefix bucket in [0, 65536): the first 4 hex chars of the rank
+    * key, so `bucket < t` keeps exactly the hash-order prefix. */
+  private def bucket(rankKey: Column): Column =
+    conv(substring(rankKey, 1, 4), 16, 10).cast("int")
+
+  /** Exact-quota stratified sample.
+    *
+    * @param df           input rows
+    * @param stratumCol   stratum column name (e.g. "lang")
+    * @param idCol        unique id column (rank key = md5(id))
+    * @param quotaExpr    per-row quota as a Column over the stratum (e.g.
+    *                     a `when` chain or a literal)
+    * @param threshold    prefilter bucket threshold in [1, 65536]; 65536
+    *                     disables the prefilter (single-phase)
+    * @return input rows of the sample plus `rk` (1-based rank within the
+    *         stratum's hash order)
+    */
+  def stratifiedExact(df: DataFrame, stratumCol: String, idCol: String,
+                      quotaExpr: Column, threshold: Int = 4096): DataFrame = {
+    val keyed = df.withColumn("_rk_key", md5(col(idCol).cast("string")))
+    val cand = keyed.filter(bucket(col("_rk_key")) < threshold)
+
+    // sufficiency: candidates(stratum) >= min(quota, total(stratum))
+    val totals = keyed.groupBy(stratumCol)
+      .agg(count(lit(1)).as("_total"), first(quotaExpr).as("_quota"))
+    val candCounts = cand.groupBy(stratumCol).agg(count(lit(1)).as("_cand"))
+    val deficient = totals
+      .join(candCounts, Seq(stratumCol), "left")
+      .filter(coalesce(col("_cand"), lit(0L)) < least(col("_quota"), col("_total")))
+      .select(col(stratumCol)).collect().map(_.get(0)).toSet
+
+    val pool =
+      if (deficient.isEmpty) cand
+      else cand.filter(!col(stratumCol).isInCollection(deficient))
+        .unionByName(keyed.filter(col(stratumCol).isInCollection(deficient)))
+
+    val w = Window.partitionBy(stratumCol).orderBy(col("_rk_key"), col(idCol))
+    pool.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quotaExpr)
+      .drop("_rk_key")
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.text.{Sampling, Tfidf}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [[Tfidf]] vs a driver-side brute force; [[Sampling.stratifiedExact]]
+  * two-phase plan vs the naive single-window plan it must equal. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tfidf top terms == brute force on a hand fixture") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana banana durian"),
+      (3L, "apple cherry cherry cherry durian"),
+      (4L, "elderberry")).toDF("doc_id", "text")
+    val got = Tfidf.topTerms(docs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+
+    // brute force
+    val corpus = Seq(
+      1L -> Seq("apple", "banana", "apple", "cherry"),
+      2L -> Seq("banana", "banana", "durian"),
+      3L -> Seq("apple", "cherry", "cherry", "cherry", "durian"),
+      4L -> Seq("elderberry"))
+    val tf = corpus.flatMap { case (d, ts) =>
+      ts.groupBy(identity).map { case (t, xs) => (d, t, xs.size.toLong) }
+    }
+    val df_ = tf.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+    val expected = tf.groupBy(_._1).flatMap { case (d, rows) =>
+      rows.map { case (_, t, f) => (t, f, df_(t)) }
+        .sortBy { case (t, f, dfv) => (-f.toDouble / dfv, t) }
+        .take(2).zipWithIndex
+        .map { case ((t, f, dfv), i) => (d, t, f, dfv, i + 1) }
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("tfidf rank is dense per doc and bounded by k") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+    val out = Tfidf.topTerms(docs, k = 3)
+    val bad = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("rk").as("mx"), min("rk").as("mn"))
+      .filter(col("n") > 3 || col("mx") > 3 || col("mn") =!= 1)
+    assert(bad.isEmpty)
+  }
+
+  private def naive(df: org.apache.spark.sql.DataFrame,
+                    quota: org.apache.spark.sql.Column) = {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= quota)
+      .select("doc_id", "lang", "rk")
+  }
+
+  test("stratified two-phase == naive window at every threshold regime") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select("doc_id", "lang")
+    val quota = when(col("lang") === "en", 12).otherwise(5)
+    val expected = naive(docs, quota).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // 1: every stratum deficient (pure fallback); 2048: mixed; 65536:
+    // prefilter disabled (pure single-phase)
+    for (t <- Seq(1, 2048, 65536)) {
+      val got = Sampling.stratifiedExact(docs, "lang", "doc_id", quota, t)
+        .select("doc_id", "lang", "rk").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(got == expected, s"threshold $t")
+    }
+  }
+
+  test("stratified sample: exact quota met when stratum is large enough") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select("doc_id", "lang")
+    val strata = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quota = lit(3)
+    val got = Sampling.stratifiedExact(docs, "lang", "doc_id", quota, 65536)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((l, n) <- strata) assert(got.getOrElse(l, 0L) == math.min(3L, n))
+  }
+
+  test("stratified sample is independent of partitioning") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select("doc_id", "lang")
+    val quota = lit(7)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedExact(df, "lang", "doc_id", quota, 2048)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(docs.repartition(17)) == ids(docs.coalesce(1)))
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import graft.grid.{FlowBasins, Resample}
+import graft.stencil.Kernels
+import graft.stencil.TileStencil.Bounds
+import org.apache.spark.sql.functions._
+
+/** [[FlowBasins]] (D8 pointer-doubling) vs a sequential path walker, and
+  * [[Resample]] bilinear upsample vs its dense 4-tap oracle. */
+class FlowSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic pseudo-random sparse DSM: ~density of cells occupied,
+    * values in [1, 9000]. */
+  private def synthDsm(w: Int, h: Int, density: Double, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (for (x <- 0 until w; y <- 0 until h; if rnd.nextDouble() < density)
+      yield (x.toLong, y.toLong, 1 + rnd.nextInt(9000))).toSeq
+  }
+
+  /** Sequential oracle: AspectD8 semantics per cell, then walk each
+    * cell's next-chain to its sink. */
+  private def walkOracle(cells: Seq[(Long, Long, Int)], w: Int, h: Int)
+  : Map[(Long, Long), (Long, Long)] = {
+    val g = cells.map(c => (c._1, c._2) -> c._3).toMap
+    val offs = Kernels.AspectD8.Offsets
+    def next(x: Long, y: Long): (Long, Long) = {
+      val me = g((x, y))
+      if (x - 1 < 0 || x + 1 >= w || y - 1 < 0 || y + 1 >= h) return (x, y)
+      var bestIdx = -1; var bestV = me
+      var i = 0
+      while (i < 8) {
+        val (dx, dy) = offs(i)
+        g.get((x + dx, y + dy)) match {
+          case None => return (x, y) // missing neighbor: no full support
+          case Some(v) => if (v < bestV) { bestV = v; bestIdx = i }
+        }
+        i += 1
+      }
+      if (bestIdx < 0) (x, y)
+      else (x + offs(bestIdx)._1, y + offs(bestIdx)._2)
+    }
+    g.keys.map { k =>
+      var cur = k
+      var n = next(cur._1, cur._2)
+      while (n != cur) { cur = n; n = next(cur._1, cur._2) }
+      k -> cur
+    }.toMap
+  }
+
+  private def run(cells: Seq[(Long, Long, Int)], w: Int, h: Int, tile: Int) =
+    FlowBasins.basins(cells.toDF("gx", "gy", "v"), Bounds(w, h), tile)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+  test("basins == sequential walker (dense-ish grid)") {
+    val (w, h) = (24, 18)
+    val cells = synthDsm(w, h, 0.9, seed = 7)
+    val got = run(cells, w, h, tile = 8)
+    assert(got == walkOracle(cells, w, h))
+  }
+
+  test("basins == sequential walker (sparse grid, voids force sinks)") {
+    val (w, h) = (30, 20)
+    val cells = synthDsm(w, h, 0.5, seed = 13)
+    val got = run(cells, w, h, tile = 8)
+    assert(got == walkOracle(cells, w, h))
+  }
+
+  test("basins invariant across tile sizes and partitionings") {
+    val (w, h) = (24, 18)
+    val cells = synthDsm(w, h, 0.85, seed = 3)
+    val a = run(cells, w, h, tile = 4)
+    val b = run(cells, w, h, tile = 16)
+    val c = FlowBasins.basins(
+      cells.toDF("gx", "gy", "v").repartition(13), Bounds(w, h), 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(a == b)
+    assert(a == c)
+  }
+
+  test("every label is a sink and sinks label themselves") {
+    val (w, h) = (24, 18)
+    val cells = synthDsm(w, h, 0.9, seed = 21)
+    val got = run(cells, w, h, tile = 8)
+    val sinks = got.filter { case (k, v) => k == v }.keySet
+    assert(sinks.nonEmpty)
+    assert(got.values.toSet.subsetOf(sinks))
+  }
+
+  test("monotone descent: a long staircase converges (doubling depth)") {
+    // single descending ramp: longest possible path for its size, so the
+    // round count is the log2 worst case for this cell count
+    val n = 40
+    val cells = (0 until n).map(i => (i.toLong + 1, 2L, n - i)) ++
+      (for (x <- 0 to n + 1; y <- Seq(1L, 3L)) yield (x.toLong, y, 9000)) ++
+      Seq((0L, 2L, 9000), (n + 1L, 2L, 9000))
+    val (w, h) = (n + 2, 5)
+    val got = run(cells, w, h, tile = 8)
+    assert(got == walkOracle(cells, w, h))
+    // the ramp bottom is interior (full support) yet has no lower
+    // neighbor: it is the basin of every ramp cell above it
+    assert(got((1L, 2L)) == got((n.toLong - 1, 2L)))
+  }
+
+  // ---- Resample.upsample2xBilinear ----
+
+  private def bilinearOracle(cells: Seq[(Long, Long, Int)])
+  : Map[(Long, Long), Int] = {
+    val g = cells.map(c => (c._1, c._2) -> c._3.toLong).toMap
+    def axis(u: Long): Option[Seq[(Long, Long)]] = {
+      val k = Math.floorDiv(u - 1, 2L)
+      val (a, b) = (k, k + 1)
+      val (wa, wb) = if (u % 2 == 0) (1L, 3L) else (3L, 1L)
+      if (a < 0) None else Some(Seq((a, wa), (b, wb)))
+    }
+    val maxX = cells.map(_._1).max * 2 + 2
+    val maxY = cells.map(_._2).max * 2 + 2
+    (for {
+      ux <- 0L to maxX; uy <- 0L to maxY
+      xs <- axis(ux).toSeq; ys <- axis(uy).toSeq
+      taps = for ((px, wx) <- xs; (py, wy) <- ys) yield
+        g.get((px, py)).map(_ * wx * wy)
+      if taps.forall(_.isDefined)
+    } yield (ux, uy) -> (taps.flatten.sum >> 4).toInt).toMap
+  }
+
+  test("bilinear 2x upsample == dense 4-tap oracle") {
+    val cells = synthDsm(12, 10, 0.8, seed = 5)
+    val got = Resample.upsample2xBilinear(cells.toDF("gx", "gy", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == bilinearOracle(cells))
+  }
+
+  test("bilinear upsample of a constant grid is constant (weight sum 16)") {
+    val cells = for (x <- 0L until 8; y <- 0L until 8) yield (x, y, 1234)
+    val got = Resample.upsample2xBilinear(cells.toDF("gx", "gy", "v"))
+      .select(countDistinct(col("v")).as("d"), min(col("v")).as("m"))
+      .collect().head
+    assert(got.getLong(0) == 1L && got.getInt(1) == 1234)
+  }
+}
