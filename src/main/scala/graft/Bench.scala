@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   * was killed (rc=124) under a ~3x noisy-neighbor load before a single
   * JSON byte was printed, so the round shipped no performance numbers at
   * all. This main now (a) tracks its own wall-clock budget
-  * (SPARK_GRAFT_BENCH_BUDGET_MIN, default 20) and degrades each stage to
+  * (SPARK_GRAFT_BENCH_BUDGET_MIN, default 25) and degrades each stage to
   * fit the time that is actually left, (b) runs the stages in GRADED
   * order — scaling (the north-rule efficiency) first, flagship
   * throughput second, the 98-query sweep last — and (c) emits a
@@ -28,7 +28,7 @@ object Bench {
   private val benchT0 = System.nanoTime()
   private def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
   private val budgetSec: Double =
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_MIN", "20").toDouble * 60.0
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_MIN", "25").toDouble * 60.0
   private def remainSec: Double = budgetSec - elapsedSec
 
   private def session(cpus: String): SparkSession = {
@@ -144,13 +144,15 @@ object Bench {
   private def scalingBlock(nDocs: Long, warmups: Int, runs: Int): String = {
     // local[2] does ~3-4x the wall work of local[8]: give it the larger
     // share, with a floor so a fork is never launched with an unmeetable
-    // deadline — but cap the whole block at ~45% of the TOTAL budget so
-    // a degraded box cannot starve the stages that follow (the block runs
-    // first now; an absent level is reported as such and BASELINE.md
-    // carries the curated protocol table)
-    val d2 = math.max(150L, math.min((remainSec * 0.5).toLong, (budgetSec * 0.30).toLong))
+    // deadline — but cap the whole block at ~45%+20% of the TOTAL budget
+    // so a degraded box cannot starve the stages that follow (the block
+    // runs first now; an absent level is reported as such and BASELINE.md
+    // carries the curated protocol table). Deadlines are sized from
+    // measured quiet-box wall times (2026-08-19: n2 = 8 x 47 s runs +
+    // ~40 s startup ≈ 420 s; n8 ≈ 190 s incl. one ~30 s stall run).
+    val d2 = math.max(200L, math.min((remainSec * 0.55).toLong, (budgetSec * 0.45).toLong))
     val n2 = forkedLevel(2, nDocs, warmups, runs, d2)
-    val d8 = math.max(90L, math.min((remainSec * 0.5).toLong, (budgetSec * 0.15).toLong))
+    val d8 = math.max(120L, math.min((remainSec * 0.5).toLong, (budgetSec * 0.20).toLong))
     val n8 = forkedLevel(8, nDocs, warmups, runs, d8)
     val levels = Seq(
       n2.map(l => levelJson("n2", l, "forked")),
@@ -263,7 +265,12 @@ object Bench {
 
     // STAGE 1: scaling (the graded number)
     val scaling =
-      if (scalingOn) Some(scalingBlock(scalingDocs, warmups = 2, runs = 3))
+      // 3 + 5 is the BASELINE.md protocol: the box shows sporadic ~30 s
+      // stall runs (host-level steal) at BOTH levels — a median of 3 can
+      // land ON the stall (measured this morning: n8 22.0 s median-of-3
+      // vs 8.1 s median-of-3 fifteen minutes apart, same commit, idle
+      // box); a median of 5 with 3 warm-ups absorbs one stall per level
+      if (scalingOn) Some(scalingBlock(scalingDocs, warmups = 3, runs = 5))
       else Some(s""""scaling":{"complete":false,"skipped":"${
         if (remainSec <= 240) "budget_exhausted" else "disabled_by_env"}"}""")
     emit(jsonWith(None, scaling, Seq("scaling")))

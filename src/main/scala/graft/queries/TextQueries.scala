@@ -251,8 +251,27 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Corpus-commonness (boilerplate) score
+    * ([[graft.text.Tfidf.shingleCommonness]]): mean document frequency
+    * of each doc's distinct 3-gram shingles; avg_df is one IEEE division
+    * of exact integers, so the double column is bit-exact. */
+  val q_boilerplate: QueryDef = QueryDef.sqlChecked(
+    "q_boilerplate",
+    s"""WITH ${TextOps.shingleCteSql},
+       |d AS (SELECT DISTINCT doc_id, s FROM sh),
+       |dfq AS (SELECT s, count(*) AS df FROM d GROUP BY s)
+       |SELECT doc_id, count(*) AS n_shingles,
+       |  CAST(sum(df) AS BIGINT) AS df_sum,
+       |  CAST(sum(df) AS DOUBLE) / count(*) AS avg_df
+       |FROM d JOIN dfq USING (s)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.text.Tfidf.shingleCommonness(Tables.documents(s, dir))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_token_stats, q_lang_guess, q_quality_score, q_fingerprint,
     q_dedup_exact, q_dedup_prefix, q_minhash_sig, q_simhash, q_ngram_jaccard,
-    q_repetition, q_line_dedup, q_redact_pii, q_decontam, q_tfidf_topk)
+    q_repetition, q_line_dedup, q_redact_pii, q_decontam, q_tfidf_topk,
+    q_boilerplate)
 }

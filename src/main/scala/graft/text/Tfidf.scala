@@ -23,6 +23,30 @@ import org.apache.spark.sql.functions._
  */
 object Tfidf {
 
+  /** Corpus-commonness (boilerplate) score: for each doc, the mean
+    * document frequency of its DISTINCT 3-gram shingles — the count-based
+    * "LM corpus fit" heuristic a filtering pipeline runs to separate
+    * template/boilerplate pages (shingles shared by many docs → high
+    * score) from novel text (rare shingles → low). The avg is ONE IEEE
+    * division of two exact integer aggregates, so it is bit-exact
+    * cross-engine. Docs with < 3 tokens have no shingles and no row.
+    *
+    * Scale shape: distinct-per-doc explode → shingle-df hash agg →
+    * equi-join by shingle → per-doc hash agg; the same machinery (and
+    * cost) as MinHash signatures, no windows, nothing collected. */
+  def shingleCommonness(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val sh = TextOps.shingles3(docs, textCol)
+      .select(col(idCol), explode(col("shingles")).as("s"))
+      .distinct()
+    val dfS = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    sh.join(dfS, "s")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"), sum("df").as("df_sum"))
+      .select(col(idCol), col("n_shingles"), col("df_sum"),
+        (col("df_sum").cast("double") / col("n_shingles")).as("avg_df"))
+  }
+
   /** Top-k salient terms per doc: (doc_id, term, tf, df, rk). */
   def topTerms(docs: DataFrame, k: Int, textCol: String = "text",
                idCol: String = "doc_id"): DataFrame = {

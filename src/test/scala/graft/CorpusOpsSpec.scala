@@ -38,6 +38,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("shingle commonness == brute force on a hand fixture") {
+    val docs = Seq(
+      (1L, "the quick brown fox"), // shingles: "the quick brown", "quick brown fox"
+      (2L, "the quick brown dog"), // shares "the quick brown" with 1
+      (3L, "lorem ipsum"), // < 3 tokens: no row
+      (4L, "the quick brown fox")) // identical to 1
+      .toDF("doc_id", "text")
+    val got = graft.text.Tfidf.shingleCommonness(docs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // df("the quick brown") = 3 (docs 1,2,4); df("quick brown fox") = 2
+    // (docs 1,4); df("quick brown dog") = 1 (doc 2)
+    assert(got == Map(
+      1L -> ((2L, 5L, 2.5)),
+      2L -> ((2L, 4L, 2.0)),
+      4L -> ((2L, 5L, 2.5))))
+  }
+
   test("tfidf rank is dense per doc and bounded by k") {
     val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
     val out = Tfidf.topTerms(docs, k = 3)
