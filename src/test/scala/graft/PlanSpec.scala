@@ -50,6 +50,34 @@ class PlanSpec extends SparkSpec {
     assert(assigned.count() == 64)
   }
 
+  test("bilinear upsample is a joinless splat: one shuffle, no join") {
+    import spark.implicits._
+    val cells = (for (x <- 0L until 8; y <- 0L until 8)
+      yield (x, y, (x * 8 + y + 1).toInt)).toDF("gx", "gy", "v")
+    val df = graft.grid.Resample.upsample2xBilinear(cells)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the 16-tap expansion must stay a broadcast of the tiny tap table —
+    // never a shuffle join — and the only exchange is the child-cell agg
+    assert(!p.contains("SortMergeJoin"), s"taps regressed to a shuffle join:\n$p")
+    assert(!p.contains("ShuffledHashJoin"), s"taps regressed to a shuffle join:\n$p")
+    // AQE's toString prints the final plan AND the original: count actual
+    // shuffle stages, not textual occurrences of Exchange
+    assert("ShuffleQueryStage".r.findAllIn(p).size <= 1,
+      s"more than the one aggregation shuffle:\n$p")
+  }
+
+  test("flow-basin next-pointer build has no nested-loop join") {
+    import spark.implicits._
+    val cells = (for (x <- 0L until 12; y <- 0L until 12)
+      yield (x, y, ((x * 31 + y * 17) % 97 + 1).toInt)).toDF("gx", "gy", "v")
+    val df = graft.grid.FlowBasins.basins(cells,
+      graft.stencil.TileStencil.Bounds(12, 12), tileSize = 8)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"basin build uses a nested-loop join:\n${p.take(3000)}")
+  }
+
   test("scanline fill gathers candidates by tile equi-join, not BNL") {
     val p = plan("q_ground_objects")
     assert(!p.contains("BroadcastNestedLoopJoin"),
