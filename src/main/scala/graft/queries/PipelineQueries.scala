@@ -129,6 +129,30 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Concat-and-chunk sequence packing ([[graft.text.Packing]]): docs
+    * concatenated in doc_id order, token stream cut into 512-token
+    * training sequences; each doc labeled with its global token offset
+    * and chunk span. The engine computes the offsets with the two-level
+    * distributed prefix sum ([[graft.core.PrefixSum]] — no global-order
+    * window); the oracle IS the naive global running window, so the
+    * green row proves the scan decomposition exact. */
+  val q_pack_chunks: QueryDef = QueryDef.sqlChecked(
+    "q_pack_chunks",
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      |  FROM t)
+      |SELECT doc_id, n_tokens, start_off,
+      |  start_off // 512 AS chunk_first,
+      |  (start_off + n_tokens - 1) // 512 AS chunk_last
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.text.Packing.concatChunk(Tables.documents(s, dir), capacity = 512L)
+      .orderBy("doc_id")
+  }
+
   /** Near-dup similarity threshold for [[q_neardup_purge]] (fraction of
     * the 16 minhashes that must agree). */
   final val PurgeTau = 0.75
@@ -206,5 +230,6 @@ object PipelineQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(q_dup_clusters, q_hash_sample, q_stratified_sample, q_neardup_purge)
+    Seq(q_dup_clusters, q_hash_sample, q_stratified_sample, q_pack_chunks,
+      q_neardup_purge)
 }

@@ -102,6 +102,37 @@ class CorpusOpsSpec extends SparkSpec {
     for ((l, n) <- strata) assert(got.getOrElse(l, 0L) == math.min(3L, n))
   }
 
+  test("prefix sum: two-level scan == naive global window, any bucketing") {
+    val rows = (0 until 500).map(i => ((i * 37L) % 1000, (i % 13 + 1).toLong))
+    val df = rows.toDF("k", "n")
+    val expected = rows.sortBy(_._1).scanLeft((0L, 0L)) {
+      case ((_, acc), (k, n)) => (k, acc + n)
+    }.sliding(2).map { case Seq((_, acc), (k, _)) => k -> acc }.toMap
+    for (shift <- Seq(0, 4, 10, 63); parts <- Seq(1, 7)) {
+      val got = graft.core.PrefixSum.exclusive(
+          df.repartition(parts), "k", "n", shiftrightunsigned(col("k"), shift))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expected, s"shift=$shift parts=$parts")
+    }
+  }
+
+  test("packing: contiguous offsets, exact chunk spans, oversized docs span") {
+    val docs = Seq(
+      (10L, Seq.fill(100)("w").mkString(" ")),   // 100 tokens
+      (11L, Seq.fill(600)("w").mkString(" ")),   // 600: spans 2 chunks
+      (12L, "a b c"),                            // 3
+      (13L, Seq.fill(1200)("w").mkString(" ")))  // 1200: spans 3+
+      .toDF("doc_id", "text")
+    val got = graft.text.Packing.concatChunk(docs, capacity = 512L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (10L, 100L, 0L, 0L, 0L),
+      (11L, 600L, 100L, 0L, 1L),
+      (12L, 3L, 700L, 1L, 1L),
+      (13L, 1200L, 703L, 1L, 3L)))
+  }
+
   test("stratified sample is independent of partitioning") {
     val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
       .select("doc_id", "lang")
