@@ -133,6 +133,21 @@ class CorpusOpsSpec extends SparkSpec {
       (13L, 1200L, 703L, 1L, 3L)))
   }
 
+  test("packing: doc ending exactly on a chunk boundary does not bleed over") {
+    val docs = Seq(
+      (20L, Seq.fill(512)("w").mkString(" ")), // fills chunk 0 exactly
+      (21L, "x"),                              // first token of chunk 1
+      (22L, Seq.fill(512)("w").mkString(" "))) // 513..1024: chunks 1-2
+      .toDF("doc_id", "text")
+    val got = graft.text.Packing.concatChunk(docs, capacity = 512L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (20L, 0L, 0L, 0L),
+      (21L, 512L, 1L, 1L),
+      (22L, 513L, 1L, 2L)))
+  }
+
   test("stratified sample is independent of partitioning") {
     val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
       .select("doc_id", "lang")
