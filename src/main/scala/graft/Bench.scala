@@ -123,7 +123,12 @@ object Bench {
     try {
       (1 to warmups).foreach(_ => Flagship.run(s, nDocs))
       val timed = (1 to runs).map { _ => System.gc(); Flagship.run(s, nDocs) }
-      val med = timed.map(_.seconds).sorted.apply(timed.size / 2)
+      // true median: average the two middle elements on even run counts
+      // (upper-middle alone would report the WORSE of 2 runs as "median")
+      val sortedSec = timed.map(_.seconds).sorted
+      val med =
+        if (sortedSec.size % 2 == 1) sortedSec(sortedSec.size / 2)
+        else (sortedSec(sortedSec.size / 2 - 1) + sortedSec(sortedSec.size / 2)) / 2.0
       val chk = timed.map(_.gridChecksum).distinct
       require(chk.size == 1, s"non-deterministic checksum at local[$cpus]")
       LevelStats((nDocs / med).toLong, med, timed.map(_.seconds).min, chk.head,
@@ -131,49 +136,90 @@ object Bench {
     } finally s.stop()
   }
 
-  private def levelJson(name: String, l: LevelStats, mode: String): String =
-    s""""$name":{"sec":${l.med},"best_sec":${l.best},"docs_per_sec":${l.dps},"mode":"$mode"}"""
-
-  /** BASELINE.md scaling protocol on the north rule's N-vs-4N pair
-    * (2 -> 8 cores — the regime where cores, not the box's memory
-    * bandwidth, are the scaled resource; see BASELINE.md). Each level
-    * runs [[ScalingBench]] in a FRESH fixed-heap child JVM. A level
-    * whose fork dies or overruns its share of the remaining budget is
-    * reported absent and the efficiency omitted — a partial artifact
-    * beats a killed bench. */
+  /** BASELINE.md scaling protocol on the north rule's N-vs-4N pair,
+    * INTERLEAVED (round-5 protocol): one fixed-heap child JVM runs
+    * [[InterleavedScalingBench]], alternating the two levels run by run
+    * (2,8,2,8,…) so the box's slow per-core mood drift — which round 4
+    * measured corrupting a sequential pair's ratio by landing entirely
+    * on one level's median — hits both levels' medians equally and
+    * cancels. The child also reports the median of per-ROUND pair
+    * ratios (each pair seconds apart; the hardest drift cancellation)
+    * and the best-of efficiency. A fork that dies or overruns its
+    * deadline is reported absent — a partial artifact beats a killed
+    * bench. */
   private def scalingBlock(nDocs: Long, warmups: Int, runs: Int): String = {
-    // local[2] does ~3-4x the wall work of local[8]: give it the larger
-    // share, with a floor so a fork is never launched with an unmeetable
-    // deadline — but cap the whole block at ~45%+20% of the TOTAL budget
-    // so a degraded box cannot starve the stages that follow (the block
-    // runs first now; an absent level is reported as such and BASELINE.md
-    // carries the curated protocol table). Deadlines are sized from
-    // measured wall times at 16M docs (2026-08-19: n2 runs 48-95 s
-    // each depending on the box's mood — it drifts 2x between runs
-    // minutes apart — so 7 runs + ~40 s startup spans 375-705 s).
-    val d2 = math.max(300L, math.min((remainSec * 0.62).toLong, (budgetSec * 0.50).toLong))
-    val n2 = forkedLevel(2, nDocs, warmups, runs, d2)
-    val d8 = math.max(150L, math.min((remainSec * 0.5).toLong, (budgetSec * 0.25).toLong))
-    val n8 = forkedLevel(8, nDocs, warmups, runs, d8)
-    val levels = Seq(
-      n2.map(l => levelJson("n2", l, "forked")),
-      n8.map(l => levelJson("n8", l, "forked"))).flatten
-    val eff = for (a <- n2; b <- n8) yield {
-      if (a.chk != b.chk)
-        System.err.println(s"BENCH: checksum differs across levels: ${a.chk} vs ${b.chk}")
-      val effMed = b.dps.toDouble / (4.0 * a.dps.toDouble)
-      // best-of efficiency: capability reading robust to noisy-neighbor
-      // bursts hitting one level's median (both are emitted; BASELINE.md
-      // documents the protocols)
-      val effBest = (nDocs / b.best) / (4.0 * (nDocs / a.best))
-      s""""efficiency_2_8":$effMed,"efficiency_2_8_best":$effBest,""" +
-        s""""checksums_match":${a.chk == b.chk}"""
+    // one fork runs the whole pair: deadline sized from measured wall
+    // times at 16M docs (n2 48-95 s + n8 8-22 s per round, 6 rounds
+    // incl. warm pair, ~40 s startup => 380-750 s), capped as a budget
+    // fraction so a degraded box cannot starve the later stages
+    val deadline = math.max(450L,
+      math.min((remainSec * 0.80).toLong, (budgetSec * 0.60).toLong))
+    val line = forkedInterleaved(nDocs, warmups, runs, deadline)
+    val block = line.map { l =>
+      def num(k: String): Option[String] =
+        (s""""$k":(-?[0-9.eE+-]+)""").r.findFirstMatchIn(l).map(_.group(1))
+      val parts = Seq(
+        for (m <- num("lo_median_sec"); b <- num("lo_best_sec");
+             d <- num("lo_docs_per_sec"))
+          yield s""""n2":{"sec":$m,"best_sec":$b,"docs_per_sec":$d,"mode":"interleaved"}""",
+        for (m <- num("hi_median_sec"); b <- num("hi_best_sec");
+             d <- num("hi_docs_per_sec"))
+          yield s""""n8":{"sec":$m,"best_sec":$b,"docs_per_sec":$d,"mode":"interleaved"}""",
+        num("efficiency").map(e => s""""efficiency_2_8":$e"""),
+        num("efficiency_pairs").map(e => s""""efficiency_2_8_pairs":$e"""),
+        num("efficiency_best").map(e => s""""efficiency_2_8_best":$e"""),
+        // the child REQUIREs checksum equality across every run of both
+        // levels before printing its line
+        Some(s""""checksums_match":true"""),
+        num("checksum").map(c => s""""checksum":$c""")).flatten
+      (parts, num("efficiency").isDefined)
     }
-    val parts = levels ++ eff.toSeq ++
-      Seq(s""""docs":$nDocs,"warmups":$warmups,"timed_runs":$runs,""" +
-        s""""complete":${eff.isDefined}""")
+    val (levelParts, complete) = block.getOrElse((Seq.empty[String], false))
+    val parts = levelParts ++
+      Seq(s""""docs":$nDocs,"warm_pairs":$warmups,"timed_pairs":$runs,""" +
+        s""""protocol":"interleaved_pairs","complete":$complete""")
     s""""scaling":{${parts.mkString(",")}}"""
   }
+
+  /** Fork one [[InterleavedScalingBench]] child (both levels in one JVM,
+    * alternating) and return its JSON line. Same fork hygiene as
+    * [[forkedLevel]]: fixed heap, stderr discarded, hard deadline. */
+  private def forkedInterleaved(nDocs: Long, warmPairs: Int, pairs: Int,
+      deadlineSec: Long): Option[String] =
+    try {
+      val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+        "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+        "sun.security.action", "sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+      val mem = sys.env.getOrElse("SPARK_GRAFT_FORK_MEM", "32g")
+      val cmd = (Seq("java") ++ opens ++ Seq(s"-Xmx$mem", s"-Xms$mem",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.InterleavedScalingBench"))
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_BENCH_DOCS", nDocs.toString)
+      pb.environment().put("SPARK_GRAFT_BENCH_WARMUPS", warmPairs.toString)
+      pb.environment().put("SPARK_GRAFT_BENCH_RUNS", pairs.toString)
+      sys.env.get("SPARK_GRAFT_SCALE_MODE").foreach(m =>
+        pb.environment().put("SPARK_GRAFT_SCALE_MODE", m))
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val proc = pb.start()
+      val out = new java.util.concurrent.atomic.AtomicReference(Vector.empty[String])
+      val reader = new Thread(() =>
+        out.set(scala.io.Source.fromInputStream(proc.getInputStream)
+          .getLines().toVector))
+      reader.setDaemon(true)
+      reader.start()
+      if (!proc.waitFor(deadlineSec, java.util.concurrent.TimeUnit.SECONDS)) {
+        proc.destroyForcibly()
+        System.err.println(s"BENCH: interleaved scaling fork exceeded " +
+          s"$deadlineSec s, killed — scaling reported absent")
+        return None
+      }
+      reader.join(10000)
+      out.get().find(_.startsWith("{\"mode\":\"interleaved"))
+    } catch { case _: Throwable => None }
 
   /** Queries per SparkSession during the sweep. One session across the
     * whole (now 90+) query list accumulates state the queries themselves

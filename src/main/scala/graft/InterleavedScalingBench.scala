@@ -1,0 +1,135 @@
+package graft
+
+import graft.api.Flagship
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Interleaved variant of the BASELINE.md scaling protocol, built for a
+ * SHARED/turbo host: the sequential protocol (all small-level runs, then
+ * all big-level runs) lets slow per-core "mood" drift — measured up to
+ * 2x over minutes on this box — land entirely on one level's median and
+ * corrupt the ratio. Here the levels ALTERNATE run by run inside one
+ * fixed-heap JVM (lo,hi,lo,hi,…), so each level's runs sample the same
+ * minutes of host weather and the drift cancels out of the medians; the
+ * per-ROUND pair ratios (each pair seconds apart) cancel it even harder
+ * and their median is reported alongside. A real N-vs-4N executor
+ * cluster does not have this problem (per-machine active-core count is
+ * constant); this protocol is what makes the same ratio measurable on
+ * one box.
+ *
+ * Two apparatuses, selected by SPARK_GRAFT_SCALE_MODE:
+ *   - "local"  (default): local[2] vs local[8] — the single-JVM
+ *     core-count pair of BASELINE.md's historical tables.
+ *   - "cluster": local-cluster[1,2,mem] vs local-cluster[4,2,mem] — the
+ *     north rule's LITERAL setting (N vs 4N executors, separate
+ *     executor JVMs, real shuffle transport) with cores-per-executor
+ *     held constant at 2 across the pair, exactly as a real cluster
+ *     scale-up holds per-machine parallelism constant. Requires
+ *     SPARK_HOME for the executor launcher.
+ *
+ * One JVM for both levels keeps JIT + Spark codegen caches shared (they
+ * are classloader-global, so neither level pays a differential warm-up)
+ * while every run still gets a FRESH SparkSession/scheduler (and, in
+ * cluster mode, fresh executor JVMs). Checksums are required identical
+ * across every run of both levels.
+ *
+ * Env: SPARK_GRAFT_BENCH_DOCS, SPARK_GRAFT_BENCH_WARMUPS (warm pairs),
+ * SPARK_GRAFT_BENCH_RUNS (timed pairs), SPARK_GRAFT_SCALE_MODE,
+ * SPARK_GRAFT_SCALE_LO/HI (local mode cores, default 2/8),
+ * SPARK_GRAFT_WORKER_MB (cluster mode, default 8192).
+ */
+object InterleavedScalingBench {
+
+  private final case class Level(label: String, master: String, cores: Int,
+                                 cluster: Boolean)
+
+  private def session(l: Level, memMb: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val b = SparkSession.builder()
+      .master(l.master)
+      .config("spark.sql.shuffle.partitions", l.cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        graft.core.SessionDefaults.ExcludedOptimizerRules)
+      .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    val withExec =
+      if (l.cluster)
+        b.config("spark.executor.memory", s"${memMb - 1024}m")
+          // executor JVMs launch from SPARK_HOME and need the engine
+          // classes for codegen referencing graft.* (e.g. CellIdExpr)
+          .config("spark.executor.extraClassPath",
+            "/root/repo/target/scala-2.13/classes")
+      else b
+    val s = withExec.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def runOnce(l: Level, memMb: Int, nDocs: Long): Flagship.FlagshipResult = {
+    val s = session(l, memMb)
+    try { System.gc(); Flagship.run(s, nDocs) } finally s.stop()
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "local")
+    val memMb = sys.env.getOrElse("SPARK_GRAFT_WORKER_MB", "8192").toInt
+    val (lo, hi) = mode match {
+      case "cluster" =>
+        (Level("1x2", s"local-cluster[1,2,$memMb]", 2, cluster = true),
+          Level("4x2", s"local-cluster[4,2,$memMb]", 8, cluster = true))
+      case _ =>
+        val lc = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "2").toInt
+        val hc = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "8").toInt
+        (Level(lc.toString, s"local[$lc]", lc, cluster = false),
+          Level(hc.toString, s"local[$hc]", hc, cluster = false))
+    }
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "16000000").toLong
+    val warmPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "1").toInt
+    val pairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    val factor = hi.cores.toDouble / lo.cores.toDouble
+
+    (1 to warmPairs).foreach { _ =>
+      runOnce(lo, memMb, nDocs); runOnce(hi, memMb, nDocs)
+    }
+    val rounds = (1 to pairs).map { _ =>
+      (runOnce(lo, memMb, nDocs), runOnce(hi, memMb, nDocs))
+    }
+
+    val chk = rounds.flatMap(r => Seq(r._1, r._2))
+      .map(r => (r.gridChecksum, r.keptContentChecksum)).distinct
+    require(chk.size == 1, s"non-deterministic checksums across levels: $chk")
+
+    val loSecs = rounds.map(_._1.seconds)
+    val hiSecs = rounds.map(_._2.seconds)
+    val medLo = median(loSecs)
+    val medHi = median(hiSecs)
+    // efficiency = dps(hi) / (factor * dps(lo)) = sec(lo) / (factor * sec(hi))
+    val effMed = medLo / (factor * medHi)
+    val effPairs = median(rounds.map(r => r._1.seconds / (factor * r._2.seconds)))
+    val effBest = loSecs.min / (factor * hiSecs.min)
+
+    println(
+      s"""{"mode":"interleaved-$mode","lo":"${lo.label}","hi":"${hi.label}",""" +
+        s""""lo_cores":${lo.cores},"hi_cores":${hi.cores},"docs":$nDocs,""" +
+        s""""lo_runs_sec":[${loSecs.mkString(",")}],""" +
+        s""""hi_runs_sec":[${hiSecs.mkString(",")}],""" +
+        s""""lo_median_sec":$medLo,"hi_median_sec":$medHi,""" +
+        s""""lo_best_sec":${loSecs.min},"hi_best_sec":${hiSecs.min},""" +
+        s""""lo_docs_per_sec":${(nDocs / medLo).toLong},""" +
+        s""""hi_docs_per_sec":${(nDocs / medHi).toLong},""" +
+        s""""efficiency":$effMed,"efficiency_pairs":$effPairs,""" +
+        s""""efficiency_best":$effBest,""" +
+        s""""checksum":${chk.head._1},"content_checksum":${chk.head._2},""" +
+        s""""pip_hits":${rounds.head._1.pipHits},""" +
+        s""""grid_cells":${rounds.head._1.gridCells}}""")
+  }
+}

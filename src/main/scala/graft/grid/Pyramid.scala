@@ -25,16 +25,19 @@ object Pyramid {
   /** Levels 0..`levels` as one DataFrame `(level, gx, gy, v)`. Parent
     * coords are floor(child/2) (shiftright — coords are non-negative by
     * the grid construction). `agg` is the parent combiner (max for a
-    * DSM overview, min for a MIN-grid one, sum for counts). */
+    * DSM overview, min for a MIN-grid one, sum for counts). `v` stays
+    * LONG through every level: a `sum` combiner compounds 4 children per
+    * level, so an int-typed rollup would silently wrap at coarse levels
+    * of a count pyramid. */
   def rollup(cells: DataFrame, levels: Int,
              agg: Column => Column = max): DataFrame = {
     require(levels >= 0, "levels must be non-negative")
     val l0 = cells.select(col("gx").cast("long"), col("gy").cast("long"),
-      col("v").cast("int"))
+      col("v").cast("long"))
     val all = Iterator.iterate(l0) { prev =>
       prev.groupBy(shiftright(col("gx"), 1).as("gx"),
           shiftright(col("gy"), 1).as("gy"))
-        .agg(agg(col("v")).cast("int").as("v"))
+        .agg(agg(col("v")).cast("long").as("v"))
         .localCheckpoint(eager = true)
     }.take(levels + 1).zipWithIndex
       .map { case (df, k) => df.select(lit(k).as("level"), col("gx"),

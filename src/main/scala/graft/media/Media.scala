@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
  * Multimodal column plumbing: opaque `binary` payloads with typed
  * metadata, decoded/feature-extracted in partition-local batches.
  *
- * The actual image/audio decode is STUBBED (this container has no media
- * libraries): `decodeBatch` derives deterministic fake dimensions and an
- * 8-float feature vector from the payload's md5. Everything around the
- * stub — schema, Encoders, mapPartitions batch shape, partitioning, and
- * the frame-sampling explode — is the real Spark plumbing a production
- * decode would slot into (swap `decodeBatch` for a JNI/FFI call over the
- * same Iterator[Batch] shape).
+ * IMAGE decode is REAL: payloads with an image-typed fmt go through the
+ * JDK's own `javax.imageio` (PNG/JPEG/BMP/GIF ship with every JRE — no
+ * new dependency), yielding true dimensions and a deterministic 8-float
+ * feature (mean luminance over a 2x4 grid, integer-accumulated so it is
+ * bit-stable across JVMs). Audio/video and unknown formats keep the
+ * deterministic md5 STUB (this container has no codecs for them):
+ * `stubDecode` derives fake dimensions and features from the payload's
+ * md5. Either way the surrounding plumbing — schema, Encoders,
+ * mapPartitions batch shape, partitioning, and the frame-sampling
+ * explode — is the Spark shape a production FFI decoder slots into.
  */
 object Media {
 
@@ -33,9 +36,53 @@ object Media {
       .as[MediaPayload]
   }
 
-  /** STUB decode of one batch. Deterministic: all outputs derive from the
-    * md5 of the payload bytes. Replace with the real vectorized decoder. */
+  /** Decode one batch: real ImageIO for image-typed payloads, md5 stub for
+    * everything else. The fmt gate keeps non-image pipelines (e.g. the
+    * text-payload bench path) off the reader-lookup cost entirely. */
   def decodeBatch(batch: Seq[MediaPayload]): Seq[Decoded] = batch.map { m =>
+    (if (m.fmt != null && m.fmt.startsWith("image/")) decodeImage(m) else None)
+      .getOrElse(stubDecode(m))
+  }
+
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF —
+    * no extra dependency): true width/height plus an 8-float feature =
+    * mean luminance (BT.601 integer weights, /1000 floor) of each cell
+    * of a 2x4 grid, normalized to [0,1]. Integer accumulation + one IEEE
+    * divide per cell keeps the vector bit-deterministic across JVMs.
+    * Returns None for bytes ImageIO cannot parse (falls to the stub). */
+  def decodeImage(m: MediaPayload): Option[Decoded] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.payload))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val lumSum = new Array[Long](8)
+        val lumCnt = new Array[Long](8)
+        var y = 0
+        while (y < h) {
+          val row = 4 * math.min(1, y * 2 / h)
+          var x = 0
+          while (x < w) {
+            val px = img.getRGB(x, y)
+            val lum = (((px >> 16) & 0xFF) * 299L + ((px >> 8) & 0xFF) * 587L +
+              (px & 0xFF) * 114L) / 1000L
+            val cell = row + math.min(3, x * 4 / w)
+            lumSum(cell) += lum
+            lumCnt(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val feature = Array.tabulate(8)(i =>
+          if (lumCnt(i) == 0L) 0.0f
+          else (lumSum(i).toDouble / lumCnt(i) / 255.0).toFloat)
+        Decoded(m.doc_id, m.fmt, m.payload.length.toLong, w, h, 1, feature)
+      }
+    } catch { case _: Exception => None }
+
+  /** STUB decode for formats the JDK lacks codecs for. Deterministic:
+    * all outputs derive from the md5 of the payload bytes. */
+  def stubDecode(m: MediaPayload): Decoded = {
     val md = java.security.MessageDigest.getInstance("MD5").digest(m.payload)
     def u(i: Int): Long = md(i).toLong & 0xFFL
     val h8 = (u(0) << 24) | (u(1) << 16) | (u(2) << 8) | u(3)

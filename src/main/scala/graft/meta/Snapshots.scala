@@ -281,7 +281,7 @@ object Snapshots {
   def merge(spark: SparkSession, root: String, table: String,
             source: DataFrame, keyCols: Seq[String],
             deleteMatched: Boolean = false): Manifest = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, sum}
     require(keyCols.nonEmpty, "merge: keyCols must be non-empty")
     val src = latest(root, table).getOrElse(throw new IllegalStateException(
       s"merge: no committed snapshot for $table"))
@@ -292,16 +292,25 @@ object Snapshots {
       require(target.columns.toSet == source.columns.toSet,
         s"merge: source columns ${source.columns.toSeq} must match target " +
           s"${target.columns.toSeq} for upsert")
-    val keys = source.select(keyCols.map(col): _*).distinct()
-      .localCheckpoint(eager = true) // source may be lazily derived; pin
-                                     // it so discovery + rewrite agree
+    // source may be lazily derived/nondeterministic; pin it ONCE so the
+    // duplicate-key guard, the touched-file discovery, and the rewrite
+    // all see the SAME rows (guarding an unpinned plan could pass or
+    // fail against rows the rewrite never sees)
+    val pinned = source.localCheckpoint(eager = true)
+    val keys = pinned.select(keyCols.map(col): _*).distinct()
     if (!deleteMatched) {
       // Iceberg MERGE errors when multiple source rows match one target
       // key; a duplicate-key source here would silently insert several
       // rows per key instead. Enforce the same contract (delete mode is
-      // exempt: duplicate keys delete the same rows idempotently).
-      val srcCnt = source.count()
-      val keyCnt = keys.count()
+      // exempt: duplicate keys delete the same rows idempotently). ONE
+      // aggregate over the pinned source yields both counts; groupBy
+      // keeps NULL-key groups (countDistinct would drop them).
+      val cnts = pinned.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_n"))
+        .agg(coalesce(sum(col("_n")), lit(0L)).as("_rows"),
+          count(lit(1)).as("_keys"))
+        .head()
+      val (srcCnt, keyCnt) = (cnts.getLong(0), cnts.getLong(1))
       require(srcCnt == keyCnt,
         s"merge: source has duplicate keys ($srcCnt rows but $keyCnt " +
           s"distinct keys over $keyCols); deduplicate the source first")
@@ -321,9 +330,9 @@ object Snapshots {
     val written = (survivors, deleteMatched) match {
       case (None, true) => None // nothing matched, nothing to write
       case (Some(s), true) => Some(s)
-      case (None, false) => Some(source.select(target.columns.map(col): _*))
+      case (None, false) => Some(pinned.select(target.columns.map(col): _*))
       case (Some(s), false) =>
-        Some(s.unionByName(source.select(target.columns.map(col): _*)))
+        Some(s.unionByName(pinned.select(target.columns.map(col): _*)))
     }
     written match {
       case Some(df) => writeWithMetrics(df, root, table, id, dataPath.toString)

@@ -200,10 +200,10 @@ object GridQueries2 {
        |l1 AS (SELECT gx // 2 AS gx, gy // 2 AS gy, max(v) AS v FROM l0 GROUP BY 1, 2),
        |l2 AS (SELECT gx // 2 AS gx, gy // 2 AS gy, max(v) AS v FROM l1 GROUP BY 1, 2),
        |l3 AS (SELECT gx // 2 AS gx, gy // 2 AS gy, max(v) AS v FROM l2 GROUP BY 1, 2)
-       |SELECT 0 AS level, gx, gy, CAST(v AS INT) AS v FROM l0
-       |UNION ALL SELECT 1, gx, gy, CAST(v AS INT) FROM l1
-       |UNION ALL SELECT 2, gx, gy, CAST(v AS INT) FROM l2
-       |UNION ALL SELECT 3, gx, gy, CAST(v AS INT) FROM l3
+       |SELECT 0 AS level, gx, gy, CAST(v AS BIGINT) AS v FROM l0
+       |UNION ALL SELECT 1, gx, gy, CAST(v AS BIGINT) FROM l1
+       |UNION ALL SELECT 2, gx, gy, CAST(v AS BIGINT) FROM l2
+       |UNION ALL SELECT 3, gx, gy, CAST(v AS BIGINT) FROM l3
        |ORDER BY level, gx, gy""".stripMargin) { (s, dir) =>
     graft.grid.Pyramid.rollup(Gridding.dsm(docsPts(s, dir)), levels = 3)
       .orderBy(col("level"), col("gx"), col("gy"))

@@ -142,15 +142,55 @@ object PipelineQueries {
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |  FROM documents),
       |c AS (SELECT doc_id, n_tokens,
-      |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS start_off
       |  FROM t)
       |SELECT doc_id, n_tokens, start_off,
-      |  start_off // 512 AS chunk_first,
-      |  (start_off + n_tokens - 1) // 512 AS chunk_last
+      |  CAST(start_off // 512 AS BIGINT) AS chunk_first,
+      |  CAST((start_off + n_tokens - 1) // 512 AS BIGINT) AS chunk_last
       |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    graft.text.Packing.concatChunk(Tables.documents(s, dir), capacity = 512L)
+    // bucketShift 8 (not the 10^12-scale default 20) so the gate
+    // exercises the multi-bucket scan decomposition at test SF
+    graft.text.Packing.concatChunk(Tables.documents(s, dir), capacity = 512L,
+        bucketShift = 8)
       .orderBy("doc_id")
+  }
+
+  /** The packed sequences EMITTED ([[graft.text.Packing.chunkSlices]]):
+    * one row per (chunk_id, doc slice) with the doc-local token range
+    * and the slice's position inside the fixed-512 training sequence —
+    * what a sequence writer actually consumes, not just the per-doc
+    * bookkeeping of [[q_pack_chunks]]. The oracle re-derives the slices
+    * from the naive global running window + generate_series, so the
+    * green row proves both the scan decomposition and the intersection
+    * arithmetic. */
+  val q_pack_emit: QueryDef = QueryDef.sqlChecked(
+    "q_pack_emit",
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens,
+      |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS start_off
+      |  FROM t),
+      |x AS (SELECT doc_id, n_tokens, start_off,
+      |  unnest(generate_series(start_off // 512,
+      |                         (start_off + n_tokens - 1) // 512)) AS chunk_id
+      |  FROM c WHERE n_tokens > 0),
+      |s AS (SELECT chunk_id, doc_id, start_off,
+      |  greatest(start_off, chunk_id * 512) AS lo,
+      |  least(start_off + n_tokens, chunk_id * 512 + 512) AS hi
+      |  FROM x)
+      |SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+      |  CAST(lo - start_off AS BIGINT) AS tok_start,
+      |  CAST(hi - lo AS BIGINT) AS tok_len,
+      |  CAST(lo - chunk_id * 512 AS BIGINT) AS seq_off
+      |FROM s ORDER BY chunk_id, doc_id""".stripMargin) { (s, dir) =>
+    graft.text.Packing.chunkSlices(Tables.documents(s, dir), capacity = 512L,
+        bucketShift = 8)
+      .orderBy("chunk_id", "doc_id")
   }
 
   /** Near-dup similarity threshold for [[q_neardup_purge]] (fraction of
@@ -231,5 +271,5 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(q_dup_clusters, q_hash_sample, q_stratified_sample, q_pack_chunks,
-      q_neardup_purge)
+      q_pack_emit, q_neardup_purge)
 }

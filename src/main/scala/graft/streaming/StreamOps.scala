@@ -227,26 +227,61 @@ object StreamOps {
   final case class SessState(start: Double, last: Double, n: Long)
 
   /** Stateful gap-based sessionization (1h gap): emits a session when
-    * the gap is exceeded (or on timeout in a real stream). */
+    * the gap is exceeded, and — in a real stream — when the watermark
+    * passes the open session's last event + gap (EventTimeTimeout), at
+    * which point the session can never be extended again: any later
+    * event the watermark still admits has `tsec >= wm > last + gap`, so
+    * it would have started a NEW session anyway. The timeout therefore
+    * emits the open session AND evicts the key, bounding state to users
+    * active within one gap of the watermark (without it, 10^12-key
+    * streams grow one SessState per user forever). Batch inputs keep the
+    * closed-sessions-only contract (no timeouts fire in batch; the spec
+    * pins streamed == batch - 1 open session per user, and the streaming
+    * idle-eviction case pins the timeout path). */
   def sessionize(events: Dataset[Ev], gapSec: Double = 3600.0): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_.user_id)
+    val streaming = events.isStreaming
+    val src =
+      if (streaming)
+        events
+          .withColumn("ets", col("tsec").cast("timestamp"))
+          .withWatermark("ets", s"${math.ceil(gapSec).toLong} seconds")
+          .as[Ev]
+      else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.tsec, e.event_id))
-          var st = state.getOption.orNull
-          val out = scala.collection.mutable.ArrayBuffer[Session]()
-          sorted.foreach { e =>
-            if (st == null) st = SessState(e.tsec, e.tsec, 1)
-            else if (e.tsec - st.last > gapSec) {
-              out += Session(uid, st.start, st.last, st.n)
-              st = SessState(e.tsec, e.tsec, 1)
-            } else st = SessState(st.start, e.tsec, st.n + 1)
+          if (!evs.hasNext) {
+            // timeout fired: wm > last + gap, session closed for good
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(uid, st.start, st.last, st.n))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.tsec, e.event_id))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer[Session]()
+            sorted.foreach { e =>
+              if (st == null) st = SessState(e.tsec, e.tsec, 1)
+              else if (e.tsec - st.last > gapSec) {
+                out += Session(uid, st.start, st.last, st.n)
+                st = SessState(e.tsec, e.tsec, 1)
+              } else st = SessState(st.start, e.tsec, st.n + 1)
+            }
+            if (st != null) {
+              state.update(st)
+              if (streaming)
+                // input passed the watermark, so last*1000 + gap is
+                // always in the watermark's future
+                state.setTimeoutTimestamp(
+                  (st.last * 1000.0).toLong + (gapSec * 1000.0).toLong)
+            }
+            out.iterator
           }
-          if (st != null) state.update(st)
-          out.iterator
       }
   }
 }

@@ -68,10 +68,16 @@ object Sampling {
       .filter(coalesce(col("_cand"), lit(0L)) < least(col("_quota"), col("_total")))
       .select(col(stratumCol)).collect().map(_.get(0)).toSet
 
+    // NULL-safe membership (<=>): a NULL stratum is a real group (groupBy
+    // and the window both treat it as one), so the deficiency split must
+    // route it like any other — `isInCollection` is three-valued and
+    // would silently drop NULL-stratum rows from BOTH branches whenever
+    // any stratum is deficient, making the sample depend on other strata.
+    val isDeficient = deficient.foldLeft(lit(false))((acc, v) =>
+      acc || (col(stratumCol) <=> lit(v)))
     val pool =
       if (deficient.isEmpty) cand
-      else cand.filter(!col(stratumCol).isInCollection(deficient))
-        .unionByName(keyed.filter(col(stratumCol).isInCollection(deficient)))
+      else cand.filter(!isDeficient).unionByName(keyed.filter(isDeficient))
 
     val w = Window.partitionBy(stratumCol).orderBy(col("_rk_key"), col(idCol))
     pool.withColumn("rk", row_number().over(w))

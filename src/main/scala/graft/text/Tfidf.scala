@@ -47,17 +47,33 @@ object Tfidf {
         (col("df_sum").cast("double") / col("n_shingles")).as("avg_df"))
   }
 
-  /** Top-k salient terms per doc: (doc_id, term, tf, df, rk). */
+  /** Top-k salient terms per doc: (doc_id, term, tf, df, rk).
+    *
+    * Skew: stopword terms ("the") are present in nearly every doc, so
+    * the tf x df equi-join's shuffle-by-term would funnel ~N rows of a
+    * hot term through one reducer at corpus scale. The df table itself
+    * is the hot-key detector for free — a term's df IS its row count on
+    * the join's left side — so terms with `df > hotDf` are split out,
+    * BROADCAST (their count is bounded by total_pairs / hotDf, small by
+    * construction), and resolved map-side with no term shuffle; only the
+    * skew-free cold tail takes the equi-join. Values are identical to
+    * the naive join (same df either way); the tf aggregate's exchange is
+    * reused across the two branches. AQE skew-join remains the backstop
+    * for borderline keys under the threshold. */
   def topTerms(docs: DataFrame, k: Int, textCol: String = "text",
-               idCol: String = "doc_id"): DataFrame = {
+               idCol: String = "doc_id", hotDf: Long = 1L << 20): DataFrame = {
     val toks = docs.select(col(idCol),
         explode(TextOps.tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
     val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val pre = tf.join(broadcast(dfT.filter(col("df") > hotDf)), Seq("term"), "left")
+    val joined = pre.filter(col("df").isNotNull).unionByName(
+      pre.filter(col("df").isNull).drop("df")
+        .join(dfT.filter(col("df") <= hotDf), Seq("term")))
     val w = Window.partitionBy(idCol)
       .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
-    tf.join(dfT, "term")
+    joined
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("rk"))

@@ -38,6 +38,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("tfidf hot-term broadcast split == naive join on a 90%-stopword corpus") {
+    // 9 of every 10 tokens are the stopword "the": a hot join key by
+    // construction (df = every doc)
+    val docs = (0 until 200).map { i =>
+      (i.toLong, (Seq.fill(9)("the") :+ s"term$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    def rows(hotDf: Long) = Tfidf.topTerms(docs, k = 2, hotDf = hotDf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    val split = rows(hotDf = 50L)            // "the" (df=200) -> broadcast branch
+    val plain = rows(hotDf = Long.MaxValue)  // all terms cold: the naive join
+    assert(split == plain)
+    // per doc: rare term wins (1/1), "the" is rank 2 (9/200)
+    assert(split.count(_._2 == "the") == 200)
+    assert(split.count(t => t._2 == s"term${t._1}" && t._5 == 1) == 200)
+    // the hot branch resolves map-side: a broadcast join is in the plan
+    val plan = Tfidf.topTerms(docs, k = 2, hotDf = 50L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("shingle commonness == brute force on a hand fixture") {
     val docs = Seq(
       (1L, "the quick brown fox"), // shingles: "the quick brown", "quick brown fox"
@@ -88,6 +109,28 @@ class CorpusOpsSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
       assert(got == expected, s"threshold $t")
     }
+  }
+
+  test("stratified sample: NULL stratum is a real group, unchanged by other strata's deficiency") {
+    // NULL-lang docs (a real group for groupBy AND the rank window) plus
+    // a deliberately deficient tiny stratum: NULL's picks must be the
+    // same whether or not the fallback branch fires
+    val docs = (0 until 60).map { i =>
+      val lang = if (i < 40) null else if (i < 58) "en" else "xx"
+      (i.toLong, lang)
+    }.toDF("doc_id", "lang")
+    val quota = lit(5)
+    def picks(threshold: Int) =
+      Sampling.stratifiedExact(docs, "lang", "doc_id", quota, threshold)
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getInt(2)))
+        .toSet
+    // threshold 65536: nothing deficient (single-phase reference)
+    val ref = picks(65536)
+    assert(ref.count(_._2.isEmpty) == 5, "NULL stratum quota met")
+    assert(ref.count(_._2.contains("xx")) == 2, "tiny stratum fully kept")
+    // small thresholds: some strata go deficient; the NULL group must
+    // survive the split with identical picks
+    for (t <- Seq(1, 512, 4096)) assert(picks(t) == ref, s"threshold $t")
   }
 
   test("stratified sample: exact quota met when stratum is large enough") {
@@ -146,6 +189,57 @@ class CorpusOpsSpec extends SparkSpec {
       (20L, 0L, 0L, 0L),
       (21L, 512L, 1L, 1L),
       (22L, 513L, 1L, 2L)))
+  }
+
+  test("packing: emitted slices — 3-chunk doc, mid-chunk splits, provenance exact") {
+    val docs = Seq(
+      (10L, Seq.fill(100)("w").mkString(" ")),   // 100 tokens
+      (11L, Seq.fill(600)("w").mkString(" ")),   // 600: split across 0/1
+      (12L, "a b c"),                            // 3
+      (13L, Seq.fill(1200)("w").mkString(" ")))  // 1200: spans chunks 1-3
+      .toDF("doc_id", "text")
+    val got = graft.text.Packing.chunkSlices(docs, capacity = 512L)
+      .orderBy("chunk_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      // (chunk_id, doc_id, tok_start, tok_len, seq_off)
+      (0L, 10L, 0L, 100L, 0L),
+      (0L, 11L, 0L, 412L, 100L),
+      (1L, 11L, 412L, 188L, 0L),
+      (1L, 12L, 0L, 3L, 188L),
+      (1L, 13L, 0L, 321L, 191L),
+      (2L, 13L, 321L, 512L, 0L),
+      (3L, 13L, 833L, 367L, 0L)))
+    // assembled form: every chunk full except the last; slices cover each
+    // chunk contiguously from seq_off 0
+    val chunks = graft.text.Packing.emitChunks(docs, capacity = 512L)
+      .orderBy("chunk_id").collect()
+    assert(chunks.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((0L, 512L), (1L, 512L), (2L, 512L), (3L, 367L)))
+    chunks.foreach { r =>
+      val slices = r.getSeq[org.apache.spark.sql.Row](1)
+      var pos = 0L
+      slices.foreach { s =>
+        assert(s.getLong(0) == pos, s"chunk ${r.getLong(0)} gap at $pos")
+        pos += s.getLong(3)
+      }
+    }
+  }
+
+  test("packing: emitted slices — exact-fit doc produces exactly one full slice") {
+    val docs = Seq(
+      (20L, Seq.fill(512)("w").mkString(" ")), // fills chunk 0 exactly
+      (21L, "x"),
+      (22L, Seq.fill(512)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.text.Packing.chunkSlices(docs, capacity = 512L)
+      .orderBy("chunk_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 20L, 0L, 512L, 0L),   // no bleed into chunk 1
+      (1L, 21L, 0L, 1L, 0L),
+      (1L, 22L, 0L, 511L, 1L),
+      (2L, 22L, 511L, 1L, 0L)))
   }
 
   test("stratified sample is independent of partitioning") {

@@ -37,6 +37,44 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("real ImageIO decode: true dims, bit-deterministic luminance grid, stub fallback") {
+    import spark.implicits._
+    // deterministic 8x4 PNG: left half rgb(10,20,30), right rgb(200,100,50)
+    val img = new java.awt.image.BufferedImage(
+      8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y,
+        if (x < 4) (10 << 16) | (20 << 8) | 30 else (200 << 16) | (100 << 8) | 50)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+
+    // BT.601 integer luminance: left (10*299+20*587+30*114)/1000 = 18,
+    // right (200*299+100*587+50*114)/1000 = 124; 2x4 grid -> cells
+    // {0,1,4,5} left, {2,3,6,7} right
+    val lo = (18.0 / 255.0).toFloat
+    val hi = (124.0 / 255.0).toFloat
+    val wantFeature = Seq(lo, lo, hi, hi, lo, lo, hi, hi)
+
+    val payloads = Seq(
+      Media.MediaPayload(1L, "image/png", png),
+      Media.MediaPayload(2L, "image/png", "not a png".getBytes("UTF-8")),
+      Media.MediaPayload(3L, "video/mp4", png)) // fmt gate: no image path
+    val d = Media.decode(payloads.toDS()).collect().sortBy(_.doc_id)
+
+    assert(d(0).width == 8 && d(0).height == 4 && d(0).n_frames == 1)
+    assert(d(0).n_bytes == png.length.toLong)
+    assert(d(0).feature.toSeq == wantFeature)
+    // decode is bit-deterministic run-to-run
+    val again = Media.decodeBatch(payloads).head
+    assert(again.feature.toSeq == wantFeature && again.width == 8)
+    // unparseable image bytes and non-image fmts fall to the md5 stub
+    def flat(x: Media.Decoded) =
+      (x.doc_id, x.fmt, x.n_bytes, x.width, x.height, x.n_frames, x.feature.toSeq)
+    assert(flat(d(1)) == flat(Media.stubDecode(payloads(1))))
+    assert(flat(d(2)) == flat(Media.stubDecode(payloads(2))))
+  }
+
   test("frame sampling and resize") {
     val dec = Media.decode(Media.toPayloads(docs))
     val frames = Media.sampleFrames(dec, stride = 5).collect()

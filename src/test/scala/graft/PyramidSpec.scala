@@ -114,8 +114,8 @@ class PyramidSpec extends SparkSpec {
     val r = new scala.util.Random(7)
     val cells = (for (y <- 0L until 23; x <- 0L until 37; if r.nextDouble() < 0.4)
       yield (x, y, 1 + r.nextInt(9999))).toSeq
-    def brute(op: Seq[Int] => Int): Map[(Int, Long, Long), Int] = {
-      var lvl = cells.map { case (x, y, v) => (x, y) -> v }.toMap
+    def brute(op: Seq[Long] => Long): Map[(Int, Long, Long), Long] = {
+      var lvl = cells.map { case (x, y, v) => (x, y) -> v.toLong }.toMap
       var out = lvl.map { case ((x, y), v) => (0, x, y) -> v }
       for (k <- 1 to 3) {
         lvl = lvl.groupBy { case ((x, y), _) => (x / 2, y / 2) }
@@ -125,16 +125,31 @@ class PyramidSpec extends SparkSpec {
       out
     }
     type Agg = org.apache.spark.sql.Column => org.apache.spark.sql.Column
-    for ((aggCol, op) <- Seq[(Agg, Seq[Int] => Int)](
+    for ((aggCol, op) <- Seq[(Agg, Seq[Long] => Long)](
         (c => org.apache.spark.sql.functions.max(c), s => s.max),
         (c => fmin(c), s => s.min),
         (c => fsum(c), s => s.sum))) {
       val got = Pyramid.rollup(cells.toDF("gx", "gy", "v"), 3, aggCol)
         .collect()
-        .map(r0 => (r0.getInt(0), r0.getLong(1), r0.getLong(2)) -> r0.getInt(3))
+        .map(r0 => (r0.getInt(0), r0.getLong(1), r0.getLong(2)) -> r0.getLong(3))
         .toMap
       assert(got == brute(op))
     }
+  }
+
+  test("rollup: sum combiner does not wrap Int at coarse levels") {
+    import graft.grid.Pyramid
+    import org.apache.spark.sql.functions.{sum => fsum}
+    import spark.implicits._
+    // 4 children of Int.MaxValue: a correct sum pyramid carries
+    // 4 * 2^31 - 4 at level 1 and up — any int cast in the chain wraps
+    val cells = for (y <- 0L until 2; x <- 0L until 2)
+      yield (x, y, Int.MaxValue)
+    val got = Pyramid.rollup(cells.toDF("gx", "gy", "v"), 2, c => fsum(c))
+      .collect().map(r0 => r0.getInt(0) -> r0.getLong(3))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = 4L * Int.MaxValue
+    assert(got == Map(0 -> total, 1 -> total, 2 -> total))
   }
 
   test("rollup: level 0 is the input verbatim and levels shrink geometrically") {

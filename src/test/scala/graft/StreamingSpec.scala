@@ -215,6 +215,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming sessionize: idle users' open sessions emitted on timeout, state evicted") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[StreamOps.Ev]
+    val out = StreamOps.sessionize(input.toDS(), gapSec = 3600.0)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // user 1: two events in one session; user 2: one event. Both go
+      // idle — without eviction their sessions would never be emitted.
+      input.addData(StreamOps.Ev(1L, 1000.0, 10L), StreamOps.Ev(1L, 1100.0, 11L),
+        StreamOps.Ev(2L, 1200.0, 20L))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").isEmpty) // sessions still open
+      // advance the watermark far past (last event + gap): the advancer
+      // batch moves the watermark, the follow-up batch fires timeouts
+      input.addData(StreamOps.Ev(99L, 100000.0, 990L)); q.processAllAvailable()
+      input.addData(StreamOps.Ev(99L, 100001.0, 991L)); q.processAllAvailable()
+      val got = spark.table("sess_out").as[StreamOps.Session]
+        .collect().map(s => (s.user_id, s.start, s.end, s.n)).toSet
+      assert(got == Set((1L, 1000.0, 1100.0, 2L), (2L, 1200.0, 1200.0, 1L)))
+      // only user 99's open session remains in state
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows <= 1L, s"timeout eviction left $stateRows state rows")
+    } finally q.stop()
+    spark.catalog.dropTempView("sess_out")
+  }
+
   test("streaming tile max == batch windowed grid; late points dropped") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -35,9 +35,19 @@ def norm_cell(v):
     return v
 
 
-def compare(name, spark_rows, duck_rows, cols_s, cols_d):
+def compare(name, spark_rows, duck_rows, cols_s, cols_d,
+            types_s=None, types_d=None):
     if sorted(cols_s) != sorted(cols_d):
         return f"SCHEMA col names differ: spark={sorted(cols_s)} duck={sorted(cols_d)}"
+    if types_s is not None and types_d is not None:
+        # The driver's hasher is type-sensitive (e.g. a DuckDB window sum
+        # over BIGINT widens to HUGEINT and hash-mismatches Spark's BIGINT
+        # even when every value is equal) — so compare result TYPES too.
+        ts = {c: str(t) for c, t in zip(cols_s, types_s)}
+        td = {c: str(t) for c, t in zip(cols_d, types_d)}
+        for c in sorted(cols_s):
+            if ts[c] != td[c]:
+                return f"TYPE col {c}: spark={ts[c]} duck={td[c]}"
     if len(spark_rows) != len(duck_rows):
         return f"ROWS {len(spark_rows)} vs {len(duck_rows)}"
     order = sorted(range(len(cols_s)), key=lambda i: cols_s[i])
@@ -88,6 +98,7 @@ def main():
             continue
         sp = con.execute(f"SELECT * FROM '{d}/*.parquet'")
         cols_s = [c[0] for c in sp.description]
+        types_s = [c[1] for c in sp.description]
         spark_rows = sp.fetchall()
         if name not in oracles:
             print(f"  [rows-only] {name}: {len(spark_rows)} rows")
@@ -96,12 +107,14 @@ def main():
         try:
             dk = con.execute(oracles[name])
             cols_d = [c[0] for c in dk.description]
+            types_d = [c[1] for c in dk.description]
             duck_rows = dk.fetchall()
         except Exception as e:
             print(f"✗ {name}: ORACLE SQL ERROR: {e}")
             n_bad += 1
             continue
-        err = compare(name, spark_rows, duck_rows, cols_s, cols_d)
+        err = compare(name, spark_rows, duck_rows, cols_s, cols_d,
+                      types_s, types_d)
         if err:
             print(f"✗ {name}: {err}")
             n_bad += 1
