@@ -158,7 +158,11 @@ object Bench {
     val block = line.map { l =>
       def num(k: String): Option[String] =
         (s""""$k":(-?[0-9.eE+-]+)""").r.findFirstMatchIn(l).map(_.group(1))
+      def str(k: String): Option[String] =
+        (s""""$k":"([^"]*)"""").r.findFirstMatchIn(l).map(_.group(1))
       val parts = Seq(
+        str("ballast").map(b => s""""ballast":"$b""""),
+        num("ballast_to").map(b => s""""ballast_to":$b"""),
         for (m <- num("lo_median_sec"); b <- num("lo_best_sec");
              d <- num("lo_docs_per_sec"))
           yield s""""n2":{"sec":$m,"best_sec":$b,"docs_per_sec":$d,"mode":"interleaved"}""",
@@ -203,6 +207,8 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_BENCH_RUNS", pairs.toString)
       sys.env.get("SPARK_GRAFT_SCALE_MODE").foreach(m =>
         pb.environment().put("SPARK_GRAFT_SCALE_MODE", m))
+      sys.env.get("SPARK_GRAFT_SCALE_BALLAST").foreach(m =>
+        pb.environment().put("SPARK_GRAFT_SCALE_BALLAST", m))
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val proc = pb.start()
       val out = new java.util.concurrent.atomic.AtomicReference(Vector.empty[String])

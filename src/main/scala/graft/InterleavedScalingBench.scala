@@ -43,6 +43,38 @@ object InterleavedScalingBench {
   private final case class Level(label: String, master: String, cores: Int,
                                  cluster: Boolean)
 
+  /** Pure-ALU core ballast: `n` daemon threads spinning a register-only
+    * LCG (no memory traffic, so no cache/bandwidth contention with the
+    * measured Spark tasks) to hold the HOST-VISIBLE busy-core count
+    * constant across the two levels. This controls the round-4 measured
+    * confounder on this box: a VM with few busy vCPUs gets up to 2x
+    * better per-core speed (host turbo / placement), which inflates the
+    * small level and compresses the scaling ratio — an artifact a real
+    * N-vs-4N-executor fleet does not have, because every machine there
+    * runs the same active-core count at both cluster sizes. Ballast
+    * emulates exactly that invariant on one box. The stop flag is
+    * checked once per 2^16 iterations so the loop body stays pure ALU. */
+  private final class Ballast(n: Int) {
+    @volatile private var live = true
+    @volatile private var sink = 0L // published so JIT can't elide the loop
+    private val threads = (1 to n).map { i =>
+      val t = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L * i
+        while (live) {
+          var k = 0
+          while (k < 65536) {
+            x = x * 6364136223846793005L + 1442695040888963407L; k += 1
+          }
+        }
+        sink = x
+      }, s"graft-ballast-$i")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    def stop(): Unit = { live = false; threads.foreach(_.join(2000)) }
+  }
+
   private def session(l: Level, memMb: Int): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -68,9 +100,16 @@ object InterleavedScalingBench {
     s
   }
 
-  private def runOnce(l: Level, memMb: Int, nDocs: Long): Flagship.FlagshipResult = {
-    val s = session(l, memMb)
-    try { System.gc(); Flagship.run(s, nDocs) } finally s.stop()
+  /** One timed run at level `l`, with `ballastTo - l.cores` spin threads
+    * keeping the host-visible busy-core count at `ballastTo` (0 = off). */
+  private def runOnce(l: Level, memMb: Int, nDocs: Long,
+      ballastTo: Int): Flagship.FlagshipResult = {
+    val extra = math.max(0, ballastTo - l.cores)
+    val b = if (extra > 0) Some(new Ballast(extra)) else None
+    try {
+      val s = session(l, memMb)
+      try { System.gc(); Flagship.run(s, nDocs) } finally s.stop()
+    } finally b.foreach(_.stop())
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -96,12 +135,31 @@ object InterleavedScalingBench {
     val warmPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "1").toInt
     val pairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val factor = hi.cores.toDouble / lo.cores.toDouble
+    // Busy-core control (see Ballast): "pair" (default) holds the host-
+    // visible busy-core count at the HIGH level's core count during both
+    // levels' runs; "full" saturates every hw thread at both levels (the
+    // busy-fleet limit); "none" disables the control.
+    val ballastMode = sys.env.getOrElse("SPARK_GRAFT_SCALE_BALLAST", "pair")
+    val ballastTo = ballastMode match {
+      case "none" => 0
+      case "full" => Runtime.getRuntime.availableProcessors()
+      case _      => hi.cores
+    }
+
+    // stage the input at full parallelism before any timed level runs
+    // (same hygiene as Bench: without this a wiped /tmp makes the FIRST
+    // warm run generate the docs at the small level's parallelism)
+    locally {
+      val s = session(Level("stage", "local[*]",
+        Runtime.getRuntime.availableProcessors(), cluster = false), memMb)
+      try Flagship.stageInput(s, nDocs) finally s.stop()
+    }
 
     (1 to warmPairs).foreach { _ =>
-      runOnce(lo, memMb, nDocs); runOnce(hi, memMb, nDocs)
+      runOnce(lo, memMb, nDocs, ballastTo); runOnce(hi, memMb, nDocs, ballastTo)
     }
     val rounds = (1 to pairs).map { _ =>
-      (runOnce(lo, memMb, nDocs), runOnce(hi, memMb, nDocs))
+      (runOnce(lo, memMb, nDocs, ballastTo), runOnce(hi, memMb, nDocs, ballastTo))
     }
 
     val chk = rounds.flatMap(r => Seq(r._1, r._2))
@@ -119,6 +177,7 @@ object InterleavedScalingBench {
 
     println(
       s"""{"mode":"interleaved-$mode","lo":"${lo.label}","hi":"${hi.label}",""" +
+        s""""ballast":"$ballastMode","ballast_to":$ballastTo,""" +
         s""""lo_cores":${lo.cores},"hi_cores":${hi.cores},"docs":$nDocs,""" +
         s""""lo_runs_sec":[${loSecs.mkString(",")}],""" +
         s""""hi_runs_sec":[${hiSecs.mkString(",")}],""" +
