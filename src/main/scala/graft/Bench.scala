@@ -160,6 +160,8 @@ object Bench {
         (s""""$k":(-?[0-9.eE+-]+)""").r.findFirstMatchIn(l).map(_.group(1))
       def str(k: String): Option[String] =
         (s""""$k":"([^"]*)"""").r.findFirstMatchIn(l).map(_.group(1))
+      def arr(k: String): Option[String] =
+        (s""""$k":(\\[[0-9.,eE+-]*\\])""").r.findFirstMatchIn(l).map(_.group(1))
       val parts = Seq(
         str("ballast").map(b => s""""ballast":"$b""""),
         num("ballast_to").map(b => s""""ballast_to":$b"""),
@@ -169,14 +171,25 @@ object Bench {
         for (m <- num("hi_median_sec"); b <- num("hi_best_sec");
              d <- num("hi_docs_per_sec"))
           yield s""""n8":{"sec":$m,"best_sec":$b,"docs_per_sec":$d,"mode":"interleaved"}""",
-        num("efficiency").map(e => s""""efficiency_2_8":$e"""),
-        num("efficiency_pairs").map(e => s""""efficiency_2_8_pairs":$e"""),
+        // HEADLINE = median of per-ROUND pair ratios: each ratio is a
+        // lo-then-hi pair run seconds apart, so slow per-core host drift
+        // cancels inside every pair — it is the estimator the interleaved
+        // protocol exists to produce. The unpaired ratio-of-medians
+        // (levels pooled across the whole ~10 min window, drift exposed)
+        // is kept as a labeled secondary.
+        num("efficiency_pairs").map(e => s""""efficiency_2_8":$e"""),
+        Some(s""""efficiency_2_8_protocol":"median_of_pair_ratios""""),
+        num("efficiency").map(e => s""""efficiency_2_8_unpaired":$e"""),
         num("efficiency_best").map(e => s""""efficiency_2_8_best":$e"""),
+        // raw per-run arrays so the spread behind every summary figure
+        // is auditable from the artifact alone
+        arr("lo_runs_sec").map(a => s""""lo_runs_sec":$a"""),
+        arr("hi_runs_sec").map(a => s""""hi_runs_sec":$a"""),
         // the child REQUIREs checksum equality across every run of both
         // levels before printing its line
         Some(s""""checksums_match":true"""),
         num("checksum").map(c => s""""checksum":$c""")).flatten
-      (parts, num("efficiency").isDefined)
+      (parts, num("efficiency_pairs").isDefined)
     }
     val (levelParts, complete) = block.getOrElse((Seq.empty[String], false))
     val parts = levelParts ++

@@ -82,19 +82,46 @@ object Flagship {
 
   def run(spark: SparkSession, nDocs: Long): FlagshipResult = {
     val path = stageInput(spark, nDocs)
+    // per-stage wall times to stderr (diagnostic only, never in the JSON)
+    val trace = sys.env.get("SPARK_GRAFT_FLAGSHIP_TRACE").contains("1")
+    def traced[A](label: String)(body: => A): A =
+      if (!trace) body
+      else {
+        val s0 = System.nanoTime()
+        val r = body
+        System.err.println(
+          f"FLAGSHIP TRACE $label: ${(System.nanoTime() - s0) / 1e9}%.3f s")
+        r
+      }
     val t0 = System.nanoTime()
     val geo = geocodedFromParquet(spark, path).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val kept = geo.agg(count(lit(1)).as("n"),
-        // exact mod-prime sum: order-free, never overflows at 10^12 rows
-        sum(pmod(col("kept_hash"), lit(1000000007L))).as("ksum"))
-        .head()
-      val hits = SpatialJoins.pipJoin(geo, Aoi.defs).count()
-      val dsmRow = Gridding.dsm(Gridding.points(geo))
-        .agg(count(lit(1)).as("cells"), sum(col("v")).as("chk")).head()
+      val kept = traced("dedup+persist+keptAgg") {
+        geo.agg(count(lit(1)).as("n"),
+          // exact mod-prime sum: order-free, never overflows at 10^12 rows
+          sum(pmod(col("kept_hash"), lit(1000000007L))).as("ksum"))
+          .head()
+      }
+      // PIP hit count and DSM cells/checksum in ONE action: both consume
+      // the now-materialized cache, and a union of their one-row
+      // aggregates halves the driver-side constant cost (plan + schedule
+      // + broadcast rounds) that the 2-vs-8-core efficiency ratio is most
+      // sensitive to — it is the part of the wall time that does NOT
+      // shrink with cores. Values are bit-identical to the separate
+      // actions (FlagshipSpec pins pip_hits/grid_cells/checksum).
+      val tail = traced("pipJoin+dsmGrid") {
+        val pipRow = SpatialJoins.pipJoin(geo, Aoi.defs)
+          .agg(count(lit(1)).as("a"), lit(0L).as("b"))
+          .select(lit("pip").as("k"), col("a"), col("b"))
+        val dsmRow = Gridding.dsm(Gridding.points(geo))
+          .agg(count(lit(1)).as("a"), sum(col("v")).as("b"))
+          .select(lit("dsm").as("k"), col("a"), col("b"))
+        pipRow.unionAll(dsmRow).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      }
       val secs = (System.nanoTime() - t0) / 1e9
-      FlagshipResult(nDocs, kept.getLong(0), hits, dsmRow.getLong(0),
-        dsmRow.getLong(1), kept.getLong(1), secs)
+      FlagshipResult(nDocs, kept.getLong(0), tail("pip")._1, tail("dsm")._1,
+        tail("dsm")._2, kept.getLong(1), secs)
     } finally { geo.unpersist(blocking = true); () }
   }
 }
