@@ -101,14 +101,24 @@ object InterleavedScalingBench {
   }
 
   /** One timed run at level `l`, with `ballastTo - l.cores` spin threads
-    * keeping the host-visible busy-core count at `ballastTo` (0 = off). */
+    * keeping the host-visible busy-core count at `ballastTo` (0 = off).
+    * In CLUSTER mode each session spawns fresh executor JVMs, so the
+    * first pass through the job carries their full JIT/codegen cost —
+    * local mode doesn't have this (the bench JVM stays warm across
+    * sessions). To measure like for like, cluster runs do one
+    * unmeasured warm pass inside the fresh session and time the second
+    * pass; measured cold-JIT penalty at 16M docs without this: hi-level
+    * first runs 52 s vs 26 s steady, efficiency misread by ~1.5x. */
   private def runOnce(l: Level, memMb: Int, nDocs: Long,
       ballastTo: Int): Flagship.FlagshipResult = {
     val extra = math.max(0, ballastTo - l.cores)
     val b = if (extra > 0) Some(new Ballast(extra)) else None
     try {
       val s = session(l, memMb)
-      try { System.gc(); Flagship.run(s, nDocs) } finally s.stop()
+      try {
+        if (l.cluster) Flagship.run(s, nDocs) // executor JIT warm pass
+        System.gc(); Flagship.run(s, nDocs)
+      } finally s.stop()
     } finally b.foreach(_.stop())
   }
 
