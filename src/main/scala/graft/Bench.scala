@@ -252,6 +252,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // SF-scope the oracle side tables (graft.queries.SideTables): the
+    // sweep re-executes every query closure, and at a different SF than
+    // the last Verify dump it would otherwise overwrite side tables a
+    // pending DuckDB replay still reads.
+    graft.queries.SideTables.setTokenFromSfDir(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")
 

@@ -6,6 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // SF-scope the oracle side tables BEFORE any query object initializes
+    // (see graft.queries.SideTables): a later Bench sweep at another SF
+    // must not clobber the side tables this dump's DuckDB replay reads.
+    graft.queries.SideTables.setTokenFromSfDir(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

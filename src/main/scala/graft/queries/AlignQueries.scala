@@ -32,7 +32,7 @@ object AlignQueries {
 
   /** Fixed side-table root the oracle SQL reads back (the engine query
     * overwrites it on every run, before the oracle executes). */
-  final val SideRoot = "/tmp/graft_align_side"
+  final val SideRoot = SideTables.root("align_side")
 
   private val maxSteps = math.ceil(cfg.maxT / cfg.gsd).toInt // 3 -> 7x7 offsets
 

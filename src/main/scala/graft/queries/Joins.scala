@@ -158,7 +158,7 @@ object Joins {
        |SELECT aoi_id, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
        |${Aoi.oracleHitsSql}
        |) hits GROUP BY aoi_id ORDER BY aoi_id""".stripMargin) { (s, dir) =>
-    val tmp = QueryDef.recreateDir("/tmp/graft_stream_pip_src")
+    val tmp = QueryDef.recreateDir(SideTables.root("stream_pip_src"))
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/documents.parquet"),
       tmp.resolve("documents.parquet"))
@@ -195,7 +195,7 @@ object Joins {
       |FROM v JOIN c ON c.user_id = v.user_id
       |  AND c.cts >= v.vts AND c.cts <= v.vts + INTERVAL 600 SECOND
       |ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
-    val tmp = QueryDef.recreateDir("/tmp/graft_stream_join_src")
+    val tmp = QueryDef.recreateDir(SideTables.root("stream_join_src"))
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       tmp.resolve("events.parquet"))

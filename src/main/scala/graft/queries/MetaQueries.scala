@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object MetaQueries {
 
   /** Fixed snapshot root, wiped per run so the commit is always snap-0. */
-  final val Root = "/tmp/graft_snap_side"
+  final val Root = SideTables.root("snap_side")
 
   val q_snapshot_scan: QueryDef = QueryDef.sqlChecked(
     "q_snapshot_scan",
@@ -37,7 +37,7 @@ object MetaQueries {
 
   /** Own root — q_snapshot_scan wipes [[Root]] wholesale, and query
     * execution order is not part of the driver contract. */
-  final val DiffRoot = "/tmp/graft_snap_diff"
+  final val DiffRoot = SideTables.root("snap_diff")
 
   /** Incremental snapshot read (§2.12 resume + Iceberg-style CDC): commit
     * the DSM of half the corpus (even doc_ids) as snapshot 0 and of the
@@ -71,7 +71,7 @@ object MetaQueries {
   }
 
   /** Own root (see [[DiffRoot]] note). */
-  final val PruneRoot = "/tmp/graft_snap_prune"
+  final val PruneRoot = SideTables.root("snap_prune")
 
   /** Data-skipping file pruning (Iceberg-style, SURVEY.md §4.7): commit
     * the cell-indexed documents CLUSTERED on the Morton cell id (range
@@ -117,7 +117,7 @@ object MetaQueries {
   }
 
   /** Own root (same isolation argument as [[DiffRoot]]). */
-  final val CompactRoot = "/tmp/graft_snap_compact"
+  final val CompactRoot = SideTables.root("snap_compact")
 
   /** Small-file compaction roundtrip: commit the DSM fragmented across
     * 16 files, compact to 2, and read the table back through the LATEST
@@ -149,7 +149,7 @@ object MetaQueries {
   }
 
   /** Own root (same isolation argument as [[DiffRoot]]). */
-  final val MergeRoot = "/tmp/graft_snap_merge"
+  final val MergeRoot = SideTables.root("snap_merge")
 
   /** Row-level MERGE (Iceberg-style copy-on-write upsert + delete,
     * [[Snapshots.merge]]): commit a doc summary table key-clustered

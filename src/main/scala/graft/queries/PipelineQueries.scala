@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
  */
 object PipelineQueries {
 
-  final val SideRoot = "/tmp/graft_pipeline_side"
+  final val SideRoot = SideTables.root("pipeline_side")
 
   /** Path-components fixture: component c has 8 docs (ids 8c..8c+7);
     * doc j shares its head token with neighbor pairs (2k, 2k+1) and its

@@ -20,7 +20,7 @@ object Shr3dQueries {
         openLabels = false))
 
   /** Fixed side-table root for the staged-input oracle below. */
-  final val SideRoot = "/tmp/graft_shr3d_side"
+  final val SideRoot = SideTables.root("shr3d_side")
 
   /** W16/J3 per-cell classification, bit-exact over STAGED inputs: the
     * facade's dsm/dtm/dsm2 products are dumped to parquet side-tables

@@ -153,7 +153,7 @@ object SimilarityQueries {
     }
 
   /** Fixed side-table root for the PQ staged-codebook oracle. */
-  final val PqSideRoot = "/tmp/graft_pq_side"
+  final val PqSideRoot = SideTables.root("pq_side")
 
   /** Product-quantization ANN (the compressed-domain scale path): train
     * deterministic per-subspace codebooks on a bounded sample

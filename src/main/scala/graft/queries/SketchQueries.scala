@@ -61,7 +61,7 @@ object SketchQueries {
   }
 
   /** Fixed side-table root for the heavy-hitters fixture below. */
-  final val SideRoot = "/tmp/graft_sketch_side"
+  final val SideRoot = SideTables.root("sketch_side")
 
   /** Per-lang heavy-hitter domains over a Zipf-skewed staged crawl
     * (`Sketches.freqItems`, Misra-Gries). Exactness contract: each lang

@@ -135,7 +135,7 @@ object TextQueries {
   }
 
   /** Fixed side-table root for the line-dedup fixture below. */
-  final val SideRoot = "/tmp/graft_text_side"
+  final val SideRoot = SideTables.root("text_side")
 
   /** Deterministic multi-line doc with realistic cross-doc line reuse:
     * 4-9 lines from a 2000-phrase pool (so typical docs lose SOME lines

@@ -35,7 +35,7 @@ object WebQueries {
 
   /** Fixed side-table root the oracle SQL reads back (overwritten by the
     * engine queries before the oracle executes). */
-  final val SideRoot = "/tmp/graft_webpages_side"
+  final val SideRoot = SideTables.root("webpages_side")
 
   /** Generate, geocode, stage to parquet, and read back — the engine
     * query consumes the same staged bytes the oracle replays. */
@@ -209,7 +209,7 @@ object WebQueries {
     val pages = withGeo(WebPages.generate(s, N).toDF())
       .select("url", "warc_ts", "text", "lang")
     pages.repartition(4).write.mode("overwrite").parquet(src)
-    val root = QueryDef.recreateDir("/tmp/graft_stream_upsert").toString
+    val root = QueryDef.recreateDir(SideTables.root("stream_upsert")).toString
     val schema = s.read.parquet(src).schema
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
