@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
  * no cycles to detect — every path ends in a sink — so basin labeling is
  * pure pointer DOUBLING: after k rounds each cell's pointer has advanced
  * 2^k hops, so the loop converges in ceil(log2(longest flow path))
- * rounds, each round ONE self-equi-join of the (cell, pointer) table on
- * packed Long ids plus a sink anti-join count for convergence. At 100 TB
- * the pointer table shuffles by cell id each round — O(|V|) per round,
- * O(|V| log d) total, no single-task state; the same contract as
+ * rounds, each round ONE equi-join of the still-active frontier against
+ * the full (cell, pointer) lookup on packed Long ids; a row converges
+ * exactly when it hops through a self-loop (detected inside the same
+ * join), so convergence needs no separate sink anti-join, and converged
+ * rows leave the frontier while staying on the lookup side (path
+ * compression). At 100 TB the lookup table shuffles by cell id each
+ * round — O(|V|) per round, O(|V| log d) total, with the streamed side
+ * shrinking geometrically; the same contract as
  * [[graft.dedup.DupClusters]] (label propagation), but doubling not
  * halving, because a functional graph needs no neighbor-min step.
  *
@@ -84,24 +88,37 @@ object FlowBasins {
           .as("nid"))
       .localCheckpoint(eager = true)
 
-    val sinks = next.filter(col("id") === col("nid")).select(col("id").as("sid"))
-      .localCheckpoint(eager = true)
-
-    var pt = next
+    // Active-frontier doubling with path compression. A row is converged
+    // exactly when its pointer IS a sink, and the compose join sees that
+    // for free: the row it hops through self-loops (jid === jnid), so the
+    // separate sinks table and the per-round anti-join convergence probe
+    // of the first cut are gone — each round is ONE join + checkpoint,
+    // and convergence is a trivial filter over the checkpointed result.
+    // Converged rows leave the frontier (their labels are final; keeping
+    // them on the lookup side path-compresses later hops straight to the
+    // sink), so the streamed side shrinks geometrically while the lookup
+    // side stays O(|V|) — the same per-round shuffle bound as plain
+    // doubling with roughly half the join actions.
+    var frontier = next
+    var finished = List.empty[DataFrame]
     var round = 0
-    var done = pt.join(sinks, pt("nid") === sinks("sid"), "left_anti").isEmpty
-    while (!done) {
+    while (!frontier.isEmpty) {
       round += 1
       if (round > maxRounds)
         throw new IllegalStateException(
           s"flow-basin pointer doubling did not converge in $maxRounds rounds")
-      val hop = pt.select(col("id").as("jid"), col("nid").as("jnid"))
-      pt = pt.join(hop, pt("nid") === hop("jid"))
-        .select(pt("id"), col("jnid").as("nid"))
+      val lookup = (frontier :: finished).reduce(_ unionByName _)
+        .select(col("id").as("jid"), col("nid").as("jnid"))
+      val composed = frontier.join(lookup, frontier("nid") === lookup("jid"))
+        .select(frontier("id"), col("jnid").as("nid"),
+          (col("jid") === col("jnid")).as("done"))
         .localCheckpoint(eager = true)
-      done = pt.join(sinks, pt("nid") === sinks("sid"), "left_anti").isEmpty
+      finished = composed.filter(col("done")).select(col("id"), col("nid")) ::
+        finished
+      frontier = composed.filter(!col("done")).select(col("id"), col("nid"))
     }
 
+    val pt = (next.limit(0) :: finished).reduce(_ unionByName _)
     pt.select(
       shiftrightunsigned(col("id"), 32).as("gx"),
       col("id").bitwiseAND(lit(0xFFFFFFFFL)).as("gy"),
