@@ -269,9 +269,74 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared CTE chain of the two dup-span oracles: every duplicated
+    * 5-token window's 0-based position, gaps-and-islands-merged into
+    * maximal spans — the naive re-derivation of
+    * [[graft.text.DupSpans.spans]]' three-shuffle decomposition. */
+  private val dupSpanCte =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, CAST(pos - 1 AS BIGINT) AS pos,
+      |        array_to_string(toks[pos:pos+4], ' ') AS kg
+      |      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 4))
+      |                       AS pos)
+      |      WHERE len(toks) >= 5),
+      |f AS (SELECT kg FROM g GROUP BY kg HAVING count(*) > 1),
+      |d AS (SELECT doc_id, pos FROM g JOIN f USING (kg)),
+      |m AS (SELECT doc_id, pos,
+      |        max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |      FROM d),
+      |i AS (SELECT doc_id, pos,
+      |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+      |            THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |      FROM m),
+      |sp AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |         CAST(max(pos) + 4 AS BIGINT) AS span_end,
+      |         CAST(count(*) AS BIGINT) AS n_windows
+      |       FROM i GROUP BY doc_id, island)""".stripMargin
+
+  /** Duplicated-substring spans ([[graft.text.DupSpans.spans]], after
+    * Lee et al. 2022): maximal merged spans of 5-token windows whose
+    * exact text repeats anywhere in the corpus. The oracle re-derives
+    * them with a naive global window-frequency join + gaps-and-islands,
+    * so a green row proves the engine's semi-join + per-doc island
+    * decomposition exact, span for span. */
+  val q_dup_spans: QueryDef = QueryDef.sqlChecked(
+    "q_dup_spans",
+    s"""WITH $dupSpanCte
+       |SELECT doc_id, span_start, span_end, n_windows
+       |FROM sp ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+    graft.text.DupSpans.spans(Tables.documents(s, dir), k = 5)
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Doc-level duplicated-token coverage
+    * ([[graft.text.DupSpans.coverage]]): every doc (zero rows included)
+    * with its duplicated token count and fraction; dup_frac is one IEEE
+    * division of exact longs, so the double column is bit-exact. */
+  val q_dup_coverage: QueryDef = QueryDef.sqlChecked(
+    "q_dup_coverage",
+    s"""WITH $dupSpanCte,
+       |p AS (SELECT doc_id,
+       |        CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+       |        CAST(count(*) AS BIGINT) AS n_spans
+       |      FROM sp GROUP BY doc_id)
+       |SELECT documents.doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  coalesce(p.dup_tokens, 0) AS dup_tokens,
+       |  coalesce(p.n_spans, 0) AS n_spans,
+       |  coalesce(p.dup_tokens, 0) /
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dup_frac
+       |FROM documents LEFT JOIN p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.text.DupSpans.coverage(Tables.documents(s, dir), k = 5)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_token_stats, q_lang_guess, q_quality_score, q_fingerprint,
     q_dedup_exact, q_dedup_prefix, q_minhash_sig, q_simhash, q_ngram_jaccard,
     q_repetition, q_line_dedup, q_redact_pii, q_decontam, q_tfidf_topk,
-    q_boilerplate)
+    q_boilerplate, q_dup_spans, q_dup_coverage)
 }
