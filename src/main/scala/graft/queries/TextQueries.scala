@@ -334,9 +334,43 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Span excision ([[graft.text.DupSpans.excise]], Lee et al. 2022
+    * §4): tokens inside duplicated spans are dropped, survivors rejoin
+    * into clean_text. The oracle re-derives it token-by-token — unnest
+    * every (doc, pos, tok), anti-join the span intervals, string_agg
+    * back in position order — so a green row proves the engine's
+    * per-row array-lambda drop equals the naive relational excision,
+    * byte for byte, including no-dup pass-through docs and the
+    * kept/removed accounting. */
+  val q_dup_excise: QueryDef = QueryDef.sqlChecked(
+    "q_dup_excise",
+    s"""WITH $dupSpanCte,
+       |tk AS (SELECT doc_id, CAST(pos - 1 AS BIGINT) AS tpos, toks[pos] AS tok,
+       |         len(toks) AS n_toks
+       |       FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)))
+       |                        AS pos)),
+       |kp AS (SELECT tk.doc_id, tpos, tok, n_toks FROM tk
+       |       WHERE NOT EXISTS (SELECT 1 FROM sp
+       |                         WHERE sp.doc_id = tk.doc_id
+       |                           AND tpos BETWEEN span_start AND span_end)),
+       |ag AS (SELECT doc_id,
+       |         coalesce(string_agg(tok, ' ' ORDER BY tpos), '') AS clean_text,
+       |         CAST(count(*) AS BIGINT) AS kept_tokens
+       |       FROM kp GROUP BY doc_id)
+       |SELECT documents.doc_id,
+       |  coalesce(ag.clean_text, '') AS clean_text,
+       |  coalesce(ag.kept_tokens, 0) AS kept_tokens,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT)
+       |    - coalesce(ag.kept_tokens, 0) AS removed_tokens
+       |FROM documents LEFT JOIN ag USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.text.DupSpans.excise(Tables.documents(s, dir), k = 5)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_token_stats, q_lang_guess, q_quality_score, q_fingerprint,
     q_dedup_exact, q_dedup_prefix, q_minhash_sig, q_simhash, q_ngram_jaccard,
     q_repetition, q_line_dedup, q_redact_pii, q_decontam, q_tfidf_topk,
-    q_boilerplate, q_dup_spans, q_dup_coverage)
+    q_boilerplate, q_dup_spans, q_dup_coverage, q_dup_excise)
 }

@@ -65,7 +65,35 @@ object DupSpans {
       .select(col("kg"))
     val dup = w.join(dupKgs, Seq("kg"), "left_semi")
       .select(col(idCol), col("pos").cast("long").as("pos"))
+    mergeIslands(dup, k, idCol)
+  }
 
+  /** [[spans]] with the corpus-frequency shuffle keyed on
+    * xxhash64(window) instead of the window STRING — the 10^12-doc
+    * shape the [[spans]] scaladoc describes: the shuffled key is 8
+    * bytes instead of ~k words, at the price of treating 64-bit hash
+    * collisions as duplicates (a false-positive rate of ~n²/2⁶⁵ pairs,
+    * i.e. vanishing next to the boilerplate rate this op targets; the
+    * merge/rollup stages are unchanged). Collision-free corpora —
+    * every test SF — yield bit-identical spans, which is what
+    * DupSpansSpec pins. */
+  def spansHashed(docs: DataFrame, k: Int, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val w = windows(docs, k, textCol, idCol)
+      .select(col(idCol), col("pos"), xxhash64(col("kg")).as("kg"))
+    val dupKgs = w.groupBy(col("kg"))
+      .agg(count(lit(1)).as("__f")).filter(col("__f") > 1)
+      .select(col("kg"))
+    val dup = w.join(dupKgs, Seq("kg"), "left_semi")
+      .select(col(idCol), col("pos").cast("long").as("pos"))
+    mergeIslands(dup, k, idCol)
+  }
+
+  /** Gaps-and-islands merge of duplicated window positions into maximal
+    * spans — the per-doc final stage shared by [[spans]] and
+    * [[spansHashed]]. Input: (idCol, pos: long). */
+  private def mergeIslands(dup: DataFrame, k: Int, idCol: String)
+  : DataFrame = {
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val prevEnd = max(col("pos") + lit(k - 1).cast("long"))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
@@ -79,6 +107,36 @@ object DupSpans {
         (max(col("pos")) + lit(k - 1).cast("long")).as("span_end"),
         count(lit(1)).as("n_windows"))
       .drop("__island")
+  }
+
+  /** Excision — the step a training-data pipeline runs on the spans:
+    * every token inside a duplicated span is dropped and the survivors
+    * rejoin into `clean_text` (Lee et al. 2022 §4 deduplicate-and-train).
+    * One extra doc_id-keyed join of the per-doc span list back onto the
+    * corpus (same shuffle grain as [[coverage]]); the drop itself is a
+    * per-row array lambda bounded by tokens-per-doc × spans-per-doc, so
+    * it stays inside the scan pipeline. Docs with no duplicated span
+    * pass through verbatim; a fully-duplicated doc yields an empty
+    * clean_text with kept_tokens = 0 (the caller's filter grain). */
+  def excise(docs: DataFrame, k: Int, textCol: String = "text",
+             idCol: String = "doc_id"): DataFrame = {
+    val perDoc = spans(docs, k, textCol, idCol)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    docs.join(perDoc, Seq(idCol), "left")
+      .withColumn("__toks", split(col(textCol), " ", -1))
+      .withColumn("__kept", expr(
+        """filter(transform(__toks, (t, i) -> struct(t AS t, CAST(i AS BIGINT) AS i)),
+          |       x -> __spans IS NULL OR
+          |            NOT exists(__spans,
+          |                       sp -> x.i >= sp.span_start AND
+          |                             x.i <= sp.span_end))""".stripMargin))
+      .select(col(idCol),
+        array_join(expr("transform(__kept, x -> x.t)"), " ").as("clean_text"),
+        size(col("__kept")).cast("long").as("kept_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("removed_tokens"))
   }
 
   /** Doc-level rollup over [[spans]]: every doc with its duplicated

@@ -71,6 +71,56 @@ class DupSpansSpec extends SparkSpec {
       == expected)
   }
 
+  test("spansHashed == spans on a collision-free corpus, any partitioning") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select("doc_id", "text")
+    val expected = collect(DupSpans.spans(docs, k = 5))
+    assert(collect(DupSpans.spansHashed(docs, k = 5)) == expected)
+    assert(collect(DupSpans.spansHashed(docs.repartition(7), k = 5))
+      == expected)
+  }
+
+  test("excise: drops exactly the span tokens, pass-through and full-dup") {
+    // doc 1/2 share a 6-token phrase; doc 3 untouched; doc 4 is a full
+    // duplicate of doc 5 (every token in a span -> empty clean_text)
+    val docs = Seq(
+      (1L, "u1 u2 p1 p2 p3 p4 p5 p6 u3 u4"),
+      (2L, "w1 p1 p2 p3 p4 p5 p6"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8"),
+      (4L, "d1 d2 d3 d4 d5 d6"),
+      (5L, "d1 d2 d3 d4 d5 d6")).toDF("doc_id", "text")
+    val got = DupSpans.excise(docs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "u1 u2 u3 u4", 4L, 6L),
+      (2L, "w1", 1L, 6L),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8", 8L, 0L),
+      (4L, "", 0L, 6L),
+      (5L, "", 0L, 6L)))
+  }
+
+  test("excise == brute force at sf0.001") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.as[(Long, String)].collect().toSeq
+    val spans = bruteSpans(corpus, k = 5)
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3))).toMap
+    val expected = corpus.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val drop = spans.getOrElse(id, Set.empty)
+      val kept = toks.zipWithIndex.collect {
+        case (t, i) if !drop.exists(s => i >= s._1 && i <= s._2) => t
+      }
+      (id, kept.mkString(" "), kept.length.toLong,
+        (toks.length - kept.length).toLong)
+    }.toSet
+    val got = DupSpans.excise(docs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == expected)
+  }
+
   test("coverage: zero-dup docs report 0 spans and dup_frac 0.0") {
     val docs = Seq(
       (1L, "p1 p2 p3 p4 p5"),
