@@ -186,6 +186,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "codes must not shuffle-sort for the LUT join")
   }
 
+  test("dup spans: partial-agg frequency filter, hash joins only") {
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select("doc_id", "text")
+    val p = graft.text.DupSpans.excise(docs, k = 5)
+      .queryExecution.executedPlan.toString
+    // the corpus-wide window-frequency count must combine map-side
+    // (partial HashAggregate) before its one shuffle
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"window frequency lost map-side combine:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in dup-span plan:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in dup-span plan:\n${p.take(3000)}")
+  }
+
   test("reference trace: all joins hash-based, no cartesian/range scans") {
     import graft.stencil.TileStencil.Bounds
     import spark.implicits._
