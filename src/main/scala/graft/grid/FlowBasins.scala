@@ -5,33 +5,37 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
- * D8 drainage-basin labeling over a DSM — the hydrology companion of
- * [[graft.stencil.Kernels.AspectD8]]: every cell is labeled with the
- * sink its steepest-descent (D8) path terminates in. The reference's
- * raster family stops at per-cell products (slope/aspect are local
- * stencils); basins are the canonical NON-local raster derivative, and
- * the reason this module exists as a distributed graph loop instead of a
- * kernel: a flow path can cross the whole grid, so no bounded halo can
- * compute it.
+ * D8 drainage analysis over a DSM — the hydrology companions of
+ * [[graft.stencil.Kernels.AspectD8]]: basin labels (the sink each cell's
+ * steepest-descent path terminates in) and flow-path length (hops along
+ * that path). The reference's raster family stops at per-cell products
+ * (slope/aspect are local stencils); these are the canonical NON-local
+ * raster derivatives, and the reason this module is a distributed graph
+ * loop instead of a kernel: a flow path can cross the whole grid, so no
+ * bounded halo can compute it.
  *
  * Graph shape: the D8 next-pointer is a total function on the cell set
  * (full-support descending cells point at their lowest neighbor —
  * smallest-index tie-break, exactly [[Kernels.AspectD8]]; everything
  * else, i.e. local minima, flats, and support-less border cells, is a
  * sink pointing at itself). A functional graph with self-loop sinks has
- * no cycles to detect — every path ends in a sink — so basin labeling is
- * pure pointer DOUBLING: after k rounds each cell's pointer has advanced
- * 2^k hops, so the loop converges in ceil(log2(longest flow path))
+ * no cycles to detect — every path ends in a sink — so path resolution is
+ * pure pointer DOUBLING carrying an additive edge weight (Wyllie's
+ * list-ranking step, JACM 1979 folklore): after k rounds each cell's
+ * pointer has advanced 2^k hops and its weight holds the weight-sum of
+ * the hops taken, so the loop converges in ceil(log2(longest flow path))
  * rounds, each round ONE equi-join of the still-active frontier against
- * the full (cell, pointer) lookup on packed Long ids; a row converges
- * exactly when it hops through a self-loop (detected inside the same
- * join), so convergence needs no separate sink anti-join, and converged
- * rows leave the frontier while staying on the lookup side (path
- * compression). At 100 TB the lookup table shuffles by cell id each
- * round — O(|V|) per round, O(|V| log d) total, with the streamed side
- * shrinking geometrically; the same contract as
- * [[graft.dedup.DupClusters]] (label propagation), but doubling not
- * halving, because a functional graph needs no neighbor-min step.
+ * the full (cell, pointer, weight) lookup on packed Long ids; a row
+ * converges exactly when it hops through a self-loop (detected inside
+ * the same join), so convergence needs no separate sink anti-join, and
+ * converged rows leave the frontier while staying on the lookup side
+ * (path compression — their weight is the full remaining distance, so a
+ * later hop through them lands on the sink with the exact total). At
+ * 100 TB the lookup table shuffles by cell id each round — O(|V|) per
+ * round, O(|V| log d) total, with the streamed side shrinking
+ * geometrically; the same contract as [[graft.dedup.DupClusters]]
+ * (label propagation), but doubling not halving, because a functional
+ * graph needs no neighbor-min step.
  *
  * Determinism: the next-pointer is a pure function of cell values (the
  * kernel's tie-break), and doubling composes it — output independent of
@@ -40,18 +44,59 @@ import org.apache.spark.sql.functions._
  */
 object FlowBasins {
 
-  /** Basin label per DSM cell: (gx, gy, sink_x, sink_y) where
-    * (sink_x, sink_y) is the terminal cell of the cell's D8 path.
+  /** Wyllie weighted pointer-doubling over a functional graph with
+    * self-loop sinks. Input/output columns `(id: long, nid: long,
+    * w: long)`: on input `nid` is the next pointer (`nid == id` marks a
+    * sink) and `w` the weight of that hop (MUST be 0 on self-loops); on
+    * output `nid` is the terminal sink of `id`'s path and `w` the total
+    * path weight. The generic core behind [[basins]]/[[paths]] and the
+    * Euler-tour list ranking in [[FlowAccum]].
     *
-    * @param dsm       sparse cell table (gx, gy, v) with v > 0
-    * @param bounds    grid bounds for the stencil pass
-    * @param tileSize  stencil tile size (forwarded to [[TileStencil]])
     * @param maxRounds doubling-round bound; 64 covers any path that fits
-    *                  in a 2^63-cell grid, so hitting it means a bug, and
+    *                  in a 2^63-row list, so hitting it means a bug, and
     *                  the loop throws instead of returning partial labels
     */
-  def basins(dsm: DataFrame, bounds: TileStencil.Bounds,
-             tileSize: Int = 128, maxRounds: Int = 64): DataFrame = {
+  def resolve(next: DataFrame, maxRounds: Int = 64): DataFrame = {
+    var frontier = next.select(col("id").cast("long"), col("nid").cast("long"),
+      col("w").cast("long")).localCheckpoint(eager = true)
+    // Active-frontier doubling with path compression. A row is converged
+    // exactly when its pointer IS a sink, and the compose join sees that
+    // for free: the row it hops through self-loops (jid === jnid, weight
+    // 0 by contract), so no separate sinks table and no per-round
+    // anti-join convergence probe — each round is ONE join + checkpoint,
+    // and convergence is a trivial filter over the checkpointed result.
+    // Converged rows leave the frontier (their weights are final; keeping
+    // them on the lookup side path-compresses later hops straight to the
+    // sink with the exact remaining weight), so the streamed side shrinks
+    // geometrically while the lookup side stays O(|V|).
+    var finished = List.empty[DataFrame]
+    var round = 0
+    while (!frontier.isEmpty) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"pointer doubling did not converge in $maxRounds rounds")
+      val lookup = (frontier :: finished).reduce(_ unionByName _)
+        .select(col("id").as("jid"), col("nid").as("jnid"), col("w").as("jw"))
+      val composed = frontier.join(lookup, frontier("nid") === lookup("jid"))
+        .select(frontier("id"), col("jnid").as("nid"),
+          (frontier("w") + col("jw")).as("w"),
+          (col("jid") === col("jnid")).as("done"))
+        .localCheckpoint(eager = true)
+      finished = composed.filter(col("done"))
+        .select(col("id"), col("nid"), col("w")) :: finished
+      frontier = composed.filter(!col("done"))
+        .select(col("id"), col("nid"), col("w"))
+    }
+    (next.limit(0).select(col("id").cast("long"), col("nid").cast("long"),
+      col("w").cast("long")) :: finished).reduce(_ unionByName _)
+  }
+
+  /** The D8 next-pointer table for a sparse DSM: `(id, nid)` on packed
+    * 32/32 Long cell ids — descending cells step to their steepest-descent
+    * neighbor, sinks self-loop. */
+  def nextPointer(dsm: DataFrame, bounds: TileStencil.Bounds,
+                  tileSize: Int = 128): DataFrame = {
     val cells = dsm.select(col("gx").cast("long"), col("gy").cast("long"),
       col("v").cast("int"))
 
@@ -77,8 +122,7 @@ object FlowBasins {
     def packed(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
       shiftleft(x, 32).bitwiseOR(y) // coords non-negative and < 2^31
 
-    // total next-pointer: descending cells step to offs(idx-1); sinks self
-    val next = cells.join(aspect, Seq("gx", "gy"), "left")
+    cells.join(aspect, Seq("gx", "gy"), "left")
       .join(offDf, Seq("idx"), "left")
       .select(
         packed(col("gx"), col("gy")).as("id"),
@@ -86,43 +130,32 @@ object FlowBasins {
           col("gx") + coalesce(col("dx"), lit(0L)),
           col("gy") + coalesce(col("dy"), lit(0L)))
           .as("nid"))
-      .localCheckpoint(eager = true)
+  }
 
-    // Active-frontier doubling with path compression. A row is converged
-    // exactly when its pointer IS a sink, and the compose join sees that
-    // for free: the row it hops through self-loops (jid === jnid), so the
-    // separate sinks table and the per-round anti-join convergence probe
-    // of the first cut are gone — each round is ONE join + checkpoint,
-    // and convergence is a trivial filter over the checkpointed result.
-    // Converged rows leave the frontier (their labels are final; keeping
-    // them on the lookup side path-compresses later hops straight to the
-    // sink), so the streamed side shrinks geometrically while the lookup
-    // side stays O(|V|) — the same per-round shuffle bound as plain
-    // doubling with roughly half the join actions.
-    var frontier = next
-    var finished = List.empty[DataFrame]
-    var round = 0
-    while (!frontier.isEmpty) {
-      round += 1
-      if (round > maxRounds)
-        throw new IllegalStateException(
-          s"flow-basin pointer doubling did not converge in $maxRounds rounds")
-      val lookup = (frontier :: finished).reduce(_ unionByName _)
-        .select(col("id").as("jid"), col("nid").as("jnid"))
-      val composed = frontier.join(lookup, frontier("nid") === lookup("jid"))
-        .select(frontier("id"), col("jnid").as("nid"),
-          (col("jid") === col("jnid")).as("done"))
-        .localCheckpoint(eager = true)
-      finished = composed.filter(col("done")).select(col("id"), col("nid")) ::
-        finished
-      frontier = composed.filter(!col("done")).select(col("id"), col("nid"))
-    }
-
-    val pt = (next.limit(0) :: finished).reduce(_ unionByName _)
+  /** Unpack a resolved `(id, nid, w)` table back to grid coordinates. */
+  private def unpack(pt: DataFrame): DataFrame =
     pt.select(
       shiftrightunsigned(col("id"), 32).as("gx"),
       col("id").bitwiseAND(lit(0xFFFFFFFFL)).as("gy"),
       shiftrightunsigned(col("nid"), 32).as("sink_x"),
-      col("nid").bitwiseAND(lit(0xFFFFFFFFL)).as("sink_y"))
+      col("nid").bitwiseAND(lit(0xFFFFFFFFL)).as("sink_y"),
+      col("w").as("dist"))
+
+  /** Full D8 path resolution per DSM cell: (gx, gy, sink_x, sink_y,
+    * dist) where (sink_x, sink_y) terminates the cell's steepest-descent
+    * path and dist is its hop count (0 for sinks) — basin label and
+    * flow-path length from one doubling loop. */
+  def paths(dsm: DataFrame, bounds: TileStencil.Bounds,
+            tileSize: Int = 128, maxRounds: Int = 64): DataFrame = {
+    val next = nextPointer(dsm, bounds, tileSize)
+      .withColumn("w", (col("id") =!= col("nid")).cast("long"))
+    unpack(resolve(next, maxRounds))
   }
+
+  /** Basin label per DSM cell: (gx, gy, sink_x, sink_y) where
+    * (sink_x, sink_y) is the terminal cell of the cell's D8 path. */
+  def basins(dsm: DataFrame, bounds: TileStencil.Bounds,
+             tileSize: Int = 128, maxRounds: Int = 64): DataFrame =
+    paths(dsm, bounds, tileSize, maxRounds)
+      .select(col("gx"), col("gy"), col("sink_x"), col("sink_y"))
 }

@@ -101,9 +101,11 @@ object StencilQueries {
     * (the q_aspect_d8 argmin with sinks self-looped) and closes it with
     * a recursive-CTE walk — a sequential independently-written second
     * semantics for the whole doubling loop. */
-  val q_flow_basin: QueryDef = QueryDef.sqlChecked(
-    "q_flow_basin",
-    s"""WITH RECURSIVE ${Gridding.splatCte(spec)},
+  /** Shared dual prefix for the D8 flow-graph family: rebuilds the
+    * next-pointer table `nxt` (the q_aspect_d8 argmin with sinks
+    * self-looped) from the splat. */
+  private val flowCtes =
+    s"""${Gridding.splatCte(spec)},
        |dsm AS (SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy),
        |o8 AS (SELECT * FROM (VALUES (-1,-1,1), (-1,0,2), (-1,1,3),
        |  (0,-1,4), (0,1,5), (1,-1,6), (1,0,7), (1,1,8)) t(dx, dy, idx)),
@@ -118,7 +120,11 @@ object StencilQueries {
        |nxt AS (SELECT d.gx, d.gy, d.gx + coalesce(o.dx, 0) AS nx,
        |  d.gy + coalesce(o.dy, 0) AS ny
        |  FROM dsm d LEFT JOIN ch ON ch.gx = d.gx AND ch.gy = d.gy
-       |  LEFT JOIN o8 o ON o.idx = ch.idx),
+       |  LEFT JOIN o8 o ON o.idx = ch.idx)""".stripMargin
+
+  val q_flow_basin: QueryDef = QueryDef.sqlChecked(
+    "q_flow_basin",
+    s"""WITH RECURSIVE $flowCtes,
        |reach(gx, gy, cx, cy) AS (
        |  SELECT gx, gy, nx, ny FROM nxt
        |  UNION
@@ -130,6 +136,83 @@ object StencilQueries {
        |FROM reach r JOIN sinks s ON s.gx = r.cx AND s.gy = r.cy
        |ORDER BY r.gx, r.gy""".stripMargin) { (s, dir) =>
     graft.grid.FlowBasins.basins(dsm10(s, dir), bounds, tileSize = 8)
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** D8 flow-path LENGTH ([[graft.grid.FlowBasins.paths]]): hops from
+    * each cell to its sink, carried as the additive weight of the same
+    * pointer-doubling loop that labels basins (Wyllie list ranking). The
+    * dual walks each path sequentially with a step counter, stopping at
+    * the self-loop. */
+  val q_flow_length: QueryDef = QueryDef.sqlChecked(
+    "q_flow_length",
+    s"""WITH RECURSIVE $flowCtes,
+       |walk(gx, gy, cx, cy, d) AS (
+       |  SELECT gx, gy, gx, gy, 0 FROM nxt
+       |  UNION
+       |  SELECT w.gx, w.gy, n.nx, n.ny, w.d + 1 FROM walk w
+       |  JOIN nxt n ON n.gx = w.cx AND n.gy = w.cy
+       |    AND NOT (n.nx = w.cx AND n.ny = w.cy))
+       |SELECT gx, gy, CAST(max(d) AS BIGINT) AS dist FROM walk
+       |GROUP BY gx, gy ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+    graft.grid.FlowBasins.paths(dsm10(s, dir), bounds, tileSize = 8)
+      .select(col("gx"), col("gy"), col("dist"))
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** D8 flow ACCUMULATION ([[graft.grid.FlowAccum]]): upstream
+    * contributing-cell count per cell (itself included) — subtree sizes
+    * of the D8 pointer forest via Euler tour + list ranking, O(log path)
+    * join rounds instead of the naive one-hop-per-round delta push. The
+    * dual materializes every (cell, cell-on-its-path) pair with a
+    * recursive CTE and counts — quadratic-ish and fine at test SF,
+    * impossible at scale, which is exactly why the engine side exists. */
+  val q_flow_accum: QueryDef = QueryDef.sqlChecked(
+    "q_flow_accum",
+    s"""WITH RECURSIVE $flowCtes,
+       |reach(gx, gy, cx, cy) AS (
+       |  SELECT gx, gy, gx, gy FROM nxt
+       |  UNION
+       |  SELECT r.gx, r.gy, n.nx, n.ny FROM reach r
+       |  JOIN nxt n ON n.gx = r.cx AND n.gy = r.cy)
+       |SELECT CAST(cx AS BIGINT) AS gx, CAST(cy AS BIGINT) AS gy,
+       |  CAST(count(*) AS BIGINT) AS acc
+       |FROM reach GROUP BY cx, cy ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+    graft.grid.FlowAccum.accumulation(dsm10(s, dir), bounds, tileSize = 8)
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** 8-neighbor Laplacian curvature (signed; [[Kernels.Laplacian]]):
+    * 8*center - sum(neighbors), full support, flats filtered both sides
+    * (0 is the sparse void encoding). */
+  val q_curvature: QueryDef = QueryDef.sqlChecked(
+    "q_curvature",
+    s"""WITH ${Gridding.splatCte(spec)},
+       |dsm AS (SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy),
+       |nb AS (SELECT d.gx, d.gy, d.v, sum(n.v) AS sv, count(*) AS nn
+       |  FROM dsm d CROSS JOIN $offsets8
+       |  JOIN dsm n ON n.gx = d.gx + o.dx AND n.gy = d.gy + o.dy
+       |  GROUP BY d.gx, d.gy, d.v)
+       |SELECT gx, gy, CAST(8 * v - sv AS INT) AS v FROM nb
+       |WHERE nn = 8 AND 8 * v - sv <> 0 ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+    TileStencil(dsm10(s, dir), Kernels.Laplacian, bounds, tileSize = 8)
+      .orderBy(col("gx"), col("gy"))
+  }
+
+  /** Terrain Ruggedness Index ([[Kernels.Ruggedness]]): sum |center -
+    * neighbor| over the 8-neighborhood, full support, smooth cells
+    * filtered both sides. */
+  val q_ruggedness: QueryDef = QueryDef.sqlChecked(
+    "q_ruggedness",
+    s"""WITH ${Gridding.splatCte(spec)},
+       |dsm AS (SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy),
+       |nb AS (SELECT d.gx, d.gy, sum(abs(d.v - n.v)) AS s, count(*) AS nn
+       |  FROM dsm d CROSS JOIN $offsets8
+       |  JOIN dsm n ON n.gx = d.gx + o.dx AND n.gy = d.gy + o.dy
+       |  GROUP BY d.gx, d.gy)
+       |SELECT gx, gy, CAST(s AS INT) AS v FROM nb
+       |WHERE nn = 8 AND s <> 0 ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+    TileStencil(dsm10(s, dir), Kernels.Ruggedness, bounds, tileSize = 8)
       .orderBy(col("gx"), col("gy"))
   }
 
@@ -349,7 +432,8 @@ object StencilQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(q_edge_filter, q_slope_horn, q_aspect_d8, q_flow_basin, q_morph_open,
+    Seq(q_edge_filter, q_slope_horn, q_aspect_d8, q_flow_basin,
+      q_flow_length, q_flow_accum, q_curvature, q_ruggedness, q_morph_open,
       q_mask_open, q_fill_voids, q_fill_pyramid, q_well_filter,
       q_spike_filter, q_tree_filter)
 }

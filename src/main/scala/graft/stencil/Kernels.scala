@@ -417,6 +417,56 @@ object Kernels {
     }
   }
 
+  /** 8-neighbor Laplacian curvature: 8*center - sum(neighbors) — the
+    * integer discrete Laplacian, sign-flipped so ridges/spikes read
+    * positive and pits negative (profile-curvature / TPI proxy; Wilson &
+    * Gallant 2000 ch.3 use the same window). Full support required like
+    * [[HornGradient]]; exactly-flat cells (value 0) fall out of the
+    * sparse table per the void convention, so duals filter `<> 0` on
+    * both sides. Signed output — the sparse cell table carries any
+    * non-zero int. */
+  case object Laplacian extends Kernel {
+    val radius = 1
+    def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
+      val me = get(x, y)
+      if (me == 0) return 0
+      if (x - 1 < 0 || x + 1 >= w || y - 1 < 0 || y + 1 >= h) return 0
+      var s = 0L
+      var i = 0
+      while (i < 8) {
+        val (dx, dy) = AspectD8.Offsets(i)
+        val v = get(x + dx, y + dy)
+        if (v == 0) return 0 // full support required
+        s += v
+        i += 1
+      }
+      (8L * me - s).toInt
+    }
+  }
+
+  /** Terrain Ruggedness Index (Riley, DeGloria & Elliot 1999), integer
+    * form: sum of |center - neighbor| over the 8-neighborhood. Full
+    * support required; perfectly smooth cells (TRI 0) void per the
+    * sparse convention (duals filter both sides). */
+  case object Ruggedness extends Kernel {
+    val radius = 1
+    def apply(get: (Int, Int) => Int, x: Int, y: Int, w: Int, h: Int): Int = {
+      val me = get(x, y)
+      if (me == 0) return 0
+      if (x - 1 < 0 || x + 1 >= w || y - 1 < 0 || y + 1 >= h) return 0
+      var s = 0L
+      var i = 0
+      while (i < 8) {
+        val (dx, dy) = AspectD8.Offsets(i)
+        val v = get(x + dx, y + dy)
+        if (v == 0) return 0 // full support required
+        s += math.abs(me.toLong - v)
+        i += 1
+      }
+      s.toInt
+    }
+  }
+
   /** W8 tree filter over var = DSM - MIN (pubgeo `shr3d.cpp:140-164`):
     * void the cell if its var is <= maxTree but no 3x3 neighbor's var is
     * below the dz threshold (vegetation canopy detector). Voids not

@@ -1,6 +1,6 @@
 package graft
 
-import graft.grid.{FlowBasins, Resample}
+import graft.grid.{FlowAccum, FlowBasins, Resample}
 import graft.stencil.Kernels
 import graft.stencil.TileStencil.Bounds
 import org.apache.spark.sql.functions._
@@ -104,6 +104,135 @@ class FlowSpec extends SparkSpec {
     // the ramp bottom is interior (full support) yet has no lower
     // neighbor: it is the basin of every ramp cell above it
     assert(got((1L, 2L)) == got((n.toLong - 1, 2L)))
+  }
+
+  // ---- FlowBasins.paths (flow length) / FlowAccum ----
+
+  /** Sequential path walker returning (sink, hop count) per cell. */
+  private def pathOracle(cells: Seq[(Long, Long, Int)], w: Int, h: Int)
+  : Map[(Long, Long), (Long, Long, Long)] = {
+    val g = cells.map(c => (c._1, c._2) -> c._3).toMap
+    val offs = Kernels.AspectD8.Offsets
+    def next(x: Long, y: Long): (Long, Long) = {
+      val me = g((x, y))
+      if (x - 1 < 0 || x + 1 >= w || y - 1 < 0 || y + 1 >= h) return (x, y)
+      var bestIdx = -1; var bestV = me
+      var i = 0
+      while (i < 8) {
+        val (dx, dy) = offs(i)
+        g.get((x + dx, y + dy)) match {
+          case None => return (x, y)
+          case Some(v) => if (v < bestV) { bestV = v; bestIdx = i }
+        }
+        i += 1
+      }
+      if (bestIdx < 0) (x, y)
+      else (x + offs(bestIdx)._1, y + offs(bestIdx)._2)
+    }
+    g.keys.map { k =>
+      var cur = k; var d = 0L
+      var n = next(cur._1, cur._2)
+      while (n != cur) { cur = n; d += 1; n = next(cur._1, cur._2) }
+      k -> (cur._1, cur._2, d)
+    }.toMap
+  }
+
+  /** Sequential accumulation counter: +1 to every cell on each cell's
+    * path, itself included. */
+  private def accumOracle(cells: Seq[(Long, Long, Int)], w: Int, h: Int)
+  : Map[(Long, Long), Long] = {
+    val g = cells.map(c => (c._1, c._2) -> c._3).toMap
+    val offs = Kernels.AspectD8.Offsets
+    def next(x: Long, y: Long): (Long, Long) = {
+      val me = g((x, y))
+      if (x - 1 < 0 || x + 1 >= w || y - 1 < 0 || y + 1 >= h) return (x, y)
+      var bestIdx = -1; var bestV = me
+      var i = 0
+      while (i < 8) {
+        val (dx, dy) = offs(i)
+        g.get((x + dx, y + dy)) match {
+          case None => return (x, y)
+          case Some(v) => if (v < bestV) { bestV = v; bestIdx = i }
+        }
+        i += 1
+      }
+      if (bestIdx < 0) (x, y)
+      else (x + offs(bestIdx)._1, y + offs(bestIdx)._2)
+    }
+    val acc = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    g.keys.foreach { k =>
+      var cur = k
+      acc(cur) += 1
+      var n = next(cur._1, cur._2)
+      while (n != cur) { cur = n; acc(cur) += 1; n = next(cur._1, cur._2) }
+    }
+    acc.toMap
+  }
+
+  private def runPaths(cells: Seq[(Long, Long, Int)], w: Int, h: Int, tile: Int) =
+    FlowBasins.paths(cells.toDF("gx", "gy", "v"), Bounds(w, h), tile)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+
+  private def runAccum(df: org.apache.spark.sql.DataFrame, w: Int, h: Int, tile: Int) =
+    FlowAccum.accumulation(df, Bounds(w, h), tile)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+
+  test("paths == sequential walker with hop counts (dense and sparse)") {
+    for ((d, seed) <- Seq((0.9, 7), (0.5, 13))) {
+      val (w, h) = (24, 18)
+      val cells = synthDsm(w, h, d, seed)
+      assert(runPaths(cells, w, h, tile = 8) == pathOracle(cells, w, h))
+    }
+  }
+
+  test("staircase flow length: top of an n-ramp is n-1 hops from the sink") {
+    val n = 40
+    val cells = (0 until n).map(i => (i.toLong + 1, 2L, n - i)) ++
+      (for (x <- 0 to n + 1; y <- Seq(1L, 3L)) yield (x.toLong, y, 9000)) ++
+      Seq((0L, 2L, 9000), (n + 1L, 2L, 9000))
+    val (w, h) = (n + 2, 5)
+    val got = runPaths(cells, w, h, tile = 8)
+    assert(got == pathOracle(cells, w, h))
+    assert(got((1L, 2L))._3 == n - 1) // ramp top walks the whole ramp
+    assert(got((n.toLong, 2L))._3 == 0) // ramp bottom is its own sink
+  }
+
+  test("accumulation == sequential counter (dense and sparse)") {
+    for ((d, seed) <- Seq((0.9, 7), (0.55, 13))) {
+      val (w, h) = (24, 18)
+      val cells = synthDsm(w, h, d, seed)
+      assert(runAccum(cells.toDF("gx", "gy", "v"), w, h, tile = 8) ==
+        accumOracle(cells, w, h))
+    }
+  }
+
+  test("accumulation invariant across tile sizes and partitionings") {
+    val (w, h) = (30, 20)
+    val cells = synthDsm(w, h, 0.85, seed = 3)
+    val a = runAccum(cells.toDF("gx", "gy", "v"), w, h, tile = 4)
+    val b = runAccum(cells.toDF("gx", "gy", "v"), w, h, tile = 16)
+    val c = runAccum(cells.toDF("gx", "gy", "v").repartition(13), w, h, tile = 8)
+    assert(a == b)
+    assert(a == c)
+  }
+
+  test("accumulation invariants: sinks carry basin sizes, total = paths + cells") {
+    val (w, h) = (24, 18)
+    val cells = synthDsm(w, h, 0.9, seed = 21)
+    val acc = runAccum(cells.toDF("gx", "gy", "v"), w, h, tile = 8)
+    val paths = pathOracle(cells, w, h)
+    // every cell contributes pathlen+1 units of accumulation in total
+    assert(acc.values.sum == paths.values.map(_._3 + 1).sum)
+    // a sink's accumulation is exactly its basin's cell count
+    val basinSizes = paths.values.groupBy(p => (p._1, p._2))
+      .map { case (s, vs) => s -> vs.size.toLong }
+    basinSizes.foreach { case (s, n) => assert(acc(s) == n) }
   }
 
   // ---- Resample.upsample2xBilinear ----

@@ -40,7 +40,9 @@ class StencilSpec extends SparkSpec {
     "spike" -> Kernels.SpikeFilter(1000),
     "tree" -> Kernels.TreeFilter(30000, 1500),
     "horn" -> Kernels.HornGradient,
-    "aspect_d8" -> Kernels.AspectD8)
+    "aspect_d8" -> Kernels.AspectD8,
+    "laplacian" -> Kernels.Laplacian,
+    "ruggedness" -> Kernels.Ruggedness)
 
   for ((name, k) <- kernels; density <- Seq(0.25, 0.9); tile <- Seq(7, 16, 128)) {
     test(s"$name == dense (density=$density, tile=$tile)") {
