@@ -169,7 +169,51 @@ object Spatial {
     }
   }
 
+  /** Unrolled DuckDB dual of [[graft.index.CellCompact.compact]]: one
+    * (group-by-parent, keep-incomplete, promote-complete) CTE triple per
+    * level from `startRes` down to 0, then the union of every level's
+    * survivors. */
+  private def compactOracle(startRes: Int): String = {
+    val mask = 0x00FFFFFFFFFFFFFFL
+    def par(c: String, toRes: Int) =
+      s"((CAST($toRes AS BIGINT) << 56) | ((($c) & $mask) >> 2))"
+    val sb = new StringBuilder(
+      s"""WITH pts AS (SELECT doc_id, ${Geo.lonSql("doc_id")} AS lon,
+         |  ${Geo.latSql("doc_id")} AS lat FROM documents),
+         |cxy AS (SELECT ${Cells.cxSql("lon", startRes)} AS cx,
+         |  ${Cells.cySql("lat", startRes)} AS cy FROM pts),
+         |lvl$startRes AS (SELECT DISTINCT ${Cells.packSql("cx", "cy", startRes)} AS cell
+         |  FROM cxy)""".stripMargin)
+    for (l <- startRes to 1 by -1) {
+      sb ++= s""",
+         |g$l AS (SELECT ${par("cell", l - 1)} AS p, count(*) AS n
+         |  FROM lvl$l GROUP BY 1),
+         |keep$l AS (SELECT cell FROM lvl$l
+         |  WHERE ${par("cell", l - 1)} IN (SELECT p FROM g$l WHERE n < 4)),
+         |lvl${l - 1} AS (SELECT p AS cell FROM g$l WHERE n = 4)""".stripMargin
+    }
+    val union = ((1 to startRes).map(l => s"SELECT cell FROM keep$l") :+
+      "SELECT cell FROM lvl0").mkString(" UNION ALL ")
+    sb ++= s"\nSELECT cell FROM ($union) ORDER BY cell"
+    sb.toString
+  }
+
+  private val CompactRes = 4 // coarse enough that sibling groups complete
+
+  /** Hierarchical cell-set compaction ([[graft.index.CellCompact]], the
+    * H3 compactCells / S2 Normalize op): the doc coverage at res 4
+    * rewritten as the minimal mixed-res cover. Engine is one
+    * groupBy(parent) per level with the 4-bounded collect_list re-emit;
+    * the dual unrolls the same recursion as static CTEs. */
+  val q_cell_compact: QueryDef = QueryDef.sqlChecked(
+    "q_cell_compact",
+    compactOracle(CompactRes)) { (s, dir) =>
+    val cells = docsGeo(s, dir)
+      .select(CellFunctions.cellId(col("lon"), col("lat"), CompactRes).as("cell"))
+    graft.index.CellCompact.compact(cells, CompactRes).orderBy(col("cell"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_geocode_cell, q_cell_hist, q_salted_cell_hist, q_hex_hist, q_dsm_grid,
-    q_min_grid, q_median_grid, q_grid_zip, q_dsm_meters)
+    q_min_grid, q_median_grid, q_grid_zip, q_dsm_meters, q_cell_compact)
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.index.{CellCompact, Cells}
+import org.apache.spark.sql.functions._
+
+/** [[CellCompact]] vs a sequential set-based compactor, plus the
+  * uncompact round-trip and minimality invariants. */
+class CellCompactSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Sequential oracle: recursively promote complete 4-sibling groups. */
+  private def compactOracle(cells: Set[Long], res: Int): Set[Long] = {
+    var out = Set.empty[Long]
+    var cur = cells
+    var level = res
+    while (level > 0 && cur.nonEmpty) {
+      val byParent = cur.groupBy(c => Cells.parent(c, 1))
+      val (full, partial) = byParent.partition(_._2.size == 4)
+      out ++= partial.values.flatten
+      cur = full.keySet
+      level -= 1
+    }
+    out ++ cur
+  }
+
+  private def synthCells(res: Int, density: Double, seed: Int): Set[Long] = {
+    val rnd = new scala.util.Random(seed)
+    val n = 1L << res
+    (for (x <- 0L until n; y <- 0L until n; if rnd.nextDouble() < density)
+      yield Cells.pack(x, y, res)).toSet
+  }
+
+  private def run(cells: Set[Long], res: Int): Set[Long] =
+    CellCompact.compact(cells.toSeq.toDF("cell"), res)
+      .collect().map(_.getLong(0)).toSet
+
+  test("compact == sequential oracle across densities") {
+    for ((d, seed) <- Seq((0.95, 1), (0.6, 2), (0.25, 3))) {
+      val cells = synthCells(5, d, seed)
+      assert(run(cells, 5) == compactOracle(cells, 5))
+    }
+  }
+
+  test("full grid compacts to the single res-0 cell") {
+    val cells = synthCells(3, 1.1, 0)
+    assert(run(cells, 3) == Set(Cells.pack(0, 0, 0)))
+  }
+
+  test("no complete sibling group survives (minimality)") {
+    val got = run(synthCells(5, 0.9, 7), 5)
+    val byParent = got.filter(c => Cells.res(c) > 0).groupBy(c => Cells.parent(c, 1))
+    assert(byParent.values.forall(_.size < 4))
+  }
+
+  test("uncompact(compact(S)) == S and partitioning invariance") {
+    val cells = synthCells(5, 0.8, 11)
+    val compacted = CellCompact.compact(
+      cells.toSeq.toDF("cell").repartition(13), 5)
+    val back = CellCompact.uncompact(compacted, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(back == cells)
+  }
+
+  test("uncompact of a coarse cell enumerates the 4^k descendants") {
+    val c = Cells.pack(2, 3, 2)
+    val got = CellCompact.uncompact(Seq(c).toDF("cell"), 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size == 16)
+    assert(got.forall(d => Cells.res(d) == 4 && Cells.parent(d, 2) == c))
+  }
+}
