@@ -129,6 +129,26 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic global corpus shuffle
+    * ([[graft.text.Sampling.deterministicShuffle]]): every doc's 0-based
+    * position in a reproducible pseudo-random permutation — the training
+    * data-order primitive. The permutation key is an odd-multiplier mix
+    * of doc_id (injective mod 2^32 at any test SF); the engine ranks it
+    * with the two-level prefix sum, the oracle IS the single-task
+    * global-order window the engine exists to avoid. */
+  val q_shuffle_rank: QueryDef = QueryDef.sqlChecked(
+    "q_shuffle_rank",
+    """SELECT doc_id, CAST(row_number() OVER (
+      |    ORDER BY (doc_id * 2654435761) % 4294967296) - 1 AS BIGINT) AS pos
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.text.Sampling.deterministicShuffle(
+        Tables.documents(s, dir).select("doc_id"),
+        (col("doc_id") * lit(2654435761L)) % lit(4294967296L),
+        bucketShift = 20)
+      .select("doc_id", "pos")
+      .orderBy("doc_id")
+  }
+
   /** Concat-and-chunk sequence packing ([[graft.text.Packing]]): docs
     * concatenated in doc_id order, token stream cut into 512-token
     * training sequences; each doc labeled with its global token offset
@@ -270,6 +290,6 @@ object PipelineQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(q_dup_clusters, q_hash_sample, q_stratified_sample, q_pack_chunks,
-      q_pack_emit, q_neardup_purge)
+    Seq(q_dup_clusters, q_hash_sample, q_stratified_sample, q_shuffle_rank,
+      q_pack_chunks, q_pack_emit, q_neardup_purge)
 }

@@ -182,6 +182,40 @@ object StencilQueries {
       .orderBy(col("gx"), col("gy"))
   }
 
+  /** Watershed zonal statistics: per-basin cell count, elevation
+    * aggregates, and longest flow path — the hydrology rollup composing
+    * [[graft.grid.FlowBasins.paths]] (basin label + hop distance from
+    * one doubling loop) with a plain keyed aggregation. The dual walks
+    * every path sequentially and rolls up per sink. */
+  val q_basin_stats: QueryDef = QueryDef.sqlChecked(
+    "q_basin_stats",
+    s"""WITH RECURSIVE $flowCtes,
+       |walk(gx, gy, cx, cy, d) AS (
+       |  SELECT gx, gy, gx, gy, 0 FROM nxt
+       |  UNION
+       |  SELECT w.gx, w.gy, n.nx, n.ny, w.d + 1 FROM walk w
+       |  JOIN nxt n ON n.gx = w.cx AND n.gy = w.cy
+       |    AND NOT (n.nx = w.cx AND n.ny = w.cy)),
+       |fin AS (SELECT gx, gy, max(d) AS dist FROM walk GROUP BY gx, gy),
+       |lab AS (SELECT w.gx, w.gy, w.cx AS sx, w.cy AS sy, f.dist
+       |  FROM walk w JOIN fin f ON f.gx = w.gx AND f.gy = w.gy AND w.d = f.dist)
+       |SELECT CAST(l.sx AS BIGINT) AS sink_x, CAST(l.sy AS BIGINT) AS sink_y,
+       |  count(*) AS n_cells, CAST(max(l.dist) AS BIGINT) AS longest_path,
+       |  CAST(sum(d2.v) AS BIGINT) AS sum_v, CAST(min(d2.v) AS INT) AS min_v,
+       |  CAST(max(d2.v) AS INT) AS max_v
+       |FROM lab l JOIN dsm d2 ON d2.gx = l.gx AND d2.gy = l.gy
+       |GROUP BY l.sx, l.sy ORDER BY sink_x, sink_y""".stripMargin) { (s, dir) =>
+    val dsm = dsm10(s, dir)
+    graft.grid.FlowBasins.paths(dsm, bounds, tileSize = 8)
+      .join(dsm.select(col("gx"), col("gy"), col("v").cast("int").as("v")),
+        Seq("gx", "gy"))
+      .groupBy(col("sink_x"), col("sink_y"))
+      .agg(count(lit(1)).as("n_cells"), max(col("dist")).as("longest_path"),
+        sum(col("v")).as("sum_v"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .orderBy(col("sink_x"), col("sink_y"))
+  }
+
   /** 8-neighbor Laplacian curvature (signed; [[Kernels.Laplacian]]):
     * 8*center - sum(neighbors), full support, flats filtered both sides
     * (0 is the sparse void encoding). */
@@ -433,7 +467,8 @@ object StencilQueries {
 
   val all: Seq[QueryDef] =
     Seq(q_edge_filter, q_slope_horn, q_aspect_d8, q_flow_basin,
-      q_flow_length, q_flow_accum, q_curvature, q_ruggedness, q_morph_open,
+      q_flow_length, q_flow_accum, q_basin_stats, q_curvature,
+      q_ruggedness, q_morph_open,
       q_mask_open, q_fill_voids, q_fill_pyramid, q_well_filter,
       q_spike_filter, q_tree_filter)
 }

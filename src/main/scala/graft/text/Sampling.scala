@@ -84,4 +84,29 @@ object Sampling {
       .filter(col("rk") <= quotaExpr)
       .drop("_rk_key")
   }
+
+  /** Deterministic global corpus shuffle: adds `pos` — the row's 0-based
+    * position in a reproducible pseudo-random permutation of the whole
+    * table — the training-data ordering primitive ("shuffle the corpus,
+    * but bit-identically on every rerun"). The permutation is the sort
+    * order of `mixKey`, which MUST be injective on the rows (e.g. an
+    * odd-multiplier mix of a unique id; ties would make ranks
+    * partitioning-dependent). Rank is computed as the two-level
+    * [[graft.core.PrefixSum]] of 1 in mix order — one hash agg + one
+    * keyed window, never the single-task global-order window that
+    * `row_number() OVER (ORDER BY ...)` plans at corpus scale.
+    *
+    * @param bucketShift coarsening of the mix key into scan buckets
+    *                    (same contract as [[graft.text.Packing]]):
+    *                    buckets must stay driver-small AND per-bucket row
+    *                    counts executor-sized. */
+  def deterministicShuffle(df: DataFrame, mixKey: Column,
+                           bucketShift: Int = 20): DataFrame = {
+    val keyed = df.withColumn("_mix", mixKey).withColumn("_one", lit(1L))
+    graft.core.PrefixSum
+      .exclusive(keyed, "_mix", "_one",
+        shiftrightunsigned(col("_mix"), bucketShift))
+      .withColumnRenamed("prefix", "pos")
+      .drop("_one", "_mix")
+  }
 }

@@ -251,4 +251,24 @@ class CorpusOpsSpec extends SparkSpec {
         .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids(docs.repartition(17)) == ids(docs.coalesce(1)))
   }
+
+  test("deterministic shuffle: pos is a permutation, stable across partitionings") {
+    import spark.implicits._
+    val docs = (1L to 400L).toDF("id")
+    val mix = (col("id") * lit(2654435761L)) % lit(4294967296L)
+    def run(df: org.apache.spark.sql.DataFrame, shift: Int) =
+      Sampling.deterministicShuffle(df, mix, shift)
+        .select("id", "pos").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run(docs, 20)
+    // 0..n-1, each exactly once
+    assert(a.values.toSet == (0L until 400L).toSet)
+    // matches the naive mix-order rank
+    val want = (1L to 400L).sortBy(id => (id * 2654435761L) % 4294967296L)
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    assert(a == want)
+    // invariant under partitioning and bucket granularity
+    assert(run(docs.repartition(13), 20) == a)
+    assert(run(docs, 26) == a)
+  }
 }
