@@ -129,6 +129,34 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Token-budgeted stratified sample ([[graft.text.Sampling
+    * .tokenBudget]]): fill each language's char budget in md5(doc_id)
+    * order, first-crossing row included. Engine runs the two-phase
+    * threshold select; the oracle is the naive per-stratum running-sum
+    * window it is provably identical to. Budgets are sized so large
+    * strata take the prefiltered path and small ones the fallback. */
+  val q_token_budget: QueryDef = QueryDef.sqlChecked(
+    "q_token_budget",
+    """SELECT doc_id, lang, n_chars, CAST(tok_before AS BIGINT) AS tok_before
+      |FROM (
+      |  SELECT doc_id, lang, n_chars,
+      |    coalesce(sum(n_chars) OVER (PARTITION BY lang
+      |      ORDER BY md5(doc_id::VARCHAR), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+      |  FROM documents) t
+      |WHERE tok_before < CASE lang WHEN 'en' THEN 60000 WHEN 'zh' THEN 40000
+      |                             ELSE 25000 END
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val budget = when(col("lang") === "en", 60000L)
+      .when(col("lang") === "zh", 40000L)
+      .otherwise(25000L)
+    graft.text.Sampling.tokenBudget(
+        Tables.documents(s, dir).select("doc_id", "lang", "n_chars"),
+        "lang", "doc_id", "n_chars", budget, threshold = 32768)
+      .select("doc_id", "lang", "n_chars", "tok_before")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic global corpus shuffle
     * ([[graft.text.Sampling.deterministicShuffle]]): every doc's 0-based
     * position in a reproducible pseudo-random permutation — the training
@@ -290,6 +318,6 @@ object PipelineQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(q_dup_clusters, q_hash_sample, q_stratified_sample, q_shuffle_rank,
-      q_pack_chunks, q_pack_emit, q_neardup_purge)
+    Seq(q_dup_clusters, q_hash_sample, q_stratified_sample, q_token_budget,
+      q_shuffle_rank, q_pack_chunks, q_pack_emit, q_neardup_purge)
 }

@@ -85,6 +85,57 @@ object Sampling {
       .drop("_rk_key")
   }
 
+  /** Token-BUDGETED stratified sample — "N tokens of each language",
+    * which is how a training mix is actually specified (doc counts are
+    * the proxy; budgets are the spec). Per stratum, rows are taken in
+    * md5(id) order while the EXCLUSIVE running token sum is below the
+    * stratum's budget: the first row crossing the budget is included, so
+    * the sampled token total is the smallest hash-prefix total >= budget
+    * (or the whole stratum when it runs out). Same two-phase threshold
+    * select as [[stratifiedExact]] and provably identical to the naive
+    * per-stratum running-sum window: candidates are a hash-ORDER-prefix
+    * of each stratum, so a stratum is safe exactly when its candidates'
+    * token sum reaches the budget (or the candidates are the entire
+    * stratum) — then the selected prefix is inside the candidate set and
+    * its internal order is unchanged. Deficient strata fall back to
+    * full-stratum ranking, preserving exactness.
+    *
+    * @param budgetExpr per-row token budget as a Column over the stratum
+    * @return sampled rows plus `tok_before` (the exclusive running token
+    *         sum in stratum hash order — provenance for cut auditing)
+    */
+  def tokenBudget(df: DataFrame, stratumCol: String, idCol: String,
+                  tokensCol: String, budgetExpr: Column,
+                  threshold: Int = 4096): DataFrame = {
+    val keyed = df.withColumn("_rk_key", md5(col(idCol).cast("string")))
+    val cand = keyed.filter(bucket(col("_rk_key")) < threshold)
+
+    // sufficiency: candidate token sum >= budget, or candidates == stratum
+    val totals = keyed.groupBy(stratumCol)
+      .agg(count(lit(1)).as("_total"), first(budgetExpr).as("_budget"))
+    val candStats = cand.groupBy(stratumCol)
+      .agg(count(lit(1)).as("_cand"), sum(col(tokensCol)).as("_ctok"))
+    val deficient = totals
+      .join(candStats, Seq(stratumCol), "left")
+      .filter(coalesce(col("_ctok"), lit(0L)) < col("_budget") &&
+        coalesce(col("_cand"), lit(0L)) < col("_total"))
+      .select(col(stratumCol)).collect().map(_.get(0)).toSet
+
+    // NULL-safe stratum routing — same contract as stratifiedExact
+    val isDeficient = deficient.foldLeft(lit(false))((acc, v) =>
+      acc || (col(stratumCol) <=> lit(v)))
+    val pool =
+      if (deficient.isEmpty) cand
+      else cand.filter(!isDeficient).unionByName(keyed.filter(isDeficient))
+
+    val w = Window.partitionBy(stratumCol).orderBy(col("_rk_key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pool.withColumn("tok_before",
+        coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .filter(col("tok_before") < budgetExpr)
+      .drop("_rk_key")
+  }
+
   /** Deterministic global corpus shuffle: adds `pos` — the row's 0-based
     * position in a reproducible pseudo-random permutation of the whole
     * table — the training-data ordering primitive ("shuffle the corpus,

@@ -252,6 +252,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ids(docs.repartition(17)) == ids(docs.coalesce(1)))
   }
 
+  test("token budget: two-phase == naive window at every threshold regime, first crossing included") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfSmoke/documents.parquet")
+      .select("doc_id", "lang", "n_chars")
+    val budget = when(col("lang") === "en", 9000L).otherwise(4000L)
+    def ids(threshold: Int) =
+      Sampling.tokenBudget(docs, "lang", "doc_id", "n_chars", budget, threshold)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // naive single-window reference
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = docs
+      .withColumn("cum", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+      .filter(col("cum") < budget)
+    val naiveIds = naive.select("doc_id").collect().map(_.getLong(0)).toSet
+    for (t <- Seq(64, 2048, 65536)) assert(ids(t) == naiveIds, s"threshold $t")
+    // first-crossing semantics: each sampled stratum's token total
+    // reaches its budget unless the whole stratum was consumed
+    val perLang = naive.groupBy("lang")
+      .agg(sum(col("n_chars")).as("got"), count(lit(1)).as("k"))
+      .join(docs.groupBy("lang").agg(count(lit(1)).as("n")), "lang")
+      .collect()
+    perLang.foreach { r =>
+      val b = if (r.getString(0) == "en") 9000L else 4000L
+      assert(r.getLong(1) >= b || r.getLong(2) == r.getLong(3),
+        s"lang ${r.getString(0)} under budget without exhausting stratum")
+    }
+  }
+
   test("deterministic shuffle: pos is a permutation, stable across partitionings") {
     import spark.implicits._
     val docs = (1L to 400L).toDF("id")
