@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit}
+
 /** Physical-plan regression guards: the scale properties we rely on
   * (pushdown, pruning, broadcast strategy) must survive refactors. */
 class PlanSpec extends SparkSpec {
@@ -199,6 +201,42 @@ class PlanSpec extends SparkSpec {
       s"cartesian in dup-span plan:\n${p.take(3000)}")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"nested-loop join in dup-span plan:\n${p.take(3000)}")
+  }
+
+  test("cell compact: level step is one hash agg, no join, no window") {
+    import spark.implicits._
+    val cells = (0L until 4096L).filter(_ % 7 != 0)
+      .map(m => (5L << 56) | m).toDF("cell")
+    // one level of the compaction loop: groupBy(parent) + conditional
+    // re-emit — the whole point is that the 4-bounded collect_list
+    // replaces a children join
+    val g = cells.groupBy(graft.index.CellCompact.parentCol(
+        org.apache.spark.sql.functions.col("cell"), 4).as("p"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.col("cell")).as("kids"))
+    val p = g.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"compaction level joins:\n${p.take(2000)}")
+    assert(!p.contains("Window"), s"compaction level windows:\n${p.take(2000)}")
+    assert("ShuffleQueryStage|Exchange".r.findAllIn(p).size <= 2,
+      s"more than one logical shuffle in a compaction level:\n${p.take(2000)}")
+  }
+
+  test("deterministic shuffle: no global-order window over the data") {
+    import spark.implicits._
+    val docs = (1L to 5000L).toDF("id")
+    val mix = (col("id") * lit(2654435761L)) % lit(4294967296L)
+    val df = graft.text.Sampling.deterministicShuffle(docs, mix, 20)
+    val p = df.queryExecution.executedPlan.toString
+    // the DATA window must be bucket-partitioned; the only legal
+    // unpartitioned window is the one over the tiny bucket-totals table
+    // (PrefixSum's documented "one place a global window is safe")
+    assert(p.contains("windowspecdefinition(_bkt"),
+      s"data window lost its bucket partitioning:\n${p.take(3000)}")
+    assert("SinglePartition".r.findAllIn(p).size <= 1,
+      s"more than the bucket-offset window funnels through one partition:\n${p.take(3000)}")
+    assert(df.count() == 5000)
   }
 
   test("reference trace: all joins hash-based, no cartesian/range scans") {
