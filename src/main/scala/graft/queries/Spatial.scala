@@ -213,7 +213,39 @@ object Spatial {
     graft.index.CellCompact.compact(cells, CompactRes).orderBy(col("cell"))
   }
 
+  private val BufferRes = 6
+  private val BufferK = 2
+
+  /** Cell-cover BUFFER ([[graft.index.CellOps.buffer]]): the doc
+    * coverage at res 6 dilated by Chebyshev distance 2, edge-clipped —
+    * the AOI proximity-prefilter primitive. Engine is a literal-offset
+    * explode + distinct (generator + one hash agg, no join, pure
+    * codegen'd bit arithmetic incl. the Morton de/re-interleave); the
+    * dual dilates on (cx, cy) coordinates and repacks. */
+  val q_cover_buffer: QueryDef = QueryDef.sqlChecked(
+    "q_cover_buffer", {
+      val offs = (for (dy <- -BufferK to BufferK; dx <- -BufferK to BufferK)
+        yield s"($dx, $dy)").mkString(", ")
+      val n = 1L << BufferRes
+      s"""WITH pts AS (SELECT doc_id, ${Geo.lonSql("doc_id")} AS lon,
+         |  ${Geo.latSql("doc_id")} AS lat FROM documents),
+         |cxy AS (SELECT DISTINCT ${Cells.cxSql("lon", BufferRes)} AS cx,
+         |  ${Cells.cySql("lat", BufferRes)} AS cy FROM pts),
+         |dil AS (SELECT DISTINCT cx + o.dx AS nx, cy + o.dy AS ny
+         |  FROM cxy CROSS JOIN (VALUES $offs) o(dx, dy)
+         |  WHERE cx + o.dx BETWEEN 0 AND ${n - 1}
+         |    AND cy + o.dy BETWEEN 0 AND ${n - 1})
+         |SELECT ${Cells.packSql("nx", "ny", BufferRes)} AS cell FROM dil
+         |ORDER BY cell""".stripMargin
+    }) { (s, dir) =>
+    val cells = docsGeo(s, dir)
+      .select(CellFunctions.cellId(col("lon"), col("lat"), BufferRes).as("cell"))
+      .distinct()
+    graft.index.CellOps.buffer(cells, BufferRes, BufferK).orderBy(col("cell"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_geocode_cell, q_cell_hist, q_salted_cell_hist, q_hex_hist, q_dsm_grid,
-    q_min_grid, q_median_grid, q_grid_zip, q_dsm_meters, q_cell_compact)
+    q_min_grid, q_median_grid, q_grid_zip, q_dsm_meters, q_cell_compact,
+    q_cover_buffer)
 }

@@ -61,6 +61,31 @@ class CellCompactSpec extends SparkSpec {
     assert(back == cells)
   }
 
+  test("column spread/unspread == scalar Cells round-trip") {
+    import graft.index.CellOps
+    val vs = (0L until 2048L).map(_ * 31L % 65536L).toDF("v")
+    val got = vs.select(col("v"),
+        CellOps.unspreadCol(CellOps.spreadCol(col("v"))).as("rt"),
+        CellOps.spreadCol(col("v")).as("sp"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0))
+      assert(r.getLong(2) == Cells.spread16(r.getLong(0)))
+    }
+  }
+
+  test("buffer == union of sequential disks, edge-clipped") {
+    import graft.index.CellOps
+    val res = 5
+    val cells = synthCells(res, 0.12, seed = 9)
+    for (k <- Seq(0, 1, 2)) {
+      val got = CellOps.buffer(cells.toSeq.toDF("cell"), res, k)
+        .collect().map(_.getLong(0)).toSet
+      val want = cells.flatMap(c => Cells.disk(c, k))
+      assert(got == want, s"k=$k")
+    }
+  }
+
   test("uncompact of a coarse cell enumerates the 4^k descendants") {
     val c = Cells.pack(2, 3, 2)
     val got = CellCompact.uncompact(Seq(c).toDF("cell"), 4)
