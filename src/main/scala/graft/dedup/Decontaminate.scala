@@ -43,6 +43,32 @@ object Decontaminate {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Fractional contamination score for EVERY corpus document with at
+    * least one shingle: n_shared / n_shingles over the doc's distinct
+    * shingles (0.0 for clean docs — unlike [[overlap]], absence means
+    * "too short to shingle", not "clean"). The score is one IEEE
+    * division of two exact integer counts, so even the double column is
+    * bit-reproducible cross-engine — the graded-threshold variant of the
+    * binary gate (published pipelines drop at a fraction, e.g. >70%
+    * 8-gram overlap in GPT-3 appx C, rather than any-hit). */
+  def score(corpus: DataFrame, benchmark: DataFrame,
+            text: String = "text"): DataFrame = {
+    val corpusSh = TextOps.shingles3(corpus, text)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .distinct()
+    val benchSh = TextOps.shingles3(benchmark, text)
+      .select(explode(col("shingles")).as("s"))
+      .distinct()
+    val tot = corpusSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val shr = corpusSh.join(benchSh, "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    tot.join(shr, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("contam"))
+  }
+
   /** The clean corpus: rows of `corpus` sharing FEWER than
     * `minSharedToDrop` distinct shingles with the benchmark survive; a
     * document is dropped once n_shared >= minSharedToDrop (left-anti

@@ -244,8 +244,55 @@ object Spatial {
     graft.index.CellOps.buffer(cells, BufferRes, BufferK).orderBy(col("cell"))
   }
 
+  /** Box-kernel point density ([[graft.index.CellOps.density]]): every
+    * doc splats +1 into its Chebyshev-2 disk at res 6 — the smoothed
+    * heatmap surface over the crawl's geocoded scatter. Duplicates count
+    * (unlike q_cover_buffer's set semantics); the engine is a generator
+    * + one map-side-combined hash agg, the dual dilates-and-counts on
+    * raw coordinates. */
+  val q_density_grid: QueryDef = QueryDef.sqlChecked(
+    "q_density_grid", {
+      val offs = (for (dy <- -BufferK to BufferK; dx <- -BufferK to BufferK)
+        yield s"($dx, $dy)").mkString(", ")
+      val n = 1L << BufferRes
+      s"""WITH pts AS (SELECT doc_id, ${Geo.lonSql("doc_id")} AS lon,
+         |  ${Geo.latSql("doc_id")} AS lat FROM documents),
+         |cxy AS (SELECT ${Cells.cxSql("lon", BufferRes)} AS cx,
+         |  ${Cells.cySql("lat", BufferRes)} AS cy FROM pts),
+         |dil AS (SELECT cx + o.dx AS nx, cy + o.dy AS ny
+         |  FROM cxy CROSS JOIN (VALUES $offs) o(dx, dy)
+         |  WHERE cx + o.dx BETWEEN 0 AND ${n - 1}
+         |    AND cy + o.dy BETWEEN 0 AND ${n - 1})
+         |SELECT ${Cells.packSql("nx", "ny", BufferRes)} AS cell,
+         |  count(*) AS n
+         |FROM dil GROUP BY 1 ORDER BY cell""".stripMargin
+    }) { (s, dir) =>
+    val cells = docsGeo(s, dir)
+      .select(CellFunctions.cellId(col("lon"), col("lat"), BufferRes).as("cell"))
+    graft.index.CellOps.density(cells, BufferRes, BufferK).orderBy(col("cell"))
+  }
+
+  /** Compaction ROUND-TRIP at the gate ([[graft.index.CellCompact]]):
+    * uncompact(compact(S)) must be S itself — the oracle is simply the
+    * original distinct cell set, so the whole mixed-res recursion is
+    * pinned invertible by the driver hash. */
+  val q_cell_uncompact: QueryDef = QueryDef.sqlChecked(
+    "q_cell_uncompact",
+    s"""WITH pts AS (SELECT doc_id, ${Geo.lonSql("doc_id")} AS lon,
+       |  ${Geo.latSql("doc_id")} AS lat FROM documents),
+       |cxy AS (SELECT ${Cells.cxSql("lon", CompactRes)} AS cx,
+       |  ${Cells.cySql("lat", CompactRes)} AS cy FROM pts)
+       |SELECT DISTINCT ${Cells.packSql("cx", "cy", CompactRes)} AS cell
+       |FROM cxy ORDER BY cell""".stripMargin) { (s, dir) =>
+    val cells = docsGeo(s, dir)
+      .select(CellFunctions.cellId(col("lon"), col("lat"), CompactRes).as("cell"))
+    graft.index.CellCompact.uncompact(
+        graft.index.CellCompact.compact(cells, CompactRes), CompactRes)
+      .orderBy(col("cell"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_geocode_cell, q_cell_hist, q_salted_cell_hist, q_hex_hist, q_dsm_grid,
     q_min_grid, q_median_grid, q_grid_zip, q_dsm_meters, q_cell_compact,
-    q_cover_buffer)
+    q_cover_buffer, q_density_grid, q_cell_uncompact)
 }

@@ -228,6 +228,30 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Fractional contamination score ([[graft.dedup.Decontaminate
+    * .score]]): n_shared / n_shingles per corpus doc, 0.0 for clean docs
+    * — the graded-threshold variant of q_decontam's binary overlap. The
+    * double is one IEEE division of exact integer counts, bit-exact
+    * cross-engine. */
+  val q_contam_score: QueryDef = QueryDef.sqlChecked(
+    "q_contam_score",
+    s"""WITH ${TextOps.shingleCteSql},
+       |corpus AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+       |tot AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+       |shr AS (SELECT doc_id, count(*) AS n_shared
+       |  FROM corpus JOIN bench USING (s) GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_shingles,
+       |  coalesce(shr.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+       |  CAST(coalesce(shr.n_shared, 0) AS DOUBLE) / t.n_shingles AS contam
+       |FROM tot t LEFT JOIN shr USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.dedup.Decontaminate.score(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rarity-weighted top-3 terms per doc ([[graft.text.Tfidf]]): salience
     * = tf/df (linear-idf tf-idf), whose ranking key is one IEEE division
     * of two exact integers — bit-identical across engines, which is what
@@ -371,6 +395,6 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(
     q_token_stats, q_lang_guess, q_quality_score, q_fingerprint,
     q_dedup_exact, q_dedup_prefix, q_minhash_sig, q_simhash, q_ngram_jaccard,
-    q_repetition, q_line_dedup, q_redact_pii, q_decontam, q_tfidf_topk,
-    q_boilerplate, q_dup_spans, q_dup_coverage, q_dup_excise)
+    q_repetition, q_line_dedup, q_redact_pii, q_decontam, q_contam_score,
+    q_tfidf_topk, q_boilerplate, q_dup_spans, q_dup_coverage, q_dup_excise)
 }

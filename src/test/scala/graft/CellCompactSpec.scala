@@ -86,6 +86,21 @@ class CellCompactSpec extends SparkSpec {
     }
   }
 
+  test("density == per-cell sequential disk-splat count, duplicates weighted") {
+    import graft.index.CellOps
+    val res = 5
+    val rnd = new scala.util.Random(4)
+    // duplicates on purpose: density is point-weighted, not set-weighted
+    val pts = Seq.fill(300)(Cells.pack(rnd.nextInt(32), rnd.nextInt(32), res))
+    for (k <- Seq(0, 1, 2)) {
+      val got = CellOps.density(pts.toDF("cell"), res, k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = pts.flatMap(c => Cells.disk(c, k))
+        .groupBy(identity).map { case (c, v) => c -> v.size.toLong }
+      assert(got == want, s"k=$k")
+    }
+  }
+
   test("uncompact of a coarse cell enumerates the 4^k descendants") {
     val c = Cells.pack(2, 3, 2)
     val got = CellCompact.uncompact(Seq(c).toDF("cell"), 4)

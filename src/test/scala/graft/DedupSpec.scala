@@ -46,6 +46,14 @@ class DedupSpec extends SparkSpec {
     val kept2 = Decontaminate.clean(corpus, bench, minSharedToDrop = 2)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept2 == Set(2L, 3L))
+    // fractional score: every doc present, clean docs at exactly 0.0;
+    // doc 1 has 3 distinct shingles, 2 shared -> 2/3; doc 3: 1/4
+    val sc = Decontaminate.score(corpus, bench)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(sc(1L) == ((3L, 2L, 2.0 / 3.0)))
+    assert(sc(2L) == ((3L, 0L, 0.0)))
+    assert(sc(3L) == ((4L, 1L, 0.25)))
   }
 
   test("redactPii scrubs emails, ipv4, phones; leaves clean text alone") {
