@@ -269,7 +269,35 @@ object SimilarityQueries {
     }
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023 — graft.similarity
+    * .SemDedup): deterministic k-means clusters via the IVF quantizer,
+    * within-cluster pairs only, low-centroid-cosine exemplar kept. The
+    * dual replays the full unrolled Lloyd build (shared CTE builders
+    * with q_ann_ivf) plus the pair predicate — bit-exact end-to-end. */
+  val q_semdedup: QueryDef = QueryDef.sqlChecked(
+    "q_semdedup",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |t AS (SELECT vec_id, v FROM e),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM t
+       |  ORDER BY vec_id LIMIT 16),
+       |${lloyd("c0", 1)},
+       |${lloyd("c1", 2)},
+       |m AS (SELECT a.vec_id, a.cid, a.v, ${dot("a.v", "c.cv")} AS ccos
+       |  FROM a2 a JOIN c2 c ON a.cid = c.cid),
+       |p AS (SELECT DISTINCT b.vec_id AS dv
+       |  FROM m a JOIN m b ON a.cid = b.cid
+       |    AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+       |    AND ${dot("a.v", "b.v")} >= 0.3)
+       |SELECT m.vec_id, m.cid, m.ccos, CAST(p.dv IS NULL AS INT) AS kept
+       |FROM m LEFT JOIN p ON p.dv = m.vec_id
+       |ORDER BY m.vec_id""".stripMargin) { (s, dir) =>
+    val corpus = Ann.withVec(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("v"))
+    graft.similarity.SemDedup.semDedup(corpus, nList = 16, tau = 0.3)
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q_ann_topk, q_ann_ivf, q_pq_topk, q_pq_ivf, q_embed_norm,
-      q_embed_neardup, q_media_meta)
+      q_embed_neardup, q_media_meta, q_semdedup)
 }

@@ -392,9 +392,36 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style LM quality scoring (graft.text.LangModel): self-trained
+    * add-one bigram model, fixed-point integer rarity (no transcendental
+    * — bit-exact cross-engine), doc score = ONE IEEE division of two
+    * exact integers. Docs with < 2 tokens have no bigrams and no row. */
+  val q_lm_score: QueryDef = QueryDef.sqlChecked(
+    "q_lm_score",
+    s"""WITH tk AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS t FROM documents),
+       |bg AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i ->
+       |    {'w1': t[i], 'w2': t[i+1]})) AS u
+       |  FROM tk WHERE len(t) >= 2)),
+       |uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+       |bi AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+       |vv AS (SELECT count(*) AS v FROM uni),
+       |sc AS (SELECT g.doc_id,
+       |    ((u.c1 + vv.v) * ${graft.text.LangModel.Scale}) // (b.c12 + 1) AS r
+       |  FROM bg g JOIN bi b ON g.w1 = b.w1 AND g.w2 = b.w2
+       |  JOIN uni u ON g.w1 = u.w1, vv)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(r) AS BIGINT) AS rarity_sum,
+       |  CAST(sum(r) AS BIGINT) / count(*) AS rarity_mean
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.text.LangModel.selfScore(Tables.documents(s, dir))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_token_stats, q_lang_guess, q_quality_score, q_fingerprint,
     q_dedup_exact, q_dedup_prefix, q_minhash_sig, q_simhash, q_ngram_jaccard,
     q_repetition, q_line_dedup, q_redact_pii, q_decontam, q_contam_score,
-    q_tfidf_topk, q_boilerplate, q_dup_spans, q_dup_coverage, q_dup_excise)
+    q_tfidf_topk, q_boilerplate, q_dup_spans, q_dup_coverage, q_dup_excise,
+    q_lm_score)
 }
