@@ -79,5 +79,44 @@ object TemporalQueries {
       .orderBy("event_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q_asof_join, q_range_join)
+  /** Fixed-point PageRank (graft.graph.PageRank) over the click graph
+    * derived from the event log: per user ordered by (ts, event_id),
+    * an edge from each event's page (`props.k`) to the next. Integer
+    * div/mul/sum only — the dual unrolls the identical recurrence, so
+    * an iterative graph algorithm lands bit-exact. */
+  val q_pagerank: QueryDef = {
+    val S = graft.graph.PageRank.Scale
+    def iter(k: Int): String =
+      s"""r$k AS (SELECT n.node,
+         |    CAST((15 * $S + 85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(r.r // deg.d) AS BIGINT) AS s
+         |    FROM e JOIN r${k - 1} r ON r.node = e.src
+         |    JOIN deg ON deg.src = e.src
+         |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+    QueryDef.sqlChecked(
+      "q_pagerank",
+      s"""WITH ev AS (SELECT user_id, event_id, ts,
+         |    CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS page
+         |  FROM events),
+         |e AS (SELECT src, dst FROM (
+         |  SELECT page AS src,
+         |    lead(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM ev) z WHERE dst IS NOT NULL),
+         |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT node, CAST($S AS BIGINT) AS r FROM n),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT node, r AS rank_fp, r / $S AS rank FROM r3
+         |ORDER BY node""".stripMargin) { (s, dir) =>
+      val edges = graft.graph.PageRank.clickEdges(Tables.events(s, dir),
+        regexp_extract(col("props"), "(\\d+)", 1).cast("long"),
+        col("user_id"), col("ts"), col("event_id"))
+      graft.graph.PageRank.pageRank(edges, iters = 3).orderBy(col("node"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(q_asof_join, q_range_join, q_pagerank)
 }

@@ -1,0 +1,60 @@
+package graft
+
+import graft.graph.PageRank
+import org.apache.spark.sql.functions._
+
+class PageRankSpec extends SparkSpec {
+
+  private val S = PageRank.Scale
+
+  test("one iteration matches hand-computed fixed-point recurrence") {
+    import spark.implicits._
+    // A->B, B->A, B->C (C dangling). deg A=1, B=2. r0 = S everywhere.
+    // contrib: B <- S div 1; A <- S div 2; C <- S div 2
+    // r1(A) = (15S + 85*(S div 2)) div 100 = 602931
+    // r1(B) = (15S + 85*S) div 100 = S
+    // r1(C) = 602931
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val got = PageRank.pageRank(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 602931L, 2L -> S, 3L -> 602931L))
+  }
+
+  test("three iterations equal a driver-side integer reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(200)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var ref = nodes.map(_ -> S).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => ref(s) / deg(s) }.sum
+      }
+      ref = nodes.map(n => n -> (15 * S + 85 * contrib.getOrElse(n, 0L)) / 100).toMap
+    }
+    val got = PageRank.pageRank(edges.toDF("src", "dst").repartition(5), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+  }
+
+  test("clickEdges orders by (order, tie) within user; tail event emits none") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, 0L, 100L), (1L, 10L, 1L, 200L), (1L, 20L, 0L, 300L),
+      (2L, 5L, 0L, 400L)) // single-event user: no edge
+      .toDF("user", "o", "t", "page")
+    val got = PageRank.clickEdges(ev, col("page"), col("user"), col("o"), col("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((100L, 200L), (200L, 300L)))
+  }
+
+  test("mass accounting: total rank stays within (1-d) floor and input mass") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst") // a cycle
+    val got = PageRank.pageRank(edges, iters = 5)
+      .agg(sum("rank_fp")).head().getLong(0)
+    // a pure cycle conserves mass exactly (up to div truncation)
+    assert(got <= 3 * S && got > 3 * S - 100)
+  }
+}

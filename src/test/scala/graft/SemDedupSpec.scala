@@ -68,6 +68,13 @@ class SemDedupSpec extends SparkSpec {
     assert(over >= 1)
   }
 
+  test("plan guard: pair join is a cid equi-join, never nested-loop") {
+    val plan = SemDedup.semDedup(corpus, nList = 3, tau = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("partitioning invariance") {
     val a = SemDedup.semDedup(corpus.repartition(7), nList = 3, tau = 0.9)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
