@@ -86,15 +86,37 @@ object LangModel {
     * DOUBLE = one IEEE division). Missing model entries (pruned or
     * genuinely unseen) hit the add-one floor: c12 -> 0, and an unseen
     * LEFT word scores c1 -> 0. `broadcastModel` marks both model sides
-    * broadcast (the pruned regime); leave false for the exact equi-join
-    * + AQE backstop. */
+    * broadcast (the pruned regime). In the exact regime the model's own
+    * counts are the hot-key detector for free (the Tfidf.topTerms
+    * trick): entries with count > `hotCount` funnel more than that many
+    * occurrence rows through one reducer, so they split out, BROADCAST
+    * (at most total/hotCount such keys exist), and resolve map-side;
+    * only the skew-free cold tail takes the equi-join. Values are
+    * identical either way; AQE remains the backstop under the
+    * threshold. */
   def score(docs: DataFrame, uni: DataFrame, bi: DataFrame, vocabV: Long,
             textCol: String = "text", idCol: String = "doc_id",
-            broadcastModel: Boolean = false): DataFrame = {
-    val (u, b) = if (broadcastModel) (broadcast(uni), broadcast(bi)) else (uni, bi)
-    bigrams(docs, textCol, idCol)
-      .join(b, Seq("w1", "w2"), "left")
-      .join(u, Seq("w1"), "left")
+            broadcastModel: Boolean = false,
+            hotCount: Long = 1L << 20): DataFrame = {
+    def hotSplit(occ: DataFrame, model: DataFrame, keys: Seq[String],
+                 cnt: String): DataFrame = {
+      val pre = occ.join(broadcast(model.filter(col(cnt) > hotCount)),
+        keys, "left")
+      pre.filter(col(cnt).isNotNull).unionByName(
+        pre.filter(col(cnt).isNull).drop(cnt)
+          .join(model.filter(col(cnt) <= hotCount), keys, "left"))
+    }
+    val scoredOcc =
+      if (broadcastModel)
+        bigrams(docs, textCol, idCol)
+          .join(broadcast(bi), Seq("w1", "w2"), "left")
+          .join(broadcast(uni), Seq("w1"), "left")
+      else {
+        val withBi = hotSplit(bigrams(docs, textCol, idCol), bi,
+          Seq("w1", "w2"), "c12")
+        hotSplit(withBi, uni, Seq("w1"), "c1")
+      }
+    scoredOcc
       // `div` is true integer division on BIGINT (never a double round
       // trip, which would lose exactness past 2^53)
       .select(col(idCol),

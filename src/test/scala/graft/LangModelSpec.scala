@@ -52,6 +52,17 @@ class LangModelSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("hot-key split scores identically to the naive equi-join") {
+    val (uni, bi, v) = LangModel.train(corpus)
+    def rows(hot: Long) =
+      LangModel.score(corpus, uni, bi, v, hotCount = hot)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    // hotCount=1 routes nearly every key through the broadcast branch;
+    // hotCount=MaxValue is the pure equi-join
+    assert(rows(1L) == rows(Long.MaxValue))
+  }
+
   test("scoring against a foreign reference model: unseen-left floor") {
     import spark.implicits._
     val ref = Seq((0L, "p q p q")).toDF("doc_id", "text") // uni p=2 q=1, V=2

@@ -49,6 +49,19 @@ class PageRankSpec extends SparkSpec {
     assert(got == Seq((100L, 200L), (200L, 300L)))
   }
 
+  test("plan: pinned edges are not re-shuffled by the per-iteration join") {
+    import spark.implicits._
+    val edges = Seq.tabulate(50)(i => (i.toLong % 10, (i + 3).toLong % 10))
+      .toDF("src", "dst")
+    val plan = PageRank.pageRank(edges, iters = 1)
+      .queryExecution.executedPlan.toString
+    // edges were repartition(src)+localCheckpoint'd before the loop; the
+    // rank join must only shuffle the (tiny) rank side, never the edges
+    val edgeShuffles = "Exchange hashpartitioning\\(src".r
+      .findAllIn(plan).size
+    assert(edgeShuffles <= 2, s"edges re-shuffled per iteration:\n$plan")
+  }
+
   test("mass accounting: total rank stays within (1-d) floor and input mass") {
     import spark.implicits._
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst") // a cycle
