@@ -63,17 +63,61 @@ object PageRank {
       .union(edges.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     var r = nodes.withColumn("r", lit(Scale))
-    for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(r.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
-        .select(col("dst").as("node"), expr("r div d").as("c"))
-        .groupBy("node").agg(sum("c").as("s"))
-      r = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          expr(s"(15 * ${Scale}L + 85 * coalesce(s, CAST(0 AS BIGINT)))" +
-            " div 100").as("r"))
-        .localCheckpoint()
+    for (_ <- 1 to iters) r = step(edges, deg, nodes, r)
+    r.select(col("node"), col("r").as("rank_fp"),
+      (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))
+  }
+
+  /** One rank update (shared by the plain and resumable drivers). */
+  private def step(edges: DataFrame, deg: DataFrame, nodes: DataFrame,
+                   r: DataFrame): DataFrame = {
+    val contrib = edges
+      .join(r.withColumnRenamed("node", "src"), "src")
+      .join(deg, "src")
+      .select(col("dst").as("node"), expr("r div d").as("c"))
+      .groupBy("node").agg(sum("c").as("s"))
+    nodes.join(contrib, Seq("node"), "left")
+      .select(col("node"),
+        expr(s"(15 * ${Scale}L + 85 * coalesce(s, CAST(0 AS BIGINT)))" +
+          " div 100").as("r"))
+      .localCheckpoint()
+  }
+
+  /** Snapshot-resumable PageRank (north rule: any stage restarts from
+    * the last committed snapshot). Every iteration's FULL rank table
+    * commits to `<root>/<table>` with a lineage signature binding the
+    * iteration number to a deterministic content signature of the edge
+    * set (count + sum of row hashes — order/partitioning independent),
+    * so a re-run resumes from the highest committed iteration OF THE
+    * SAME GRAPH and recomputes nothing before it; a changed edge set
+    * changes the signature and starts clean. Bit-exact with
+    * [[pageRank]] by construction (identical integer recurrence; resume
+    * replays from exact BIGINT state). */
+  def pageRankResumable(edgesIn: DataFrame, iters: Int, root: String,
+                        table: String = "pagerank_ranks"): DataFrame = {
+    require(iters >= 1)
+    val spark = edgesIn.sparkSession
+    val edges = edgesIn.select("src", "dst")
+      .repartition(col("src")).localCheckpoint()
+    val sigRow = edges.agg(count(lit(1)),
+      expr("bit_xor(xxhash64(src, dst))")).head()
+    val sig = s"n=${sigRow.getLong(0)} h=${sigRow.getLong(1)}"
+    def lin(k: Int) = s"pagerank sig[$sig] iter=$k scale=$Scale"
+    val committed = graft.meta.Snapshots.committed(root, table)
+    val resumed = (iters to 1 by -1).iterator
+      .flatMap(k => committed.reverse.find(_.lineage == lin(k)).map((k, _)))
+      .take(1).toSeq.headOption
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint()
+    val nodesDf = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    var (from, r) = resumed match {
+      case Some((k, m)) => (k, graft.meta.Snapshots.read(spark, m))
+      case None => (0, nodesDf.withColumn("r", lit(Scale)))
+    }
+    for (k <- from + 1 to iters) {
+      r = step(edges, deg, nodesDf, r)
+      graft.meta.Snapshots.commit(r, root, table, lin(k))
     }
     r.select(col("node"), col("r").as("rank_fp"),
       (col("r").cast("double") / lit(Scale.toDouble)).as("rank"))

@@ -62,6 +62,29 @@ class PageRankSpec extends SparkSpec {
     assert(edgeShuffles <= 2, s"edges re-shuffled per iteration:\n$plan")
   }
 
+  test("resumable: continues from the last committed iteration, bit-exact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-pr").toString
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    // first run commits iterations 1..2
+    PageRank.pageRankResumable(edges, iters = 2, root).collect()
+    assert(graft.meta.Snapshots.committed(root, "pagerank_ranks").size == 2)
+    // second run to 4 must resume (adds exactly 2 more commits) and
+    // equal the direct 4-iteration result
+    val resumed = PageRank.pageRankResumable(edges, iters = 4, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(graft.meta.Snapshots.committed(root, "pagerank_ranks").size == 4)
+    val direct = PageRank.pageRank(edges, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == direct)
+    // a DIFFERENT graph on the same root must not resume from these
+    val other = Seq((7L, 8L), (8L, 7L)).toDF("src", "dst")
+    val fresh = PageRank.pageRankResumable(other, iters = 1, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fresh.keySet == Set(7L, 8L))
+    assert(graft.meta.Snapshots.committed(root, "pagerank_ranks").size == 5)
+  }
+
   test("mass accounting: total rank stays within (1-d) floor and input mass") {
     import spark.implicits._
     val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst") // a cycle
