@@ -118,5 +118,86 @@ object TemporalQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(q_asof_join, q_range_join, q_pagerank)
+  /** Weekly cohort retention: cohort = a user's first-event epoch week,
+    * and for every (cohort, k) the distinct users active k weeks later —
+    * the standard growth-analytics triangle. Week bucketing floors
+    * epoch/604800 IDENTICALLY on both engines (floor of an IEEE double
+    * division, then an exact cast); counts are exact integers. Scale
+    * shape: one per-user min agg, one user-key equi-join, one
+    * count-distinct agg — all hash-based, nothing windowed. */
+  val q_retention: QueryDef = QueryDef.sqlChecked(
+    "q_retention",
+    """WITH e AS (SELECT user_id,
+      |    CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id)
+      |SELECT c.cohort, e.wk - c.cohort AS k,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN c ON c.user_id = e.user_id
+      |GROUP BY c.cohort, e.wk - c.cohort
+      |ORDER BY cohort, k""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir).select(col("user_id"),
+      floor(col("ts").cast("timestamp").cast("double") / 604800d)
+        .cast("long").as("wk"))
+    val c = e.groupBy("user_id").agg(min("wk").as("cohort"))
+    e.join(c, "user_id")
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("k"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort"), col("k"))
+  }
+
+  /** Ordered conversion funnel signup -> click -> purchase: a user
+    * reaches stage s only via events in causal order (each stage's
+    * earliest event at-or-after the previous stage's). Per-user stage
+    * times are min-aggregates + two user-key joins (no windows, no
+    * per-user sort); the final histogram is 4 exact rows with one IEEE
+    * division for the conversion rate. */
+  val q_funnel: QueryDef = QueryDef.sqlChecked(
+    "q_funnel",
+    """WITH e AS (SELECT user_id, event_type, epoch(ts) AS tsec FROM events),
+      |u AS (SELECT DISTINCT user_id FROM e),
+      |s1 AS (SELECT user_id, min(tsec) AS t1 FROM e
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(tsec) AS t2 FROM e
+      |       JOIN s1 ON s1.user_id = e.user_id
+      |       WHERE event_type = 'click' AND tsec >= t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(tsec) AS t3 FROM e
+      |       JOIN s2 ON s2.user_id = e.user_id
+      |       WHERE event_type = 'purchase' AND tsec >= t2 GROUP BY e.user_id),
+      |st AS (SELECT u.user_id,
+      |  CASE WHEN s3.user_id IS NOT NULL THEN 3
+      |       WHEN s2.user_id IS NOT NULL THEN 2
+      |       WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |  FROM u LEFT JOIN s1 ON s1.user_id = u.user_id
+      |         LEFT JOIN s2 ON s2.user_id = u.user_id
+      |         LEFT JOIN s3 ON s3.user_id = u.user_id),
+      |tot AS (SELECT count(*) AS n FROM u)
+      |SELECT stage, count(*) AS n_users,
+      |  count(*) / (SELECT n FROM tot) AS frac
+      |FROM st GROUP BY stage ORDER BY stage""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      col("ts").cast("timestamp").cast("double").as("tsec"))
+    val u = e.select("user_id").distinct()
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("tsec").as("t1"))
+    val s2 = e.join(s1, "user_id")
+      .filter(col("event_type") === "click" && col("tsec") >= col("t1"))
+      .groupBy("user_id").agg(min("tsec").as("t2"))
+    val s3 = e.join(s2, "user_id")
+      .filter(col("event_type") === "purchase" && col("tsec") >= col("t2"))
+      .groupBy("user_id").agg(min("tsec").as("t3"))
+    val total = u.count()
+    u.join(s1.select(col("user_id"), lit(1).as("h1")), Seq("user_id"), "left")
+      .join(s2.select(col("user_id"), lit(1).as("h2")), Seq("user_id"), "left")
+      .join(s3.select(col("user_id"), lit(1).as("h3")), Seq("user_id"), "left")
+      .select(when(col("h3").isNotNull, 3)
+        .when(col("h2").isNotNull, 2)
+        .when(col("h1").isNotNull, 1).otherwise(0).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .select(col("stage"), col("n_users"),
+        (col("n_users").cast("double") / lit(total.toDouble)).as("frac"))
+      .orderBy(col("stage"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q_asof_join, q_range_join, q_pagerank, q_retention, q_funnel)
 }
