@@ -47,4 +47,23 @@ object Skew {
     df.groupBy(key.as("__key")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > threshold)
       .select(col("__key"))
+
+  /** Left-join `occ` to a COUNT-CARRYING lookup table whose count column
+    * is its own hot-key detector: entries with `cntCol` > hotCount would
+    * funnel more than that many occurrence rows through one reducer, so
+    * they split out, BROADCAST (at most total/hotCount such keys exist
+    * by construction), and resolve map-side; only the skew-free cold
+    * tail takes the shuffle equi-join. Result rows/values are identical
+    * to the plain left join (the same lookup row matches either way);
+    * unmatched occurrences keep NULL `cntCol`, exactly like the naive
+    * join. Shared by Tfidf.topTerms and LangModel.score. */
+  def hotCountSplitJoin(occ: DataFrame, lookup: DataFrame,
+                        keys: Seq[String], cntCol: String,
+                        hotCount: Long): DataFrame = {
+    val pre = occ.join(broadcast(lookup.filter(col(cntCol) > hotCount)),
+      keys, "left")
+    pre.filter(col(cntCol).isNotNull).unionByName(
+      pre.filter(col(cntCol).isNull).drop(cntCol)
+        .join(lookup.filter(col(cntCol) <= hotCount), keys, "left"))
+  }
 }

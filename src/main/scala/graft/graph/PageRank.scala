@@ -87,7 +87,8 @@ object PageRank {
     * the last committed snapshot). Every iteration's FULL rank table
     * commits to `<root>/<table>` with a lineage signature binding the
     * iteration number to a deterministic content signature of the edge
-    * set (count + sum of row hashes — order/partitioning independent),
+    * multiset (total count + xor of per-edge (key, multiplicity)
+    * hashes — order/partitioning independent, multiplicity-safe),
     * so a re-run resumes from the highest committed iteration OF THE
     * SAME GRAPH and recomputes nothing before it; a changed edge set
     * changes the signature and starts clean. Bit-exact with
@@ -99,8 +100,14 @@ object PageRank {
     val spark = edgesIn.sparkSession
     val edges = edgesIn.select("src", "dst")
       .repartition(col("src")).localCheckpoint()
-    val sigRow = edges.agg(count(lit(1)),
-      expr("bit_xor(xxhash64(src, dst))")).head()
+    // multiset-safe content signature: xor over DISTINCT (edge, count)
+    // rows. A plain xor over edge rows would cancel even multiplicities
+    // (clickEdges emits parallel edges deliberately), letting distinct
+    // multigraphs collide; hashing each group WITH its multiplicity
+    // cannot cancel because groups are unique. bit_xor (not sum) keeps
+    // the fold overflow-free under ANSI mode.
+    val sigRow = edges.groupBy("src", "dst").agg(count(lit(1)).as("m"))
+      .agg(sum(col("m")), expr("bit_xor(xxhash64(src, dst, m))")).head()
     val sig = s"n=${sigRow.getLong(0)} h=${sigRow.getLong(1)}"
     def lin(k: Int) = s"pagerank sig[$sig] iter=$k scale=$Scale"
     val committed = graft.meta.Snapshots.committed(root, table)

@@ -54,6 +54,15 @@ object FlowAccum {
                    tileSize: Int = 128, maxRounds: Int = 64): DataFrame = {
     val next = FlowBasins.nextPointer(dsm, bounds, tileSize)
       .localCheckpoint(eager = true)
+    // the (id*2 | dir) arc packing narrows the packer's native 2^31
+    // coordinate bound to 2^30 per axis; fail loudly instead of letting
+    // arc ids silently wrap into the sign bit (one cheap agg over the
+    // already-materialized pointer table)
+    val maxIdRow = next.agg(max(greatest(col("id"), col("nid")))).head()
+    if (!maxIdRow.isNullAt(0))
+      require(maxIdRow.getLong(0) < (1L << 62),
+        s"accumulation: packed cell id ${maxIdRow.getLong(0)} >= 2^62 — " +
+          "the (id*2|dir) arc packing needs gx < 2^30; tile the grid")
     val edges = next.filter(col("id") =!= col("nid"))
       .select(col("id").as("c"), col("nid").as("p"))
 

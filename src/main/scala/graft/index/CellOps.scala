@@ -51,27 +51,20 @@ object CellOps {
     * surface. Same shape as [[buffer]] plus a map-side-combined count
     * (generator + ONE hash agg, no join); kernel footprint (2k+1)^2
     * bounds the fan-out exactly. */
-  def density(cells: DataFrame, res: Int, k: Int): DataFrame = {
-    require(res >= 0 && res <= Cells.MaxRes, s"bad res=$res")
-    require(k >= 0, s"bad k=$k")
-    val n = 1L << res
-    val offs = for (dy <- -k to k; dx <- -k to k)
-      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
-    cells
-      .select(cellCx(col("cell")).as("cx"), cellCy(col("cell")).as("cy"))
-      .select(col("cx"), col("cy"), explode(array(offs: _*)).as("o"))
-      .select((col("cx") + col("o.dx")).as("nx"), (col("cy") + col("o.dy")).as("ny"))
-      .filter(col("nx") >= 0L && col("nx") < n && col("ny") >= 0L && col("ny") < n)
-      .groupBy(shiftleft(lit(res.toLong), 56)
-        .bitwiseOR(spreadCol(col("nx")))
-        .bitwiseOR(shiftleft(spreadCol(col("ny")), 1)).as("cell"))
-      .agg(count(lit(1)).as("n"))
-  }
+  def density(cells: DataFrame, res: Int, k: Int): DataFrame =
+    dilated(cells, res, k).groupBy("cell").agg(count(lit(1)).as("n"))
 
   /** Buffer a single-resolution cell set (column `cell` at resolution
     * `res`) by Chebyshev distance k: the union of every cell's
     * (2k+1)^2 disk, edge-clipped, distinct. */
-  def buffer(cells: DataFrame, res: Int, k: Int): DataFrame = {
+  def buffer(cells: DataFrame, res: Int, k: Int): DataFrame =
+    dilated(cells, res, k).distinct()
+
+  /** The dilation generator shared by [[density]] (count tail) and
+    * [[buffer]] (distinct tail): de-interleave each input cell, splat
+    * its (2k+1)^2 Chebyshev disk, edge-clip, re-pack — one row per
+    * (input row, kernel offset), duplicates preserved. */
+  private def dilated(cells: DataFrame, res: Int, k: Int): DataFrame = {
     require(res >= 0 && res <= Cells.MaxRes, s"bad res=$res")
     require(k >= 0, s"bad k=$k")
     val n = 1L << res
@@ -85,6 +78,5 @@ object CellOps {
       .select(shiftleft(lit(res.toLong), 56)
         .bitwiseOR(spreadCol(col("nx")))
         .bitwiseOR(shiftleft(spreadCol(col("ny")), 1)).as("cell"))
-      .distinct()
   }
 }

@@ -25,8 +25,14 @@ object SideTables {
 
   final val TokenProp = "graft.sf.token"
 
-  /** Sanitized SF token, e.g. "sf0_01"; fixed at first access. */
-  final val Token: String =
+  /** Sanitized SF token, e.g. "sf0_01". A `def` deliberately: a val
+    * would freeze during THIS object's init, which the entry main's own
+    * `setTokenFromSfDir` call triggers — i.e. it would always read the
+    * pre-set "default" and make the SF scoping inert. Reading the
+    * property per access keeps root() correct regardless of object
+    * initialization order (roots embedded in query SQL still settle at
+    * query-object init, which the mains sequence after the set call). */
+  def Token: String =
     sys.props.getOrElse(TokenProp, "default")
 
   /** Set the JVM's SF token from the SF data dir (entry mains only —

@@ -58,8 +58,13 @@ object DupSpans {
     * with n_windows the count of duplicated k-windows merged into the
     * span. Docs with no duplicated window emit no rows. */
   def spans(docs: DataFrame, k: Int, textCol: String = "text",
-            idCol: String = "doc_id"): DataFrame = {
-    val w = windows(docs, k, textCol, idCol)
+            idCol: String = "doc_id"): DataFrame =
+    spansFrom(windows(docs, k, textCol, idCol), k, idCol)
+
+  /** Corpus-frequency filter + island merge over a prepared window
+    * table (idCol, pos, kg) — the pipeline shared by [[spans]] and
+    * [[spansHashed]], which differ only in the kg key's type. */
+  private def spansFrom(w: DataFrame, k: Int, idCol: String): DataFrame = {
     val dupKgs = w.groupBy(col("kg"))
       .agg(count(lit(1)).as("__f")).filter(col("__f") > 1)
       .select(col("kg"))
@@ -78,16 +83,11 @@ object DupSpans {
     * every test SF — yield bit-identical spans, which is what
     * DupSpansSpec pins. */
   def spansHashed(docs: DataFrame, k: Int, textCol: String = "text",
-                  idCol: String = "doc_id"): DataFrame = {
-    val w = windows(docs, k, textCol, idCol)
-      .select(col(idCol), col("pos"), xxhash64(col("kg")).as("kg"))
-    val dupKgs = w.groupBy(col("kg"))
-      .agg(count(lit(1)).as("__f")).filter(col("__f") > 1)
-      .select(col("kg"))
-    val dup = w.join(dupKgs, Seq("kg"), "left_semi")
-      .select(col(idCol), col("pos").cast("long").as("pos"))
-    mergeIslands(dup, k, idCol)
-  }
+                  idCol: String = "doc_id"): DataFrame =
+    spansFrom(
+      windows(docs, k, textCol, idCol)
+        .select(col(idCol), col("pos"), xxhash64(col("kg")).as("kg")),
+      k, idCol)
 
   /** Gaps-and-islands merge of duplicated window positions into maximal
     * spans — the per-doc final stage shared by [[spans]] and

@@ -98,23 +98,15 @@ object LangModel {
             textCol: String = "text", idCol: String = "doc_id",
             broadcastModel: Boolean = false,
             hotCount: Long = 1L << 20): DataFrame = {
-    def hotSplit(occ: DataFrame, model: DataFrame, keys: Seq[String],
-                 cnt: String): DataFrame = {
-      val pre = occ.join(broadcast(model.filter(col(cnt) > hotCount)),
-        keys, "left")
-      pre.filter(col(cnt).isNotNull).unionByName(
-        pre.filter(col(cnt).isNull).drop(cnt)
-          .join(model.filter(col(cnt) <= hotCount), keys, "left"))
-    }
     val scoredOcc =
       if (broadcastModel)
         bigrams(docs, textCol, idCol)
           .join(broadcast(bi), Seq("w1", "w2"), "left")
           .join(broadcast(uni), Seq("w1"), "left")
       else {
-        val withBi = hotSplit(bigrams(docs, textCol, idCol), bi,
-          Seq("w1", "w2"), "c12")
-        hotSplit(withBi, uni, Seq("w1"), "c1")
+        val withBi = graft.core.Skew.hotCountSplitJoin(
+          bigrams(docs, textCol, idCol), bi, Seq("w1", "w2"), "c12", hotCount)
+        graft.core.Skew.hotCountSplitJoin(withBi, uni, Seq("w1"), "c1", hotCount)
       }
     scoredOcc
       // `div` is true integer division on BIGINT (never a double round

@@ -67,10 +67,8 @@ object Tfidf {
       .filter(col("term") =!= "")
     val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val pre = tf.join(broadcast(dfT.filter(col("df") > hotDf)), Seq("term"), "left")
-    val joined = pre.filter(col("df").isNotNull).unionByName(
-      pre.filter(col("df").isNull).drop("df")
-        .join(dfT.filter(col("df") <= hotDf), Seq("term")))
+    val joined =
+      graft.core.Skew.hotCountSplitJoin(tf, dfT, Seq("term"), "df", hotDf)
     val w = Window.partitionBy(idCol)
       .orderBy((col("tf").cast("double") / col("df")).desc, col("term"))
     joined
