@@ -418,10 +418,63 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE merge training (graft.text.Bpe): the first three learned
+    * merges over the corpus vocabulary. The dual replays the FULL
+    * algorithm three rounds deep: char-split word-frequency vocab ->
+    * weighted adjacent-pair histogram -> total-order argmax -> greedy
+    * merge apply, where the apply step uses the set-wise form of the
+    * greedy scan (a != b occurrences never overlap so all merge; a == b
+    * runs alternate from the run start via gaps-and-islands parity) —
+    * so the oracle match doubles as an equivalence proof of the fold
+    * and islands formulations on the corpus. */
+  val q_bpe_merges: QueryDef = {
+    // one training round in SQL: positions -> pair counts -> argmax ->
+    // islands-selected merge positions -> rebuilt symbol lists
+    def round(k: Int, prev: String): String =
+      s"""pos$k AS (SELECT w, freq, u.i AS i, u.s AS s, u.s2 AS s2 FROM (
+         |  SELECT w, freq, unnest(list_transform(range(1, len(syms)+1),
+         |    i -> {'i': i, 's': syms[i], 's2': syms[i+1]})) AS u FROM $prev)),
+         |p$k AS (SELECT s AS l, s2 AS r, CAST(sum(freq) AS BIGINT) AS c
+         |  FROM pos$k WHERE s2 IS NOT NULL GROUP BY 1, 2),
+         |m$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |sel$k AS (SELECT w, i FROM (
+         |  SELECT w, i, min(i) OVER (PARTITION BY w, grp) AS i0 FROM (
+         |    SELECT c.w, c.i,
+         |      c.i - row_number() OVER (PARTITION BY c.w ORDER BY c.i) AS grp
+         |    FROM pos$k c, m$k m WHERE c.s = m.l AND c.s2 = m.r))
+         |  WHERE (i - i0) % 2 = 0),
+         |v$k AS (SELECT p.w, any_value(p.freq) AS freq,
+         |    list(CASE WHEN s1.w IS NOT NULL THEN m.l || m.r ELSE p.s END
+         |         ORDER BY p.i) AS syms
+         |  FROM pos$k p CROSS JOIN m$k m
+         |  LEFT JOIN sel$k s1 ON s1.w = p.w AND s1.i = p.i
+         |  LEFT JOIN sel$k s0 ON s0.w = p.w AND s0.i = p.i - 1
+         |  WHERE s0.w IS NULL GROUP BY p.w)""".stripMargin
+    QueryDef.sqlChecked(
+      "q_bpe_merges",
+      s"""WITH toks AS (SELECT unnest(${TextOps.tokensSql("text")}) AS w
+         |  FROM documents),
+         |v0 AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         |    list_transform(range(1, len(w)+1), i -> w[i]) AS syms
+         |  FROM toks WHERE w <> '' GROUP BY w),
+         |${round(1, "v0")},
+         |${round(2, "v1")},
+         |${round(3, "v2")}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS INTEGER) AS rank, l AS pair_left,
+         |    r AS pair_right, c AS pair_count FROM m1
+         |  UNION ALL SELECT CAST(2 AS INTEGER), l, r, c FROM m2
+         |  UNION ALL SELECT CAST(3 AS INTEGER), l, r, c FROM m3)
+         |ORDER BY rank""".stripMargin) { (s, dir) =>
+      graft.text.Bpe.trainMerges(Tables.documents(s, dir), 3)
+        .orderBy(col("rank"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_token_stats, q_lang_guess, q_quality_score, q_fingerprint,
     q_dedup_exact, q_dedup_prefix, q_minhash_sig, q_simhash, q_ngram_jaccard,
     q_repetition, q_line_dedup, q_redact_pii, q_decontam, q_contam_score,
     q_tfidf_topk, q_boilerplate, q_dup_spans, q_dup_coverage, q_dup_excise,
-    q_lm_score)
+    q_lm_score, q_bpe_merges)
 }
