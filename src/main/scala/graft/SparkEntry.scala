@@ -14,7 +14,7 @@ object SparkEntry {
       AlignQueries.all ++ Shr3dQueries.all ++ WebQueries.all ++
       GridQueries2.all ++ MorphQueries.all ++ QuantQueries.all ++
       MetaQueries.all ++ SketchQueries.all ++ TemporalQueries.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++ ContourQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * geocode -> cell index -> DSM max-grid (the SHR3D A1 analog). */

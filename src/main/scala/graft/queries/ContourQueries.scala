@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.core.{Geo, Tables}
+import graft.grid.{Contours, Gridding}
+import org.apache.spark.sql.functions._
+
+/**
+ * Marching-squares contour queries (graft.grid.Contours) over the
+ * 10-degree DSM grid the stencil pack uses. The dual rebuilds the
+ * whole operator relationally: corner splat -> 4-present blocks ->
+ * 16-case classification with the exact-integer saddle rule ->
+ * one-IEEE-division edge interpolation; the polyline dual closes the
+ * exact shared-edge adjacency with a recursive min-label CTE.
+ */
+object ContourQueries {
+
+  private val spec = Gridding.GridSpec(gsd = 10.0)
+  private val Levels = Seq(15000L, 30000L, 45000L)
+
+  private def dsm10(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Gridding.dsm(Gridding.points(Geo.withGeo(Tables.documents(s, dir)), spec))
+
+  /** Shared dual prefix: blocks + per-level case classification +
+    * tagged crossing points (struct per edge; a point is only consumed
+    * by cases where its edge truly crosses, so the z-equal NULL
+    * divisions are dead on both sides). */
+  private val contourCtes = {
+    val lvRows = Levels.zipWithIndex
+      .map { case (t, i) =>
+        s"(CAST($i AS BIGINT), CAST($t AS BIGINT))"
+      }.mkString(", ")
+    s"""${Gridding.splatCte(spec)},
+       |dsm AS (SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy),
+       |corner AS (SELECT gx - r.dx AS bx, gy - r.dy AS by,
+       |    r.dx + 2 * r.dy AS role, v
+       |  FROM dsm CROSS JOIN (VALUES (0,0),(1,0),(0,1),(1,1)) r(dx, dy)),
+       |blocks AS (SELECT bx, by,
+       |    max(CASE WHEN role = 0 THEN v END) AS z00,
+       |    max(CASE WHEN role = 1 THEN v END) AS z10,
+       |    max(CASE WHEN role = 2 THEN v END) AS z01,
+       |    max(CASE WHEN role = 3 THEN v END) AS z11
+       |  FROM corner GROUP BY bx, by HAVING count(*) = 4),
+       |lv AS (SELECT * FROM (VALUES $lvRows) v(li, t)),
+       |cs AS (SELECT bx, by, li, t, z00, z10, z01, z11,
+       |    (CASE WHEN z00 >= t THEN 1 ELSE 0 END)
+       |  + (CASE WHEN z10 >= t THEN 2 ELSE 0 END)
+       |  + (CASE WHEN z11 >= t THEN 4 ELSE 0 END)
+       |  + (CASE WHEN z01 >= t THEN 8 ELSE 0 END) AS idx,
+       |    z00 + z10 + z01 + z11 >= 4 * t AS cin
+       |  FROM blocks, lv),
+       |ptd AS (SELECT *,
+       |    {'x': bx + (t - z00) / (z10 - z00), 'y': CAST(by AS DOUBLE),
+       |     'eo': 0, 'ex': bx, 'ey': by} AS pb,
+       |    {'x': CAST(bx + 1 AS DOUBLE), 'y': by + (t - z10) / (z11 - z10),
+       |     'eo': 1, 'ex': bx + 1, 'ey': by} AS pr,
+       |    {'x': bx + (t - z01) / (z11 - z01), 'y': CAST(by + 1 AS DOUBLE),
+       |     'eo': 0, 'ex': bx, 'ey': by + 1} AS pu,
+       |    {'x': CAST(bx AS DOUBLE), 'y': by + (t - z00) / (z01 - z00),
+       |     'eo': 1, 'ex': bx, 'ey': by} AS pl
+       |  FROM cs WHERE idx NOT IN (0, 15)),
+       |sl AS (SELECT bx, by, li, t, CASE
+       |    WHEN idx IN (1, 14) THEN [{'g': 0, 'p1': pb, 'p2': pl}]
+       |    WHEN idx IN (2, 13) THEN [{'g': 0, 'p1': pb, 'p2': pr}]
+       |    WHEN idx IN (3, 12) THEN [{'g': 0, 'p1': pr, 'p2': pl}]
+       |    WHEN idx IN (4, 11) THEN [{'g': 0, 'p1': pr, 'p2': pu}]
+       |    WHEN idx IN (6, 9)  THEN [{'g': 0, 'p1': pb, 'p2': pu}]
+       |    WHEN idx IN (7, 8)  THEN [{'g': 0, 'p1': pu, 'p2': pl}]
+       |    WHEN (idx = 5 AND cin) OR (idx = 10 AND NOT cin)
+       |      THEN [{'g': 0, 'p1': pb, 'p2': pr}, {'g': 1, 'p1': pu, 'p2': pl}]
+       |    ELSE [{'g': 0, 'p1': pb, 'p2': pl}, {'g': 1, 'p1': pr, 'p2': pu}]
+       |  END AS ss FROM ptd),
+       |segd AS (SELECT li, t, bx, by, u.g AS g, u.p1 AS p1, u.p2 AS p2
+       |  FROM (SELECT bx, by, li, t, unnest(ss) AS u FROM sl))""".stripMargin
+  }
+
+  /** Contour segments at three levels over the DSM. */
+  val q_contours: QueryDef = QueryDef.sqlChecked(
+    "q_contours",
+    s"""WITH $contourCtes
+       |SELECT t AS level, bx, by, CAST(g AS INT) AS seg,
+       |  p1.x AS x1, p1.y AS y1, p2.x AS x2, p2.y AS y2,
+       |  CAST(p1.eo AS INT) AS e1o, p1.ex AS e1x, p1.ey AS e1y,
+       |  CAST(p2.eo AS INT) AS e2o, p2.ex AS e2x, p2.ey AS e2y
+       |FROM segd ORDER BY level, bx, by, seg""".stripMargin) { (s, dir) =>
+    Contours.segments(dsm10(s, dir), Levels)
+      .orderBy(col("level"), col("bx"), col("by"), col("seg"))
+  }
+
+  /** Polyline dissolve: every segment labeled with the min segment id
+    * reachable over exact shared-edge connectivity. */
+  val q_contour_lines: QueryDef = QueryDef.sqlChecked(
+    "q_contour_lines",
+    s"""WITH RECURSIVE $contourCtes,
+       |nodes AS (SELECT li, t, bx, by, g,
+       |    ((li * 268435456 + bx) * 268435456 + by) * 2 + g AS sid,
+       |    p1, p2 FROM segd),
+       |ends AS (
+       |  SELECT t, p1.eo AS eo, p1.ex AS ex, p1.ey AS ey, sid FROM nodes
+       |  UNION ALL
+       |  SELECT t, p2.eo, p2.ex, p2.ey, sid FROM nodes),
+       |pairs AS (SELECT a.sid AS sa, b.sid AS sb
+       |  FROM ends a JOIN ends b
+       |    ON a.t = b.t AND a.eo = b.eo AND a.ex = b.ex AND a.ey = b.ey
+       |  WHERE a.sid < b.sid),
+       |e AS (SELECT sa, sb FROM pairs UNION SELECT sb, sa FROM pairs),
+       |reach(n, l) AS (
+       |  SELECT sid, sid FROM nodes
+       |  UNION
+       |  SELECT e.sb, r.l FROM reach r JOIN e ON e.sa = r.n
+       |  WHERE r.l < e.sb),
+       |lbl AS (SELECT n AS sid, min(l) AS line_id FROM reach GROUP BY n)
+       |SELECT t AS level, bx, by, CAST(g AS INT) AS seg, line_id
+       |FROM nodes JOIN lbl USING (sid)
+       |ORDER BY level, bx, by, seg""".stripMargin) { (s, dir) =>
+    Contours.polylines(Contours.segments(dsm10(s, dir), Levels), Levels)
+      .orderBy(col("level"), col("bx"), col("by"), col("seg"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q_contours, q_contour_lines)
+}
