@@ -471,10 +471,33 @@ object TextQueries {
     }
   }
 
+  /** Sliding-window chunking (graft.text.Chunking): size-40 windows
+    * every 30 tokens — map-only on the engine side; the dual re-derives
+    * every window with generate_series + 1-based list slicing. */
+  val q_chunk_windows: QueryDef = QueryDef.sqlChecked(
+    "q_chunk_windows",
+    s"""WITH tk AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS t
+       |  FROM documents),
+       |base AS (SELECT doc_id, t, len(t) AS n FROM tk),
+       |ks AS (SELECT doc_id, t, n, unnest(generate_series(0,
+       |    greatest(0, least((n - 1) // 30, (n - 40 + 30 - 1) // 30)))) AS ki
+       |  FROM base)
+       |SELECT doc_id, CAST(ki AS INT) AS chunk_idx,
+       |  CAST(ki * 30 AS BIGINT) AS tok_start,
+       |  CAST(least(40, n - ki * 30) AS BIGINT) AS n_toks,
+       |  array_to_string(t[ki * 30 + 1 : ki * 30 + least(40, n - ki * 30)],
+       |    ' ') AS chunk_text
+       |FROM ks ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    graft.text.Chunking.slidingChunks(Tables.documents(s, dir), 40, 30)
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
+        col("n_toks"), col("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_token_stats, q_lang_guess, q_quality_score, q_fingerprint,
     q_dedup_exact, q_dedup_prefix, q_minhash_sig, q_simhash, q_ngram_jaccard,
     q_repetition, q_line_dedup, q_redact_pii, q_decontam, q_contam_score,
     q_tfidf_topk, q_boilerplate, q_dup_spans, q_dup_coverage, q_dup_excise,
-    q_lm_score, q_bpe_merges)
+    q_lm_score, q_bpe_merges, q_chunk_windows)
 }
