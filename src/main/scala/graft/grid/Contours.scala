@@ -109,6 +109,121 @@ object Contours {
                     seg: Column): Column =
     ((li * (1L << 28) + bx) * (1L << 28) + by) * 2 + seg
 
+  /** Packed exact edge key: (orient * 2^28 + ex) * 2^28 + ey. */
+  private def eKey(o: Column, x: Column, y: Column): Column =
+    (o.cast("long") * (1L << 28) + x) * (1L << 28) + y
+
+  /** Ordered polyline traversal: (level, line_id, pos, x, y, closed) —
+    * the per-line vertex chain a WKT LINESTRING needs, with pos 0..L
+    * for an L-segment line and first == last exactly when the line is
+    * a closed ring.
+    *
+    * Deterministic contract: every segment becomes two directed ARCS
+    * (enter one endpoint edge, exit the other); the arc successor is
+    * the unique neighboring arc entering at the exit edge (grid edges
+    * touch at most two segments, so this is a function). Open lines
+    * keep their two natural end-arcs as traversal heads; closed rings
+    * are cut just before both arcs of their minimum segment id. Of the
+    * two opposite traversals every line then has, the one whose head
+    * minimizes (enter-edge key, arc id) is canonical. Arc positions
+    * come from the same active-frontier pointer-doubling loop the flow
+    * family uses ([[FlowBasins.resolve]]) — O(log L) join rounds, no
+    * per-line sequential walk on the engine side (the DuckDB dual IS
+    * that sequential walk). */
+  def orderedVertices(segs: DataFrame, levels: Seq[Long],
+                      maxRounds: Int = 64): DataFrame = {
+    require(levels.size <= 15, "arc ids pack <= 15 levels")
+    val spark = segs.sparkSession
+    import spark.implicits._
+    val lvlIdx = broadcast(
+      levels.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+        .toDF("level", "li"))
+    val base = segs.join(lvlIdx, "level")
+      .withColumn("sid",
+        segId(col("li"), col("bx"), col("by"), col("seg")))
+      .localCheckpoint(eager = true)
+    val sidLine = base
+      .join(polylines(segs, levels), Seq("level", "bx", "by", "seg"))
+      .select(col("sid"), col("line_id"))
+      .localCheckpoint(eager = true)
+
+    def arcSel(dir: Int) = {
+      val (pin, pout) = if (dir == 0) ("1", "2") else ("2", "1")
+      base.select(col("level"), (col("sid") * 2 + dir).as("aid"),
+        col("sid"),
+        eKey(col(s"e${pin}o"), col(s"e${pin}x"), col(s"e${pin}y"))
+          .as("inKey"),
+        eKey(col(s"e${pout}o"), col(s"e${pout}x"), col(s"e${pout}y"))
+          .as("outKey"),
+        col(s"x$pin").as("ix"), col(s"y$pin").as("iy"),
+        col(s"x$pout").as("ox"), col(s"y$pout").as("oy"))
+    }
+    val arcs = arcSel(0).unionByName(arcSel(1)).localCheckpoint(eager = true)
+
+    val succ0 = arcs.as("a")
+      .join(arcs.as("b"),
+        $"a.level" === $"b.level" && $"a.outKey" === $"b.inKey" &&
+          $"a.sid" =!= $"b.sid", "left")
+      .select($"a.aid", $"a.sid", $"b.aid".as("naid"))
+
+    // closed rings = lines where no arc lacks a successor
+    val lineOfArc = succ0.join(sidLine, "sid")
+    val openLines = lineOfArc.filter(col("naid").isNull)
+      .select("line_id").distinct()
+    val cycleCuts = sidLine
+      .join(openLines, Seq("line_id"), "left_anti")
+      .groupBy("line_id").agg(min("sid").as("msid"))
+      .select(explode(array(col("msid") * 2, col("msid") * 2 + 1))
+        .as("cutAid"))
+    val succ = succ0
+      .join(cycleCuts, succ0("naid") === cycleCuts("cutAid"), "left")
+      .select(col("aid"),
+        when(col("cutAid").isNotNull, lit(null).cast("long"))
+          .otherwise(col("naid")).as("naid"))
+      .localCheckpoint(eager = true)
+
+    // rank every arc to its traversal tail (self-loop convention)
+    val ranked = FlowBasins.resolve(
+      succ.select(col("aid").as("id"),
+        coalesce(col("naid"), col("aid")).as("nid"),
+        col("naid").isNotNull.cast("long").as("w")), maxRounds)
+      .withColumnRenamed("id", "aid")
+      .withColumnRenamed("nid", "tail")
+      .withColumnRenamed("w", "dist")
+
+    // heads = arcs that are nobody's successor; canonical head per line
+    // minimizes (enter-edge key, arc id)
+    val heads = arcs
+      .join(succ.filter(col("naid").isNotNull)
+        .select(col("naid").as("aid")), Seq("aid"), "left_anti")
+      .join(ranked, "aid")
+      .join(sidLine, "sid")
+      .select(col("line_id"), col("inKey"), col("aid"), col("tail"),
+        col("dist"))
+    val chosen = heads
+      .groupBy("line_id")
+      .agg(min(struct(col("inKey"), col("aid"), col("tail"),
+        col("dist"))).as("c"))
+      .select(col("line_id"), col("c.tail").as("tail"),
+        col("c.dist").as("len1"))
+    val closedOf = chosen
+      .join(openLines.withColumn("_open", lit(true)), Seq("line_id"),
+        "left")
+      .select(col("line_id"), col("tail"), col("len1"),
+        col("_open").isNull.as("closed"))
+
+    val kept = ranked.join(arcs, "aid")
+      .join(sidLine, "sid")
+      .join(closedOf, Seq("line_id", "tail"))
+    val enters = kept.select(col("level"), col("line_id"),
+      (col("len1") - col("dist")).as("pos"),
+      col("ix").as("x"), col("iy").as("y"), col("closed"))
+    val tailExit = kept.filter(col("dist") === 0)
+      .select(col("level"), col("line_id"), (col("len1") + 1).as("pos"),
+        col("ox").as("x"), col("oy").as("y"), col("closed"))
+    enters.unionByName(tailExit)
+  }
+
   /** Dissolve segments into polylines: adds `line_id` = the minimum
     * segment id of the connected polyline (per level). Connectivity is
     * the exact shared-edge key, closed by the pointer-jumping

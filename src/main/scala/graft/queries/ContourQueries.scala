@@ -91,7 +91,7 @@ object ContourQueries {
   val q_contour_lines: QueryDef = QueryDef.sqlChecked(
     "q_contour_lines",
     s"""WITH RECURSIVE $contourCtes,
-       |nodes AS (SELECT li, t, bx, by, g,
+       |nodes AS MATERIALIZED (SELECT li, t, bx, by, g,
        |    ((li * 268435456 + bx) * 268435456 + by) * 2 + g AS sid,
        |    p1, p2 FROM segd),
        |ends AS (
@@ -108,7 +108,7 @@ object ContourQueries {
        |  UNION
        |  SELECT e.sb, r.l FROM reach r JOIN e ON e.sa = r.n
        |  WHERE r.l < e.sb),
-       |lbl AS (SELECT n AS sid, min(l) AS line_id FROM reach GROUP BY n)
+       |lbl AS MATERIALIZED (SELECT n AS sid, min(l) AS line_id FROM reach GROUP BY n)
        |SELECT t AS level, bx, by, CAST(g AS INT) AS seg, line_id
        |FROM nodes JOIN lbl USING (sid)
        |ORDER BY level, bx, by, seg""".stripMargin) { (s, dir) =>
@@ -116,5 +116,85 @@ object ContourQueries {
       .orderBy(col("level"), col("bx"), col("by"), col("seg"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_contours, q_contour_lines)
+  /** Ordered polyline vertices: the engine list-ranks arcs with
+    * pointer doubling (no sequential walk); the dual IS the sequential
+    * walk — a recursive CTE stepping one arc per iteration from the
+    * canonical head chosen by the same (enter-edge key, arc id) rule. */
+  val q_contour_walk: QueryDef = QueryDef.sqlChecked(
+    "q_contour_walk",
+    s"""WITH RECURSIVE $contourCtes,
+       |nodes AS MATERIALIZED (SELECT li, t, bx, by, g,
+       |    ((li * 268435456 + bx) * 268435456 + by) * 2 + g AS sid,
+       |    p1, p2 FROM segd),
+       |ends AS (
+       |  SELECT t, p1.eo AS eo, p1.ex AS ex, p1.ey AS ey, sid FROM nodes
+       |  UNION ALL
+       |  SELECT t, p2.eo, p2.ex, p2.ey, sid FROM nodes),
+       |pairs AS (SELECT a.sid AS sa, b.sid AS sb
+       |  FROM ends a JOIN ends b
+       |    ON a.t = b.t AND a.eo = b.eo AND a.ex = b.ex AND a.ey = b.ey
+       |  WHERE a.sid < b.sid),
+       |e AS (SELECT sa, sb FROM pairs UNION SELECT sb, sa FROM pairs),
+       |reach(n, l) AS (
+       |  SELECT sid, sid FROM nodes
+       |  UNION
+       |  SELECT e.sb, r.l FROM reach r JOIN e ON e.sa = r.n
+       |  WHERE r.l < e.sb),
+       |lbl AS MATERIALIZED (SELECT n AS sid, min(l) AS line_id FROM reach GROUP BY n),
+       |arcs AS (
+       |  SELECT t, sid * 2 AS aid, sid,
+       |    (p1.eo * 268435456 + p1.ex) * 268435456 + p1.ey AS inkey,
+       |    (p2.eo * 268435456 + p2.ex) * 268435456 + p2.ey AS outkey,
+       |    p1.x AS ix, p1.y AS iy, p2.x AS ox, p2.y AS oy FROM nodes
+       |  UNION ALL
+       |  SELECT t, sid * 2 + 1, sid,
+       |    (p2.eo * 268435456 + p2.ex) * 268435456 + p2.ey,
+       |    (p1.eo * 268435456 + p1.ex) * 268435456 + p1.ey,
+       |    p2.x, p2.y, p1.x, p1.y FROM nodes),
+       |succ0 AS MATERIALIZED (SELECT a.aid, a.sid, b.aid AS naid
+       |  FROM arcs a LEFT JOIN arcs b
+       |    ON a.t = b.t AND a.outkey = b.inkey AND a.sid <> b.sid),
+       |openlines AS (SELECT DISTINCT l.line_id
+       |  FROM succ0 s JOIN lbl l USING (sid) WHERE s.naid IS NULL),
+       |cuts AS (SELECT unnest([msid * 2, msid * 2 + 1]) AS cutaid
+       |  FROM (SELECT min(sid) AS msid FROM lbl
+       |        WHERE line_id NOT IN (SELECT line_id FROM openlines)
+       |        GROUP BY line_id)),
+       |succ AS MATERIALIZED (SELECT s.aid,
+       |    CASE WHEN c.cutaid IS NOT NULL THEN NULL ELSE s.naid END AS naid
+       |  FROM succ0 s LEFT JOIN cuts c ON s.naid = c.cutaid),
+       |heads AS (SELECT l.line_id, a.inkey, a.aid
+       |  FROM arcs a JOIN lbl l USING (sid)
+       |  WHERE a.aid NOT IN (SELECT naid FROM succ WHERE naid IS NOT NULL)),
+       |chosen AS MATERIALIZED (SELECT line_id, aid,
+       |    line_id NOT IN (SELECT line_id FROM openlines) AS closed
+       |  FROM (SELECT line_id, inkey, aid,
+       |          row_number() OVER (PARTITION BY line_id
+       |                             ORDER BY inkey, aid) AS rn
+       |        FROM heads) WHERE rn = 1),
+       |walk(line_id, aid, pos, closed) AS (
+       |  SELECT line_id, aid, CAST(0 AS BIGINT), closed FROM chosen
+       |  UNION ALL
+       |  SELECT w.line_id, s.naid, w.pos + 1, w.closed
+       |  FROM walk w JOIN succ s ON s.aid = w.aid
+       |  WHERE s.naid IS NOT NULL),
+       |tailpos AS MATERIALIZED (SELECT line_id, max(pos) AS mpos FROM walk
+       |  GROUP BY line_id),
+       |verts AS (
+       |  SELECT a.t AS level, w.line_id, w.pos, a.ix AS x, a.iy AS y,
+       |    w.closed
+       |  FROM walk w JOIN arcs a USING (aid)
+       |  UNION ALL
+       |  SELECT a.t, w.line_id, CAST(w.pos + 1 AS BIGINT), a.ox, a.oy,
+       |    w.closed
+       |  FROM walk w JOIN arcs a USING (aid)
+       |    JOIN tailpos tp ON tp.line_id = w.line_id AND tp.mpos = w.pos)
+       |SELECT level, line_id, CAST(pos AS BIGINT) AS pos, x, y, closed
+       |FROM verts ORDER BY level, line_id, pos""".stripMargin) { (s, dir) =>
+    Contours.orderedVertices(
+      Contours.segments(dsm10(s, dir), Levels), Levels)
+      .orderBy(col("level"), col("line_id"), col("pos"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q_contours, q_contour_lines, q_contour_walk)
 }
