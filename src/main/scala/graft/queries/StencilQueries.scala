@@ -465,10 +465,58 @@ object StencilQueries {
     }
   }
 
+  /** Exact single-observer viewshed from the lowest cell + 1 m: every
+    * cell tagged visible/hidden by the integer-exact line-of-sight rule
+    * ([[graft.grid.Viewshed]]). The dual rebuilds the ray with
+    * generate_series + the same sign-safe floor division and decides
+    * blocking with the same cross-multiplied squares — both engines stay
+    * in exact integer arithmetic end to end. */
+  val q_viewshed: QueryDef = {
+    val hObs = 30000L // ~10 m in quant units
+    QueryDef.sqlChecked(
+      "q_viewshed",
+      s"""WITH ${Gridding.splatCte(spec)},
+         |dsm AS MATERIALIZED (SELECT gx, gy, max(qz) AS v
+         |  FROM splat GROUP BY gx, gy),
+         |obs AS (SELECT gx AS ox, gy AS oy, v + $hObs AS vo
+         |  FROM dsm ORDER BY v, gx, gy LIMIT 1),
+         |tk AS (SELECT d.gx, d.gy, d.v, o.ox, o.oy, o.vo,
+         |    greatest(abs(d.gx - o.ox), abs(d.gy - o.oy)) AS n
+         |  FROM dsm d CROSS JOIN obs o),
+         |probes AS (SELECT t.*, s.k,
+         |    ox + (2*s.k*(gx-ox) + n
+         |          - ((((2*s.k*(gx-ox) + n) % (2*n)) + 2*n) % (2*n)))
+         |         // (2*n) AS px,
+         |    oy + (2*s.k*(gy-oy) + n
+         |          - ((((2*s.k*(gy-oy) + n) % (2*n)) + 2*n) % (2*n)))
+         |         // (2*n) AS py
+         |  FROM tk t LEFT JOIN LATERAL
+         |    (SELECT unnest(generate_series(1, t.n - 1)) AS k) s ON true)
+         |SELECT p.gx, p.gy, p.v,
+         |  sum(CASE
+         |    WHEN p.k IS NULL OR b.v IS NULL THEN 0
+         |    WHEN b.v - p.vo >= 0 AND p.v - p.vo < 0 THEN 1
+         |    WHEN b.v - p.vo < 0 AND p.v - p.vo >= 0 THEN 0
+         |    WHEN b.v - p.vo >= 0 THEN CASE WHEN
+         |      (b.v-p.vo)*(b.v-p.vo)*((p.gx-p.ox)*(p.gx-p.ox)+(p.gy-p.oy)*(p.gy-p.oy))
+         |      >= (p.v-p.vo)*(p.v-p.vo)*((p.px-p.ox)*(p.px-p.ox)+(p.py-p.oy)*(p.py-p.oy))
+         |      THEN 1 ELSE 0 END
+         |    ELSE CASE WHEN
+         |      (b.v-p.vo)*(b.v-p.vo)*((p.gx-p.ox)*(p.gx-p.ox)+(p.gy-p.oy)*(p.gy-p.oy))
+         |      <= (p.v-p.vo)*(p.v-p.vo)*((p.px-p.ox)*(p.px-p.ox)+(p.py-p.oy)*(p.py-p.oy))
+         |      THEN 1 ELSE 0 END END) = 0 AS visible
+         |FROM probes p LEFT JOIN dsm b ON b.gx = p.px AND b.gy = p.py
+         |GROUP BY p.gx, p.gy, p.v
+         |ORDER BY p.gx, p.gy""".stripMargin) { (s, dir) =>
+      graft.grid.Viewshed.fromLowest(dsm10(s, dir), hObs)
+        .orderBy(col("gx"), col("gy"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q_edge_filter, q_slope_horn, q_aspect_d8, q_flow_basin,
       q_flow_length, q_flow_accum, q_basin_stats, q_curvature,
       q_ruggedness, q_morph_open,
       q_mask_open, q_fill_voids, q_fill_pyramid, q_well_filter,
-      q_spike_filter, q_tree_filter)
+      q_spike_filter, q_tree_filter, q_viewshed)
 }
