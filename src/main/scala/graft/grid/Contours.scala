@@ -224,6 +224,37 @@ object Contours {
     enters.unionByName(tailExit)
   }
 
+  /** WKT LINESTRING serialization of [[orderedVertices]] output:
+    * (level, line_id, n_pts, closed, wkt). Coordinates format with the
+    * repo's single WKT convention ([[graft.vector.Vectorize.fmtCoord]]:
+    * integer-valued doubles collapse to integer literals; everything
+    * else is Java Double.toString, which Spark's string cast emits) so
+    * contour lines and building outlines stay byte-consistent.
+    *
+    * Scale shape: one hash aggregate per line; each line's vertices
+    * sort INSIDE its aggregate value (bounded by line length, the same
+    * per-feature bound as Vectorize's per-component walk). Lines longer
+    * than `maxPts` vertices are refused honestly (null wkt, real
+    * n_pts) instead of silently truncated. */
+  def toWktLines(verts: DataFrame, maxPts: Int = 100000): DataFrame = {
+    def fmt(c: Column): Column =
+      when(c === floor(c) && abs(c) < 1e15,
+        c.cast("long").cast("string")).otherwise(c.cast("string"))
+    val vs = col("vs")
+    verts
+      .groupBy("level", "line_id", "closed")
+      .agg(sort_array(collect_list(struct(col("pos"), col("x"),
+        col("y")))).as("vs"))
+      .select(col("level"), col("line_id"), size(vs).as("n_pts"),
+        col("closed"),
+        when(size(vs) <= maxPts,
+          concat(lit("LINESTRING ("),
+            concat_ws(", ", transform(vs,
+              v => concat(fmt(v("x")), lit(" "), fmt(v("y"))))),
+            lit(")")))
+          .otherwise(lit(null).cast("string")).as("wkt"))
+  }
+
   /** Dissolve segments into polylines: adds `line_id` = the minimum
     * segment id of the connected polyline (per level). Connectivity is
     * the exact shared-edge key, closed by the pointer-jumping

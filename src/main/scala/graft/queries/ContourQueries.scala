@@ -196,5 +196,18 @@ object ContourQueries {
       .orderBy(col("level"), col("line_id"), col("pos"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_contours, q_contour_lines, q_contour_walk)
+  /** WKT LINESTRING product per contour polyline — rows-only by the
+    * same contract as the building-outline WKT products (Java 17
+    * Double.toString vs DuckDB's shortest-roundtrip float printing can
+    * diverge on specific doubles, so the strings are pinned by the
+    * ContourSpec scalar-WKT golden instead; the vertex GEOMETRY itself
+    * is the all-green q_contour_walk). */
+  val q_contour_wkt: QueryDef = QueryDef.rowsOnly("q_contour_wkt") { (s, dir) =>
+    Contours.toWktLines(Contours.orderedVertices(
+      Contours.segments(dsm10(s, dir), Levels), Levels))
+      .orderBy(col("level"), col("line_id"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q_contours, q_contour_lines, q_contour_walk, q_contour_wkt)
 }

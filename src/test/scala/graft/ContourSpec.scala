@@ -260,4 +260,47 @@ class ContourSpec extends SparkSpec {
         .select("level", "line_id", "pos", "x", "y", "closed"))
     assert(a == b)
   }
+
+  /** Scalar WKT builder over refOrdered, using the repo's one
+    * coordinate convention (Vectorize.fmtCoord). */
+  private def refWkt(cells: Cells, levels: Seq[Long])
+      : Map[(Long, Long), (Int, Boolean, String)] = {
+    import graft.vector.Vectorize.fmtCoord
+    refOrdered(cells, levels).groupBy(v => (v._1, v._2)).map {
+      case ((level, line), vs) =>
+        val sorted = vs.sortBy(_._3)
+        val body = sorted
+          .map(v => s"${fmtCoord(v._4)} ${fmtCoord(v._5)}")
+          .mkString(", ")
+        (level, line) ->
+          ((sorted.size, sorted.head._6, s"LINESTRING ($body)"))
+    }
+  }
+
+  test("toWktLines == scalar WKT on open lines and closed rings") {
+    val levels = Seq(10L, 18L)
+    val segs = Contours.segments(cellsDf(saddleGrid), levels)
+    val got = Contours.toWktLines(
+      Contours.orderedVertices(segs, levels)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getBoolean(3), r.getString(4)))).toMap
+    val want = refWkt(saddleGrid, levels)
+    assert(got == want)
+    // fractional and integer coordinates both appear in some WKT
+    assert(got.values.exists(w => w._3.contains(".")),
+      "no fractional coordinate exercised")
+    val frac = """\d+\.\d+""".r
+    assert(got.values.exists(w =>
+      frac.findFirstIn(w._3).isDefined && w._3.matches(""".*\b\d+ \d+\b.*""")))
+  }
+
+  test("toWktLines refuses lines over maxPts with honest n_pts") {
+    val segs = Contours.segments(cellsDf(saddleGrid), Seq(10L))
+    val out = Contours.toWktLines(
+      Contours.orderedVertices(segs, Seq(10L)), maxPts = 3).collect()
+    val refused = out.filter(_.isNullAt(4))
+    assert(refused.nonEmpty, "expected at least one refused long line")
+    assert(refused.forall(_.getInt(2) > 3))
+    assert(out.filter(!_.isNullAt(4)).forall(_.getInt(2) <= 3))
+  }
 }
