@@ -513,10 +513,44 @@ object StencilQueries {
     }
   }
 
+  /** Bounded-radius chamfer-10/14 distance to the nearest high peak
+    * ([[graft.grid.DistanceTransform]]): every occupied cell within
+    * chamfer 60 of a v >= 60000 cell gets its exact integer distance;
+    * void cells are obstacles. The engine is active-frontier
+    * Bellman-Ford (O(frontier) work per round, <= radius/10 rounds);
+    * the dual enumerates every <= radius chamfer path with a bounded
+    * recursive CTE and takes the per-cell min — terminating by the
+    * same radius contract. */
+  val q_chamfer_dist: QueryDef = {
+    val srcV = 60000L
+    val radius = 60L
+    QueryDef.sqlChecked(
+      "q_chamfer_dist",
+      s"""WITH RECURSIVE ${Gridding.splatCte(spec)},
+         |dsm AS MATERIALIZED (SELECT gx, gy, max(qz) AS v
+         |  FROM splat GROUP BY gx, gy),
+         |src AS (SELECT gx, gy FROM dsm WHERE v >= $srcV),
+         |ow AS (SELECT * FROM (VALUES (-1,-1,14), (-1,0,10), (-1,1,14),
+         |  (0,-1,10), (0,1,10), (1,-1,14), (1,0,10), (1,1,14)) t(dx, dy, w)),
+         |walk(gx, gy, d) AS (
+         |  SELECT gx, gy, CAST(0 AS BIGINT) FROM src
+         |  UNION
+         |  SELECT n.gx, n.gy, w.d + o.w FROM walk w CROSS JOIN ow o
+         |  JOIN dsm n ON n.gx = w.gx + o.dx AND n.gy = w.gy + o.dy
+         |  WHERE w.d + o.w <= $radius)
+         |SELECT gx, gy, min(d) AS d FROM walk
+         |GROUP BY gx, gy ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+      val dsm = dsm10(s, dir)
+      graft.grid.DistanceTransform.chamferWithin(
+        dsm, dsm.filter(col("v") >= srcV), radius)
+        .orderBy(col("gx"), col("gy"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q_edge_filter, q_slope_horn, q_aspect_d8, q_flow_basin,
       q_flow_length, q_flow_accum, q_basin_stats, q_curvature,
       q_ruggedness, q_morph_open,
       q_mask_open, q_fill_voids, q_fill_pyramid, q_well_filter,
-      q_spike_filter, q_tree_filter, q_viewshed)
+      q_spike_filter, q_tree_filter, q_viewshed, q_chamfer_dist)
 }
