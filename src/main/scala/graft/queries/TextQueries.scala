@@ -494,10 +494,56 @@ object TextQueries {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Positional inverted index ([[graft.text.InvertedIndex.postings]]):
+    * one row per (term, doc_id) with sorted 1-based positions. The dual
+    * re-derives it from first principles (unnest + list agg). */
+  val q_postings: QueryDef = QueryDef.sqlChecked(
+    "q_postings",
+    s"""WITH t AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks
+       |  FROM documents),
+       |tk AS (SELECT doc_id, toks[pos] AS term, pos FROM t,
+       |  LATERAL (SELECT unnest(generate_series(1, len(toks))) AS pos))
+       |SELECT term, doc_id,
+       |  list_sort(list(CAST(pos AS INTEGER))) AS positions
+       |FROM tk GROUP BY term, doc_id
+       |ORDER BY term, doc_id""".stripMargin) { (s, dir) =>
+    graft.text.InvertedIndex.postings(Tables.documents(s, dir))
+      .orderBy(col("term"), col("doc_id"))
+  }
+
+  /** Exact phrase search over the positional index
+    * ([[graft.text.InvertedIndex.phraseSearch]]): docs containing the
+    * consecutive trigram, with 1-based match-start positions. The dual
+    * is the classic positional self-join (tok_i at pos, tok_{i+1} at
+    * pos+1, ...) — structurally different from the engine's
+    * array-lambda position intersection. */
+  val q_phrase_search: QueryDef = {
+    val phrase = Seq("slow", "hash", "batch")
+    QueryDef.sqlChecked(
+      "q_phrase_search",
+      s"""WITH t AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks
+         |  FROM documents),
+         |tk AS (SELECT doc_id, toks[pos] AS tok, pos FROM t,
+         |  LATERAL (SELECT unnest(generate_series(1, len(toks))) AS pos)),
+         |m AS (SELECT a.doc_id, a.pos FROM tk a
+         |  JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |    AND b.tok = '${phrase(1)}'
+         |  JOIN tk c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+         |    AND c.tok = '${phrase(2)}'
+         |  WHERE a.tok = '${phrase(0)}')
+         |SELECT doc_id, list_sort(list(CAST(pos AS INTEGER))) AS starts,
+         |  CAST(count(*) AS BIGINT) AS n_matches
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.text.InvertedIndex.phraseSearch(
+        graft.text.InvertedIndex.postings(Tables.documents(s, dir)), phrase)
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_token_stats, q_lang_guess, q_quality_score, q_fingerprint,
     q_dedup_exact, q_dedup_prefix, q_minhash_sig, q_simhash, q_ngram_jaccard,
     q_repetition, q_line_dedup, q_redact_pii, q_decontam, q_contam_score,
     q_tfidf_topk, q_boilerplate, q_dup_spans, q_dup_coverage, q_dup_excise,
-    q_lm_score, q_bpe_merges, q_chunk_windows)
+    q_lm_score, q_bpe_merges, q_chunk_windows, q_postings, q_phrase_search)
 }
