@@ -540,10 +540,42 @@ object TextQueries {
     }
   }
 
+  /** Top PMI bigram collocations ([[graft.text.Collocations]]): exact
+    * integer counts, the PMI RATIO (monotone in PMI, no transcendental
+    * log) as one IEEE division of two integer products. The dual's
+    * DuckDB sums are cast back to BIGINT before multiplying (DuckDB
+    * widens sum(BIGINT) to HUGEINT — the q_pack_chunks lesson). */
+  val q_pmi_bigrams: QueryDef = QueryDef.sqlChecked(
+    "q_pmi_bigrams",
+    s"""WITH t AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks
+       |  FROM documents),
+       |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+       |bi AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS c_xy
+       |  FROM (SELECT toks[pos] AS t1, toks[pos + 1] AS t2 FROM t,
+       |    LATERAL (SELECT unnest(generate_series(1, len(toks) - 1))
+       |             AS pos))
+       |  GROUP BY t1, t2),
+       |tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS nu,
+       |               (SELECT CAST(sum(c_xy) AS BIGINT) FROM bi) AS nb)
+       |SELECT b.t1, b.t2, b.c_xy, u1.c AS c_x, u2.c AS c_y,
+       |  CAST(b.c_xy * nu * nu AS DOUBLE)
+       |    / CAST(nb * u1.c * u2.c AS DOUBLE) AS pmi_ratio
+       |FROM bi b JOIN uni u1 ON u1.tok = b.t1
+       |JOIN uni u2 ON u2.tok = b.t2 CROSS JOIN tot
+       |WHERE b.c_xy >= 5
+       |ORDER BY pmi_ratio DESC, t1, t2 LIMIT 40""".stripMargin) { (s, dir) =>
+    graft.text.Collocations.pmiBigrams(Tables.documents(s, dir), 5L)
+      .orderBy(desc("pmi_ratio"), col("t1"), col("t2"))
+      .limit(40)
+      .select("t1", "t2", "c_xy", "c_x", "c_y", "pmi_ratio")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_token_stats, q_lang_guess, q_quality_score, q_fingerprint,
     q_dedup_exact, q_dedup_prefix, q_minhash_sig, q_simhash, q_ngram_jaccard,
     q_repetition, q_line_dedup, q_redact_pii, q_decontam, q_contam_score,
     q_tfidf_topk, q_boilerplate, q_dup_spans, q_dup_coverage, q_dup_excise,
-    q_lm_score, q_bpe_merges, q_chunk_windows, q_postings, q_phrase_search)
+    q_lm_score, q_bpe_merges, q_chunk_windows, q_postings, q_phrase_search,
+    q_pmi_bigrams)
 }
