@@ -239,6 +239,42 @@ class PlanSpec extends SparkSpec {
     assert(df.count() == 5000)
   }
 
+  test("inverted index build: one shuffle, no join") {
+    import spark.implicits._
+    val docs = (1 to 500).map(i => (i.toLong, s"a b c w${i % 7} a"))
+      .toDF("doc_id", "text")
+    val df = graft.text.InvertedIndex.postings(docs)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"postings build must shuffle once (the term,doc agg):\n${p.take(3000)}")
+    assert(!p.contains("Join"), s"postings build must not join:\n${p.take(3000)}")
+  }
+
+  test("phrase search: hash joins on doc_id only, no cartesian") {
+    import spark.implicits._
+    val docs = (1 to 500).map(i => (i.toLong, s"a b c w${i % 7} a b"))
+      .toDF("doc_id", "text")
+    val idx = graft.text.InvertedIndex.postings(docs)
+    val df = graft.text.InvertedIndex.phraseSearch(idx, Seq("a", "b", "c"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in phrase plan:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in phrase plan:\n${p.take(3000)}")
+    assert(df.count() > 0)
+  }
+
+  test("viewshed: blocker probe is a hash join, never cartesian") {
+    import spark.implicits._
+    val cells = (for (x <- 0L until 30L; y <- 0L until 20L)
+      yield (x, y, (x * 7 + y * 13) % 50)).toDF("gx", "gy", "v")
+    val df = graft.grid.Viewshed.fromLowest(cells, 10L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in viewshed plan:\n${p.take(3000)}")
+    // the only nested-loop is the one-row observer broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"blocker probe degenerated to nested loop:\n${p.take(3000)}")
+  }
+
   test("reference trace: all joins hash-based, no cartesian/range scans") {
     import graft.stencil.TileStencil.Bounds
     import spark.implicits._
