@@ -198,6 +198,45 @@ object TemporalQueries {
       .orderBy(col("stage"))
   }
 
+  /** Per-node triangle counts + clustering coefficient on the click
+    * graph ([[graft.graph.Triangles]]): engine = degree-ordered
+    * orientation (Suri & Vassilvitskii 2011), dual = the textbook
+    * id-ordered three-way self-join (u < v < w by construction of the
+    * canonical undirected edge) — different orientations, identical
+    * triangle set. */
+  val q_triangles: QueryDef = QueryDef.sqlChecked(
+    "q_triangles",
+    s"""WITH ev AS (SELECT user_id, event_id, ts,
+       |    CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS page
+       |  FROM events),
+       |e AS (SELECT src, dst FROM (
+       |  SELECT page AS src,
+       |    lead(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+       |  FROM ev) z WHERE dst IS NOT NULL),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM e WHERE src <> dst),
+       |t AS (SELECT a.u AS x, a.v AS y, b.v AS z
+       |  FROM und a JOIN und b ON b.u = a.v
+       |  JOIN und c ON c.u = a.u AND c.v = b.v),
+       |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+       |  SELECT x AS node FROM t UNION ALL SELECT y FROM t
+       |  UNION ALL SELECT z FROM t) GROUP BY node),
+       |deg AS (SELECT n AS node, CAST(count(*) AS BIGINT) AS d FROM (
+       |  SELECT u AS n FROM und UNION ALL SELECT v FROM und) GROUP BY n)
+       |SELECT deg.node, coalesce(pn.tri, 0) AS tri, deg.d,
+       |  CASE WHEN deg.d >= 2 THEN
+       |    CAST(coalesce(pn.tri, 0) * 2 AS DOUBLE)
+       |      / CAST(deg.d * (deg.d - 1) AS DOUBLE)
+       |  ELSE 0.0 END AS clustering
+       |FROM deg LEFT JOIN pn ON pn.node = deg.node
+       |ORDER BY deg.node""".stripMargin) { (s, dir) =>
+    val edges = graft.graph.PageRank.clickEdges(Tables.events(s, dir),
+      regexp_extract(col("props"), "(\\d+)", 1).cast("long"),
+      col("user_id"), col("ts"), col("event_id"))
+    graft.graph.Triangles.perNode(edges).orderBy(col("node"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q_asof_join, q_range_join, q_pagerank, q_retention, q_funnel)
+    Seq(q_asof_join, q_range_join, q_pagerank, q_retention, q_funnel,
+      q_triangles)
 }
