@@ -229,7 +229,51 @@ object WebQueries {
       .orderBy(col("url"))
   }
 
+  /** Replay-safe streaming exact dedup as a REAL streaming run
+    * ([[graft.streaming.StreamOps.replayDedup]]): the staged source is
+    * the page table PLUS a deterministic re-delivery of every third
+    * page (the at-least-once failure mode), shuffled across files so
+    * duplicates cross micro-batch boundaries and the drop must come
+    * from the state store, not batch-local distinct. The horizon
+    * covers the staged time spread, so the emitted set must equal
+    * exact DISTINCT over the staged bytes — the dual. */
+  val q_stream_dedup: QueryDef = QueryDef.sqlChecked(
+    "q_stream_dedup",
+    s"""WITH pages AS (SELECT * FROM '$SideRoot/dedup_replay/*.parquet')
+       |SELECT DISTINCT url, warc_ts, md5(text) AS content_md5,
+       |  CAST(length(text) AS BIGINT) AS text_len
+       |FROM pages
+       |ORDER BY url, warc_ts, content_md5""".stripMargin) { (s, dir) =>
+    val src = s"$SideRoot/dedup_replay"
+    val pages = withGeo(WebPages.generate(s, N).toDF())
+      .select("url", "warc_ts", "text")
+    val redelivered = pages.filter(xxhash64(col("url")) % 3 === 0)
+    pages.unionByName(redelivered).repartition(5, col("url"))
+      .write.mode("overwrite").parquet(src)
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val deduped = graft.streaming.StreamOps.replayDedup(
+        stream.withColumn("content_md5", md5(col("text"))),
+        "warc_ts", Seq("url", "warc_ts", "content_md5"),
+        horizon = "3650 days")
+    s.catalog.dropTempView("stream_dedup_out")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = deduped.writeStream.outputMode("append").format("memory")
+        .queryName("stream_dedup_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table("stream_dedup_out")
+      .select(col("url"), col("warc_ts"), col("content_md5"),
+        length(col("text")).cast("long").as("text_len"))
+      .orderBy(col("url"), col("warc_ts"), col("content_md5"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q_webpages_dedup, q_webpages_pipeline, q_bloom_dedup, q_url_norm,
-      q_stream_upsert)
+      q_stream_upsert, q_stream_dedup)
 }

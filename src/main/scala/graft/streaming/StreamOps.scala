@@ -34,6 +34,22 @@ object StreamOps {
   final case class Page(url: String, warc_ts: Long, th: Long)
   final case class Latest(url: String, warc_ts: Long, th: Long)
 
+  /** Replay-safe EXACT dedup for an at-least-once ingest stream:
+    * re-deliveries of the same content key arriving within `horizon`
+    * (event time) of the first copy are dropped; the key's dedup state
+    * is evicted once the watermark passes its event time + horizon
+    * (`dropDuplicatesWithinWatermark`), so state is bounded by the
+    * keys seen inside ONE horizon, never by the 10^12-key space. A
+    * re-delivery arriving later than the horizon re-emits — the
+    * documented at-least-once residue, absorbed downstream by the
+    * idempotent MERGE sinks ([[upsertSink]]). */
+  def replayDedup(rows: DataFrame, tsCol: String, keyCols: Seq[String],
+                  horizon: String = "7 days"): DataFrame =
+    rows.withColumn("_ets", col(tsCol).cast("timestamp"))
+      .withWatermark("_ets", horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+      .drop("_ets")
+
   /** Streaming latest-capture url-dedup (the flagship's J6 as a stream):
     * per url, keep the max (warc_ts, content-hash) seen so far and emit
     * the current winner on every update — OutputMode.Update gives the

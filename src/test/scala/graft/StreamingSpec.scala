@@ -89,6 +89,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("replayDedup: cross-batch drops, state evicted, beyond-horizon re-emits") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val out = StreamOps.replayDedup(
+      input.toDS().toDF("k", "ts"), "ts", Seq("k"), horizon = "100 seconds")
+    spark.catalog.dropTempView("rd_out")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("rd_out").start()
+    def emitted() = spark.table("rd_out")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    try {
+      input.addData(("a", 1000L), ("b", 1001L)); q.processAllAvailable()
+      // cross-batch re-delivery within horizon: dropped (state, not
+      // batch-local distinct); first copy of c emits
+      input.addData(("a", 1000L), ("c", 1002L)); q.processAllAvailable()
+      assert(emitted().map(_._1).sorted == Seq("a", "b", "c"))
+      val live = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(live == 3L, s"expected 3 dedup state rows, got $live")
+
+      // advance the watermark far past every key's ts + horizon:
+      // old state evicts, and a re-delivery of `a` WITH A FRESH ts
+      // beyond the horizon re-emits (the documented at-least-once
+      // residue; its ts must pass the watermark)
+      input.addData(("z", 50000L)); q.processAllAvailable()
+      input.addData(("z2", 50001L)); q.processAllAvailable()
+      val after = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(after <= 2L, s"horizon eviction left $after state rows")
+      input.addData(("a", 50002L)); q.processAllAvailable()
+      assert(emitted().count(_._1 == "a") == 2,
+        "beyond-horizon re-delivery must re-emit")
+    } finally q.stop()
+  }
+
   test("stream-static PIP enrichment across micro-batches == batch join") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
