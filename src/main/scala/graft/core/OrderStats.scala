@@ -1,0 +1,59 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * EXACT global order statistics (k-th smallest / discrete quantiles)
+ * without a global sort — the exact counterpart of the mergeable KLL
+ * sketch (`graft.sketch`): where KLL trades error for one pass, this
+ * pays one histogram aggregate and answers exactly.
+ *
+ * Algorithm: value-count histogram (one hash agg — the shuffle is
+ * bounded by the number of DISTINCT values, not rows) → exclusive
+ * prefix sum over the value order via the two-level [[PrefixSum]]
+ * (never a single-task global window) → each requested rank k selects
+ * the unique value with prefix < k <= prefix + count. The rank probe
+ * broadcasts the |ks|-row rank table against one pass of the histogram
+ * (a non-equi broadcast join over #distinct-values x |ks| — both
+ * factors bounded; for a quality score or token count the value space
+ * is thousands, not the corpus).
+ *
+ * Convention: k is 1-based; quantile p maps to k = min(floor(p*n)+1, n)
+ * — for p=0.5 and even n this is the UPPER middle, the same
+ * `sorted[n/2]` convention as the reference's median
+ * (align3d.cpp:87, [[graft.grid.Gridding.medianGrid]]).
+ */
+object OrderStats {
+
+  /** (k, v): the k-th smallest value of `valueCol` for each 1-based
+    * rank in `ks` (each k must be in [1, n]). */
+  def kth(df: DataFrame, valueCol: String, ks: Seq[Long],
+          bucketShift: Int = 4): DataFrame = {
+    require(ks.nonEmpty, "need at least one rank")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cnt = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+    val pre = PrefixSum.exclusive(cnt, "v", "c",
+      shiftright(col("v"), bucketShift))
+    pre.join(broadcast(ks.toDF("k")),
+        col("prefix") < col("k") && col("k") <= col("prefix") + col("c"))
+      .select(col("k"), col("v"))
+  }
+
+  /** (p, k, v): exact discrete quantiles for each p in `ps`. One
+    * bounded count() action sizes the ranks (a single driver long —
+    * the same discipline as the strata/offset collects). */
+  def quantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
+                bucketShift: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.count()
+    require(n > 0, "quantiles of an empty table")
+    val ks = ps.map(p => math.min(math.floor(p * n).toLong + 1, n))
+    val pk = broadcast(ps.zip(ks).toDF("p", "k"))
+    kth(df, valueCol, ks.distinct, bucketShift)
+      .join(pk, "k")
+      .select(col("p"), col("k"), col("v"))
+  }
+}

@@ -114,6 +114,31 @@ object SketchQueries {
       .orderBy("lang", "rank")
   }
 
+  /** EXACT global discrete quantiles of the token count
+    * ([[graft.core.OrderStats]]) — the exact counterpart of
+    * q_kll_quantiles: value-histogram + two-level prefix sum +
+    * broadcast rank probe, never a global sort. The dual IS the global
+    * sort (row_number over ORDER BY v) the engine refuses to run. */
+  val q_exact_quantiles: QueryDef = QueryDef.sqlChecked(
+    "q_exact_quantiles",
+    """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+      |  FROM documents),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+      |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t),
+      |ks AS (SELECT CAST(p AS DOUBLE) AS p,
+      |    least(CAST(floor(CAST(p AS DOUBLE) * n.n) AS BIGINT) + 1, n.n) AS k
+      |  FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99)) v(p), n)
+      |SELECT ks.p, ks.k, r.v FROM ks JOIN r ON r.rn = ks.k
+      |ORDER BY ks.p""".stripMargin) { (s, dir) =>
+    val toks = Tables.documents(s, dir)
+      .select(size(graft.text.TextOps.tokens(col("text")))
+        .cast("long").as("v"))
+    graft.core.OrderStats
+      .quantiles(toks, "v", Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+      .orderBy(col("p"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q_theta_rollup, q_kll_quantiles, q_freq_domains, q_topk_langs)
+    Seq(q_theta_rollup, q_kll_quantiles, q_freq_domains, q_topk_langs,
+      q_exact_quantiles)
 }
