@@ -35,13 +35,6 @@ import org.apache.spark.sql.functions._
  */
 object Viewshed {
 
-  /** floor(a / b) for b > 0, bit-identical in Spark and DuckDB: pmod
-    * makes the numerator an exact multiple, where truncating and
-    * flooring division coincide (|a| < 2^52 keeps the double path
-    * exact; callers stay far below). */
-  private def floorDiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
-
   /** Visibility of every cell in `cells` (gx, gy, v) from the single
     * observer row `obs` (ox, oy, vo — vo already includes any observer
     * height offset): (gx, gy, v, visible). */
@@ -53,13 +46,11 @@ object Viewshed {
       .withColumn("n", greatest(abs(dxT), abs(dyT)))
       .withColumn("k",
         explode_outer(when(col("n") >= 2, sequence(lit(1L), col("n") - 1))))
-    def interp(o: Column, d: Column) = {
-      val num = lit(2L) * col("k") * d + col("n")
-      o + floorDiv(num, lit(2L) * col("n"))
-    }
     val probes = withK
-      .withColumn("px", interp(col("ox"), col("gx") - col("ox")))
-      .withColumn("py", interp(col("oy"), col("gy") - col("oy")))
+      .withColumn("px",
+        Rays.pointAt(col("ox"), col("gx") - col("ox"), col("k"), col("n")))
+      .withColumn("py",
+        Rays.pointAt(col("oy"), col("gy") - col("oy"), col("k"), col("n")))
     val blockers = cells.select(
       col("gx").as("px"), col("gy").as("py"), col("v").as("bv"))
     val j = probes.join(blockers, Seq("px", "py"), "left")

@@ -236,7 +236,53 @@ object TemporalQueries {
     graft.graph.Triangles.perNode(edges).orderBy(col("node"))
   }
 
+  /** Trajectory line-density raster ([[graft.grid.LineRaster]]): every
+    * click edge geocodes its two pages onto the 10-degree lattice and
+    * splats the exact discrete segment between them; output is visits
+    * per cell. Engine and dual share the [[graft.grid.Rays]] arithmetic
+    * (round-half-up parametric line via the sign-safe floor division),
+    * so the raster is bit-exact. */
+  val q_trajectory_density: QueryDef = {
+    def ray(o: String, d: String): String =
+      s"""CASE WHEN n = 0 THEN $o ELSE $o
+         | + (2*k*($d) + n - ((((2*k*($d) + n) % (2*n)) + 2*n) % (2*n)))
+         |   // (2*n) END""".stripMargin.replaceAll("\n", "")
+    QueryDef.sqlChecked(
+      "q_trajectory_density",
+      s"""WITH ev AS (SELECT user_id, event_id, ts,
+         |    CAST(regexp_extract(props, '(\\d+)', 1) AS BIGINT) AS page
+         |  FROM events),
+         |e AS (SELECT src, dst FROM (
+         |  SELECT page AS src,
+         |    lead(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM ev) z WHERE dst IS NOT NULL),
+         |seg AS (SELECT
+         |    CAST(floor((${graft.core.Geo.lonSql("src")} - (-180.0)) / 10.0) AS BIGINT) AS x0,
+         |    CAST(floor((${graft.core.Geo.latSql("src")} - (-85.0)) / 10.0) AS BIGINT) AS y0,
+         |    CAST(floor((${graft.core.Geo.lonSql("dst")} - (-180.0)) / 10.0) AS BIGINT) AS x1,
+         |    CAST(floor((${graft.core.Geo.latSql("dst")} - (-85.0)) / 10.0) AS BIGINT) AS y1
+         |  FROM e),
+         |sk AS (SELECT *, greatest(abs(x1 - x0), abs(y1 - y0)) AS n FROM seg),
+         |pts AS (SELECT ${ray("x0", "x1 - x0")} AS gx,
+         |    ${ray("y0", "y1 - y0")} AS gy
+         |  FROM sk, LATERAL (SELECT unnest(generate_series(0, n)) AS k))
+         |SELECT gx, gy, CAST(count(*) AS BIGINT) AS n_visits
+         |FROM pts GROUP BY gx, gy ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+      import graft.core.Geo
+      val e = graft.graph.PageRank.clickEdges(Tables.events(s, dir),
+        regexp_extract(col("props"), "(\\d+)", 1).cast("long"),
+        col("user_id"), col("ts"), col("event_id"))
+      def bx(id: org.apache.spark.sql.Column) =
+        floor((Geo.lonCol(id) - lit(-180.0)) / 10.0).cast("long")
+      def by(id: org.apache.spark.sql.Column) =
+        floor((Geo.latCol(id) - lit(-85.0)) / 10.0).cast("long")
+      val segs = e.select(bx(col("src")).as("x0"), by(col("src")).as("y0"),
+        bx(col("dst")).as("x1"), by(col("dst")).as("y1"))
+      graft.grid.LineRaster.density(segs).orderBy(col("gx"), col("gy"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q_asof_join, q_range_join, q_pagerank, q_retention, q_funnel,
-      q_triangles)
+      q_triangles, q_trajectory_density)
 }
