@@ -518,7 +518,7 @@ object TextQueries {
     * pos+1, ...) — structurally different from the engine's
     * array-lambda position intersection. */
   val q_phrase_search: QueryDef = {
-    val phrase = Seq("slow", "hash", "batch")
+    val phrase = Seq("join", "part", "filter")
     QueryDef.sqlChecked(
       "q_phrase_search",
       s"""WITH t AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks
