@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.temporal.{AsOf, RangeJoin}
+import graft.temporal.{AsOf, Cusum, RangeJoin}
 import org.apache.spark.sql.functions._
 
 /**
@@ -282,7 +282,38 @@ object TemporalQueries {
     }
   }
 
+  /** Exact integer CUSUM changepoint detection ([[graft.temporal.Cusum]])
+    * over per-event-type hourly counts: S = running sum of (cnt − drift),
+    * cusum = S − running min S, alarm at cusum ≥ threshold — the
+    * textbook `max(0, C+x−k)` recursion unrolled into two scans, each
+    * computed two-level (per-(key, 2^4-hour block) local windows + the
+    * small per-key block table) so no task ever holds a key's full
+    * history. The dual IS the per-key global-window form the engine
+    * refuses — DuckDB window sums cast back to BIGINT (the
+    * institutionalized q_pack_chunks lesson). */
+  val q_cusum: QueryDef = QueryDef.sqlChecked(
+    "q_cusum",
+    """WITH m AS (SELECT event_type,
+      |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, t, cnt,
+      |    CAST(sum(cnt - 5) OVER (PARTITION BY event_type ORDER BY t)
+      |         AS BIGINT) AS s FROM m)
+      |SELECT event_type, t, cnt, s,
+      |  CAST(s - min(s) OVER (PARTITION BY event_type ORDER BY t)
+      |       AS BIGINT) AS cusum,
+      |  (s - min(s) OVER (PARTITION BY event_type ORDER BY t)) >= 15
+      |    AS alarm
+      |FROM s ORDER BY event_type, t""".stripMargin) { (s, dir) =>
+    val counts = Cusum.bucketCounts(Tables.events(s, dir),
+      "event_type", "ts", 3600L)
+    Cusum.changepoints(counts, "event_type", "t", "cnt",
+        drift = 5L, threshold = 15L, bucketShift = 4)
+      .orderBy(col("event_type"), col("t"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q_asof_join, q_range_join, q_pagerank, q_retention, q_funnel,
-      q_triangles, q_trajectory_density)
+      q_triangles, q_trajectory_density, q_cusum)
 }
