@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core.{Geo, Tables}
 import graft.grid.{Contours, Gridding}
+import graft.vector.RingMetrics
 import org.apache.spark.sql.functions._
 
 /**
@@ -208,6 +209,88 @@ object ContourQueries {
       .orderBy(col("level"), col("line_id"))
   }
 
+  /** Exact shoelace ring metrics ([[graft.vector.RingMetrics]]) over
+    * two vertex sources at a shared 10^-4-degree integer scale: the six
+    * fixture AOI polygons (concave L, triangle, hole ring — the oracle
+    * inlines their vertices as VALUES from the SAME parser) and a
+    * data-driven ring per language (the bbox of its geocoded documents,
+    * pure integer arithmetic both engines). area2/perimeter are exact
+    * BIGINTs, centroid numerators exact DECIMAL(38,0)/HUGEINT, centroid
+    * itself one IEEE division — bit-identical across engines. A
+    * one-document language degenerates to a 'flat' ring with NULL
+    * centroid on both sides. */
+  val q_ring_metrics: QueryDef = {
+    val aoiRows = graft.join.Aoi.defs.flatMap { a =>
+      RingMetrics.wktRings(a.wkt, 1e4).map { case (ri, pos, x, y) =>
+        (s"aoi:${a.aoiId}", ri, pos, x, y)
+      }
+    }
+    val aoiValues = aoiRows.map { case (p, ri, pos, x, y) =>
+      s"('$p', $ri, $pos, $x, $y)"
+    }.mkString(", ")
+    val sql =
+      s"""WITH b AS (SELECT lang,
+         |    min((doc_id*16807 % 360000)*10 - 1800000) AS x0,
+         |    max((doc_id*16807 % 360000)*10 - 1800000) AS x1,
+         |    min((doc_id*48271 % 170000)*10 - 850000) AS y0,
+         |    max((doc_id*48271 % 170000)*10 - 850000) AS y1
+         |  FROM documents GROUP BY lang),
+         |dv AS (SELECT 'doc:' || lang AS poly, 0 AS ring, p.pos,
+         |    CASE p.pos WHEN 0 THEN x0 WHEN 1 THEN x1 WHEN 2 THEN x1
+         |      ELSE x0 END AS x,
+         |    CASE p.pos WHEN 0 THEN y0 WHEN 1 THEN y0 WHEN 2 THEN y1
+         |      ELSE y1 END AS y
+         |  FROM b, (VALUES (0),(1),(2),(3)) p(pos)),
+         |av(poly, ring, pos, x, y) AS (VALUES $aoiValues),
+         |v AS (SELECT poly, ring, pos, CAST(x AS BIGINT) AS x,
+         |    CAST(y AS BIGINT) AS y FROM dv
+         |  UNION ALL SELECT poly, ring, pos, CAST(x AS BIGINT),
+         |    CAST(y AS BIGINT) FROM av),
+         |e AS (SELECT poly, ring, x, y,
+         |    coalesce(lead(x) OVER w, first_value(x) OVER w) AS nx,
+         |    coalesce(lead(y) OVER w, first_value(y) OVER w) AS ny
+         |  FROM v WINDOW w AS (PARTITION BY poly, ring ORDER BY pos)),
+         |g AS (SELECT poly, ring, CAST(count(*) AS BIGINT) AS n_pts,
+         |    CAST(sum(x*ny - nx*y) AS BIGINT) AS area2,
+         |    sum(CAST(x + nx AS HUGEINT) * (x*ny - nx*y)) AS cxn,
+         |    sum(CAST(y + ny AS HUGEINT) * (x*ny - nx*y)) AS cyn,
+         |    CAST(sum(abs(x - nx) + abs(y - ny)) AS BIGINT) AS per_l1
+         |  FROM e GROUP BY poly, ring)
+         |SELECT poly, ring, n_pts, area2,
+         |  CASE WHEN area2 > 0 THEN 'ccw' WHEN area2 < 0 THEN 'cw'
+         |    ELSE 'flat' END AS orient,
+         |  CASE WHEN area2 <> 0
+         |    THEN CAST(cxn AS DOUBLE) / CAST(area2 * 3 AS DOUBLE) END AS cx,
+         |  CASE WHEN area2 <> 0
+         |    THEN CAST(cyn AS DOUBLE) / CAST(area2 * 3 AS DOUBLE) END AS cy,
+         |  per_l1
+         |FROM g ORDER BY poly, ring""".stripMargin
+    QueryDef.sqlChecked("q_ring_metrics", sql) { (s, dir) =>
+      import s.implicits._
+      val aoiVerts = aoiRows.toDF("poly", "ring", "pos", "x", "y")
+      val b = Tables.documents(s, dir)
+        .select(col("lang"),
+          ((col("doc_id") * 16807 % 360000) * 10 - 1800000).as("xi"),
+          ((col("doc_id") * 48271 % 170000) * 10 - 850000).as("yi"))
+        .groupBy("lang")
+        .agg(min("xi").as("x0"), max("xi").as("x1"),
+          min("yi").as("y0"), max("yi").as("y1"))
+      val docVerts = b.select(concat(lit("doc:"), col("lang")).as("poly"),
+        inline(array(
+          struct(lit(0).as("ring"), lit(0).as("pos"),
+            col("x0").as("x"), col("y0").as("y")),
+          struct(lit(0).as("ring"), lit(1).as("pos"),
+            col("x1").as("x"), col("y0").as("y")),
+          struct(lit(0).as("ring"), lit(2).as("pos"),
+            col("x1").as("x"), col("y1").as("y")),
+          struct(lit(0).as("ring"), lit(3).as("pos"),
+            col("x0").as("x"), col("y1").as("y")))))
+      RingMetrics.metrics(docVerts.unionByName(aoiVerts))
+        .orderBy(col("poly"), col("ring"))
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q_contours, q_contour_lines, q_contour_walk, q_contour_wkt)
+    Seq(q_contours, q_contour_lines, q_contour_walk, q_contour_wkt,
+      q_ring_metrics)
 }
