@@ -153,6 +153,73 @@ object CcQueries {
     }
   }
 
+  /** Grid DBSCAN ([[graft.cc.GridDbscan]]) over geocoded documents on a
+    * 5-degree lattice: density = 3×3 point count, core at density ≥
+    * minPts, clusters = 8-connected core components (min-cell-id
+    * labels), borders take the smallest adjacent core label, the rest
+    * is noise. minPts is data-derived — well above the mean 3×3
+    * density, `18·N/cells + 1` (2× the mean) in exact integer arithmetic on both
+    * engines — so the clustering stays non-trivial at every SF. The
+    * dual re-derives every stage relationally (9-offset density join,
+    * recursive min-label closure, min-over-neighbors border
+    * attachment). */
+  val q_dbscan: QueryDef = {
+    import graft.grid.Gridding.GridSpec
+    val spec5 = GridSpec(gsd = 5.0)
+    val (w5, h5) = Gridding.boundsFor(spec5)
+    val lc = w5.toLong * h5
+    QueryDef.sqlChecked(
+      "q_dbscan",
+      s"""WITH RECURSIVE ${Gridding.splatCte(spec5)},
+         |cells AS (SELECT bx AS gx, by AS gy,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2),
+         |np AS (SELECT 18 * count(*) // $lc + 1 AS minpts FROM documents),
+         |o(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+         |  (1,-1),(1,0),(1,1)),
+         |dens AS (SELECT c.gx + o.dx AS gx, c.gy + o.dy AS gy,
+         |    CAST(sum(c.cnt) AS BIGINT) AS density
+         |  FROM cells c CROSS JOIN o GROUP BY 1, 2),
+         |occ AS (SELECT c.gx, c.gy, c.cnt, d.density
+         |  FROM cells c JOIN dens d ON d.gx = c.gx AND d.gy = c.gy),
+         |core AS (SELECT occ.gx, occ.gy FROM occ, np
+         |  WHERE occ.density >= np.minpts),
+         |reach(gx, gy, l) AS (
+         |  SELECT gx, gy, gy * $w5 + gx FROM core
+         |  UNION
+         |  SELECT n.gx, n.gy, r.l FROM reach r
+         |  JOIN core n ON abs(n.gx - r.gx) <= 1 AND abs(n.gy - r.gy) <= 1
+         |    AND r.l < n.gy * $w5 + n.gx),
+         |lbl AS (SELECT gx, gy, min(l) AS label FROM reach GROUP BY 1, 2),
+         |cnbr AS (SELECT l.gx + o.dx AS gx, l.gy + o.dy AS gy,
+         |    min(l.label) AS blabel
+         |  FROM lbl l CROSS JOIN o GROUP BY 1, 2)
+         |SELECT occ.gx, occ.gy, occ.cnt, occ.density, 'core' AS role,
+         |  lbl.label
+         |FROM occ JOIN lbl ON lbl.gx = occ.gx AND lbl.gy = occ.gy
+         |UNION ALL
+         |SELECT occ.gx, occ.gy, occ.cnt, occ.density, 'border', c.blabel
+         |FROM occ JOIN cnbr c ON c.gx = occ.gx AND c.gy = occ.gy, np
+         |WHERE occ.density < np.minpts
+         |UNION ALL
+         |SELECT occ.gx, occ.gy, occ.cnt, occ.density, 'noise',
+         |  CAST(NULL AS BIGINT)
+         |FROM occ, np
+         |WHERE occ.density < np.minpts
+         |  AND NOT EXISTS (SELECT 1 FROM cnbr c
+         |                  WHERE c.gx = occ.gx AND c.gy = occ.gy)
+         |ORDER BY gx, gy""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val minPts = 18L * docs.count() / lc + 1L
+      val cells = Gridding.points(Geo.withGeo(docs), spec5)
+        .groupBy(col("bx").as("gx"), col("by").as("gy"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.cc.GridDbscan.cluster(cells, Bounds(w5, h5), minPts,
+          tileSize = 16)
+        .orderBy(col("gx"), col("gy"))
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q_cc_labels, q_cc_dz, q_cc_chunked, q_cc_stats, q_accept_gradient)
+    Seq(q_cc_labels, q_cc_dz, q_cc_chunked, q_cc_stats, q_accept_gradient,
+      q_dbscan)
 }
