@@ -291,8 +291,47 @@ object Spatial {
       .orderBy(col("cell"))
   }
 
+  /** Geohash encode ([[graft.index.Geohash]], codegen'd expression) at
+    * precision 8 plus the nesting prefix at precision 4 — the
+    * string-keyed third index family next to the Morton cells and the
+    * hex lattice. The dual rebuilds the 40-bit lon-first interleave
+    * relationally: per-axis 20-bit integer refinement (one IEEE
+    * multiply + floor, identical both engines), a 40-row bit-position
+    * join summing shifted bits, then base-32 character extraction via
+    * an 8-row join + ordered string_agg — so the oracle match pins
+    * every bit of every hash, not just a spot value. */
+  val q_geohash: QueryDef = QueryDef.sqlChecked(
+    "q_geohash",
+    s"""WITH pts AS (SELECT doc_id, ${Geo.lonSql("doc_id")} AS lon,
+       |    ${Geo.latSql("doc_id")} AS lat FROM documents),
+       |ix AS (SELECT doc_id,
+       |    CAST(least(greatest(floor((lon + 180.0) / 360.0 * 1048576), 0),
+       |      1048575) AS BIGINT) AS li,
+       |    CAST(least(greatest(floor((lat + 90.0) / 180.0 * 1048576), 0),
+       |      1048575) AS BIGINT) AS la
+       |  FROM pts),
+       |vals AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN i % 2 = 0
+       |      THEN ((li >> (19 - i // 2)) & 1) << (39 - i)
+       |      ELSE ((la >> (19 - i // 2)) & 1) << (39 - i) END)
+       |      AS BIGINT) AS v
+       |  FROM ix CROSS JOIN range(40) t(i) GROUP BY doc_id),
+       |gh AS (SELECT doc_id,
+       |    string_agg(substr('0123456789bcdefghjkmnpqrstuvwxyz',
+       |      CAST((v >> (5 * (7 - k))) & 31 AS INTEGER) + 1, 1),
+       |      '' ORDER BY k) AS gh8
+       |  FROM vals CROSS JOIN range(8) t(k) GROUP BY doc_id)
+       |SELECT doc_id, gh8, substr(gh8, 1, 4) AS gh4
+       |FROM gh ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val gh = graft.index.GeohashFunctions.geohash(col("lon"), col("lat"), 8)
+    docsGeo(s, dir)
+      .select(col("doc_id"), gh.as("gh8"))
+      .withColumn("gh4", substring(col("gh8"), 1, 4))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_geocode_cell, q_cell_hist, q_salted_cell_hist, q_hex_hist, q_dsm_grid,
     q_min_grid, q_median_grid, q_grid_zip, q_dsm_meters, q_cell_compact,
-    q_cover_buffer, q_density_grid, q_cell_uncompact)
+    q_cover_buffer, q_density_grid, q_cell_uncompact, q_geohash)
 }
