@@ -313,7 +313,63 @@ object TemporalQueries {
       .orderBy(col("event_type"), col("t"))
   }
 
+  /** Streaming per-window top-k heavy hitters as a REAL multi-batch
+    * streaming run ([[graft.streaming.StreamOps.windowTopK]] — chained
+    * stateful aggregations: exact windowed counts → bounded-heap TopK,
+    * append mode, state k pairs per open window at stage 2). The staged
+    * event files flow one-per-trigger in RANDOM time order, so window
+    * fragments genuinely cross micro-batches and the heap must merge
+    * state-store partials; the watermark delay exceeds the staged span
+    * (no fragment may be dropped as late), and a sentinel event staged
+    * in a LAST file pushes the final watermark past every real window
+    * end. Append therefore emits exactly the top-3 of every real
+    * window — the dual, with the sentinel's own (never-finalized)
+    * window excluded by its negative user id. */
+  val q_stream_topk: QueryDef = {
+    val sideRoot = SideTables.root("temporal_side")
+    QueryDef.sqlChecked(
+      "q_stream_topk",
+      s"""WITH e AS (SELECT * FROM '$sideRoot/topk_stream/*.parquet'
+         |  WHERE user_id >= 0),
+         |c AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS ws,
+         |    user_id, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM e GROUP BY 1, 2),
+         |r AS (SELECT ws, user_id, cnt, row_number() OVER (
+         |    PARTITION BY ws ORDER BY cnt DESC, user_id) AS rank FROM c)
+         |SELECT ws, CAST(rank AS BIGINT) AS rank, user_id, cnt
+         |FROM r WHERE rank <= 3
+         |ORDER BY ws, rank""".stripMargin) { (s, dir) =>
+      val src = s"$sideRoot/topk_stream"
+      val ev = Tables.events(s, dir).select("user_id", "ts")
+      ev.repartition(6).write.mode("overwrite").parquet(src)
+      // sentinel staged AFTER (later mod time -> processed last): its
+      // event time minus the watermark delay finalizes all real
+      // windows. Derived from max(ts) so the parquet type (NTZ) matches.
+      ev.agg(max(col("ts")).as("ts"))
+        .select(lit(-1L).as("user_id"),
+          (col("ts") + expr("INTERVAL 401 DAYS")).as("ts"))
+        .write.mode("append").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val top = graft.streaming.StreamOps.windowTopK(
+        stream, "ts", "user_id", win = "1 hour", k = 3,
+        watermark = "400 days")
+      s.catalog.dropTempView("stream_topk_out")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = top.writeStream.outputMode("append").format("memory")
+          .queryName("stream_topk_out")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("stream_topk_out").orderBy(col("ws"), col("rank"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q_asof_join, q_range_join, q_pagerank, q_retention, q_funnel,
-      q_triangles, q_trajectory_density, q_cusum)
+      q_triangles, q_trajectory_density, q_cusum, q_stream_topk)
 }

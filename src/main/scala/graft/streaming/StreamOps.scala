@@ -113,6 +113,38 @@ object StreamOps {
         col("gx"), col("gy"))
       .agg(max(col("qz")).as("v"))
 
+  /** Streaming per-window top-k heavy hitters — CHAINED stateful
+    * aggregations in append mode (Spark's multiple-stateful-operator
+    * support): stage 1 keeps exact per-(window, key) counts (state
+    * bounded by live keys inside the watermark, evicted at window
+    * close), stage 2 folds each closed window's counts through the
+    * bounded-heap [[graft.sketch.TopK]] aggregate (state = k pairs per
+    * open window — NOT the key space). At 10^12 events/day the emitted
+    * stream is k rows per window, and no stage ever re-sorts a window's
+    * full key histogram: the heap keeps partial aggregation map-side,
+    * identical to the batch q_topk_langs argument. Ties break
+    * (cnt desc, key asc), same as the TopK contract. Rows emit when the
+    * watermark passes the window end; the same code path runs on a
+    * batch frame (window fn + two aggs) for the exactness dual. */
+  def windowTopK(events: DataFrame, tsCol: String, keyCol: String,
+                 win: String = "1 hour", k: Int = 3,
+                 watermark: String = "0 seconds"): DataFrame = {
+    val wcol = org.apache.spark.sql.functions.window(col(tsCol), win)
+    val counted = events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(wcol.as("window"), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+    counted
+      .groupBy(org.apache.spark.sql.functions.window(col("window"), win)
+        .as("window"))
+      .agg(graft.sketch.TopK.topK(col(keyCol), col("cnt"), k).as("top"))
+      .select(col("window").getField("start").cast("long").as("ws"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("ws"), (col("pos") + 1).cast("long").as("rank"),
+        col("t").getField("item").as(keyCol), col("t").getField("score").as("cnt"))
+  }
+
   /** Stream-static point-in-polygon enrichment (J4 as a stream): a
     * stream of geocoded pages (doc_id, lon, lat) joins the static AOI
     * set through the SAME cell-cover + JTS path the batch join uses

@@ -368,4 +368,45 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshots.read(spark, Snapshots.latest(root, "ingest").get)
       .as[(Long, String)].collect().toSet == Set((3L, "c")))
   }
+
+  test("windowTopK: chained stateful aggs emit finalized windows, k-bounded, tie-exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // hour 0: user 1 x3, user 2 x3 (tie -> smaller id first), user 3 x2,
+    //         user 4 x1 (must be cut by k=3)
+    // hour 1: user 5 x2, user 6 x1
+    // hour 2: single event (advances watermark past hour 1)
+    val h0 = Seq(1L -> 0, 1L -> 1, 1L -> 2, 2L -> 3, 2L -> 4, 2L -> 5,
+      3L -> 6, 3L -> 7, 4L -> 8).map { case (u, m) => (u, ts(m)) }
+    val h1 = Seq(5L -> 61, 5L -> 62, 6L -> 63).map { case (u, m) => (u, ts(m)) }
+    val h2 = Seq((7L, ts(121)))
+
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val top = StreamOps.windowTopK(input.toDF().toDF("user_id", "ts"),
+      "ts", "user_id", win = "1 hour", k = 3, watermark = "0 seconds")
+    val q = top.writeStream.outputMode("append")
+      .format("memory").queryName("wtopk_out").start()
+    try {
+      def rows() = spark.table("wtopk_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      input.addData(h0); q.processAllAvailable()
+      assert(rows().isEmpty, "no window finalized yet")
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h1); q.processAllAvailable() // watermark catches up
+      // hour 0 closed: exact counts, tie 1-before-2, user 4 cut
+      val w0 = 1700000000000L / 1000 / 3600 * 3600
+      assert(rows() === Set((w0, 1L, 1L, 3L), (w0, 2L, 2L, 3L),
+        (w0, 3L, 3L, 2L)))
+      input.addData(h2); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+      val got = rows()
+      assert(got.filter(_._1 == w0 + 3600) ===
+        Set((w0 + 3600, 1L, 5L, 4L), (w0 + 3600, 2L, 6L, 2L)))
+      // k bound holds per window
+      assert(got.groupBy(_._1).values.forall(_.size <= 3))
+    } finally q.stop()
+  }
 }
