@@ -571,11 +571,44 @@ object TextQueries {
       .select("t1", "t2", "c_xy", "c_x", "c_y", "pmi_ratio")
   }
 
+  /** 2-D document skyline ([[graft.core.Skyline]]): the docs no other
+    * doc beats on BOTH length (token count) and lexical diversity
+    * (type-token ratio in exact integer per-mille, `1000·uniq/tokens`)
+    * — the Pareto trade-off curve curation actually uses, since the
+    * two axes anti-correlate. Computed with the two-level suffix-max
+    * scan (never a global-order window). The dual is the DEFINITION:
+    * strict-dominance NOT EXISTS over all pairs — a shape the engine
+    * refuses (quadratic), so the oracle match proves the sweep
+    * formulation equals the dominance semantics, ties and all. */
+  val q_skyline: QueryDef = QueryDef.sqlChecked(
+    "q_skyline",
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(${TextOps.tokensSql("text")})) AS BIGINT)
+       |      * 1000 // CAST(len(${TextOps.tokensSql("text")}) AS BIGINT)
+       |      AS ttr_mille
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, ttr_mille FROM d a
+       |WHERE NOT EXISTS (SELECT 1 FROM d b
+       |  WHERE b.n_tokens >= a.n_tokens AND b.ttr_mille >= a.ttr_mille
+       |    AND (b.n_tokens > a.n_tokens OR b.ttr_mille > a.ttr_mille))
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = TextOps.tokens(col("text"))
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("_uniq"))
+      .withColumn("ttr_mille", expr("(_uniq * 1000L) div n_tokens"))
+      .drop("_uniq")
+    graft.core.Skyline.frontier2(d, "n_tokens", "ttr_mille")
+      .select("doc_id", "n_tokens", "ttr_mille")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_token_stats, q_lang_guess, q_quality_score, q_fingerprint,
     q_dedup_exact, q_dedup_prefix, q_minhash_sig, q_simhash, q_ngram_jaccard,
     q_repetition, q_line_dedup, q_redact_pii, q_decontam, q_contam_score,
     q_tfidf_topk, q_boilerplate, q_dup_spans, q_dup_coverage, q_dup_excise,
     q_lm_score, q_bpe_merges, q_chunk_windows, q_postings, q_phrase_search,
-    q_pmi_bigrams)
+    q_pmi_bigrams, q_skyline)
 }
