@@ -604,7 +604,38 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact Jaccard ≥ 4/5 similarity self-join with prefix filtering
+    * ([[graft.dedup.SimJoin]]) — the completeness-guaranteed exact
+    * counterpart of the LSH near-dup path; every integer filter is
+    * exact (`5·inter ≥ 4·uni`), jac is one IEEE division. The dual is
+    * the brute-force shared-token pair join + the same integer
+    * threshold — quadratic in postings, exactly the computation the
+    * prefix filter exists to avoid — so the oracle match proves the
+    * filter loses NO qualifying pair on this corpus. */
+  val q_simjoin: QueryDef = QueryDef.sqlChecked(
+    "q_simjoin",
+    s"""WITH tok AS (SELECT DISTINCT doc_id AS doc,
+       |    unnest(${TextOps.tokensSql("text")}) AS t FROM documents),
+       |sz AS (SELECT doc, CAST(count(*) AS BIGINT) AS len
+       |  FROM tok GROUP BY doc),
+       |inter AS (SELECT x.doc AS a, y.doc AS b,
+       |    CAST(count(*) AS BIGINT) AS inter
+       |  FROM tok x JOIN tok y ON y.t = x.t AND x.doc < y.doc
+       |  GROUP BY 1, 2),
+       |j AS (SELECT a, b, inter, sa.len + sb.len - inter AS uni
+       |  FROM inter JOIN sz sa ON sa.doc = a JOIN sz sb ON sb.doc = b)
+       |SELECT a, b, inter, uni,
+       |  CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jac
+       |FROM j WHERE 5 * inter >= 4 * uni ORDER BY a, b""".stripMargin) {
+    (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    graft.dedup.SimJoin.jaccardJoin(docs, "doc_id", "toks", 4L, 5L)
+      .orderBy(col("a"), col("b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q_simjoin,
     q_token_stats, q_lang_guess, q_quality_score, q_fingerprint,
     q_dedup_exact, q_dedup_prefix, q_minhash_sig, q_simhash, q_ngram_jaccard,
     q_repetition, q_line_dedup, q_redact_pii, q_decontam, q_contam_score,
