@@ -611,11 +611,16 @@ object TextQueries {
     * the brute-force shared-token pair join + the same integer
     * threshold — quadratic in postings, exactly the computation the
     * prefix filter exists to avoid — so the oracle match proves the
-    * filter loses NO qualifying pair on this corpus. */
+    * filter loses NO qualifying pair on this corpus. Restricted to
+    * doc_id < 1000 (q_cc_* precedent): the synthetic corpus is so
+    * templated that the TRUE ≥0.8 pair set grows quadratically with
+    * SF, and a result-bound query would bench the output size, not
+    * the operator. */
   val q_simjoin: QueryDef = QueryDef.sqlChecked(
     "q_simjoin",
     s"""WITH tok AS (SELECT DISTINCT doc_id AS doc,
-       |    unnest(${TextOps.tokensSql("text")}) AS t FROM documents),
+       |    unnest(${TextOps.tokensSql("text")}) AS t FROM documents
+       |  WHERE doc_id < 1000),
        |sz AS (SELECT doc, CAST(count(*) AS BIGINT) AS len
        |  FROM tok GROUP BY doc),
        |inter AS (SELECT x.doc AS a, y.doc AS b,
@@ -628,7 +633,7 @@ object TextQueries {
        |  CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jac
        |FROM j WHERE 5 * inter >= 4 * uni ORDER BY a, b""".stripMargin) {
     (s, dir) =>
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
     graft.dedup.SimJoin.jaccardJoin(docs, "doc_id", "toks", 4L, 5L)
       .orderBy(col("a"), col("b"))
