@@ -56,4 +56,27 @@ object OrderStats {
       .join(pk, "k")
       .select(col("p"), col("k"), col("v"))
   }
+
+  /** Per-key exact upper median (`sorted[n/2]`, the same k = n div 2 + 1
+    * convention as [[quantiles]] at p = 0.5): value-count histogram per
+    * (key, value) — the shuffle is bounded by keys × distinct values —
+    * then a per-key window over the DISTINCT-VALUE rows only (a key
+    * with 10^9 rows over a 10^4-value space costs a 10^4-row scan, not
+    * a 10^9-row sort) selects the value whose cumulative count first
+    * reaches the rank. Returns (key, median). */
+  def upperMedianByKey(df: DataFrame, keyCol: String,
+                       valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(keyCol), col(valCol))
+      .agg(count(lit(1)).as("_c"))
+    val n = df.groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(keyCol).orderBy(valCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("_cum", sum(col("_c")).over(w))
+      .join(n, keyCol)
+      .withColumn("_k", expr("_n div 2 + 1"))
+      .filter(col("_cum") - col("_c") < col("_k") &&
+        col("_k") <= col("_cum"))
+      .select(col(keyCol), col(valCol).as("median"))
+  }
 }

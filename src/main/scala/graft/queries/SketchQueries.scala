@@ -138,7 +138,50 @@ object SketchQueries {
       .orderBy(col("p"))
   }
 
+  /** Robust outlier detection — flag events whose value (in exact
+    * cents) deviates from the per-type median by more than 3× the
+    * median absolute deviation, both medians exact upper-middles via
+    * [[graft.core.OrderStats.upperMedianByKey]] (value-histogram +
+    * distinct-value window — no per-key sort of raw rows). All integer
+    * arithmetic; the only IEEE step is the shared `round(value·100)`
+    * quantization. The dual recomputes both medians with the
+    * row_number rank convention (`k = n div 2 + 1`) the engine's
+    * histogram probe implements. */
+  val q_robust_outliers: QueryDef = QueryDef.sqlChecked(
+    "q_robust_outliers",
+    """WITH e AS (SELECT event_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |n AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1),
+      |r AS (SELECT event_type, cents, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY cents) AS rn FROM e),
+      |med AS (SELECT r.event_type, r.cents AS med FROM r
+      |  JOIN n USING (event_type) WHERE rn = n // 2 + 1),
+      |d AS (SELECT e.event_id, e.event_type, e.cents, m.med,
+      |    abs(e.cents - m.med) AS ad FROM e JOIN med m USING (event_type)),
+      |r2 AS (SELECT event_type, ad, row_number() OVER (
+      |    PARTITION BY event_type ORDER BY ad) AS rn FROM d),
+      |mad AS (SELECT r2.event_type, r2.ad AS mad FROM r2
+      |  JOIN n USING (event_type) WHERE rn = n // 2 + 1)
+      |SELECT d.event_id, d.event_type, d.cents, d.med, mad.mad, d.ad
+      |FROM d JOIN mad USING (event_type)
+      |WHERE d.ad > 3 * mad.mad
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import graft.core.OrderStats
+    val e = Tables.events(s, dir).select(col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val med = OrderStats.upperMedianByKey(e, "event_type", "cents")
+      .withColumnRenamed("median", "med")
+    val dev = e.join(med, "event_type")
+      .withColumn("ad", abs(col("cents") - col("med")))
+    val mad = OrderStats.upperMedianByKey(dev, "event_type", "ad")
+      .withColumnRenamed("median", "mad")
+    dev.join(mad, "event_type")
+      .filter(col("ad") > lit(3L) * col("mad"))
+      .select("event_id", "event_type", "cents", "med", "mad", "ad")
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q_theta_rollup, q_kll_quantiles, q_freq_domains, q_topk_langs,
-      q_exact_quantiles)
+      q_exact_quantiles, q_robust_outliers)
 }

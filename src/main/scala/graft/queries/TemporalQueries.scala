@@ -369,7 +369,44 @@ object TemporalQueries {
     }
   }
 
+  /** Peak session concurrency per hour — the sweep-line interval
+    * overlap count: every event opens a 30-minute session; deltas
+    * (+1 at start, −1 at end) aggregate per distinct instant, the
+    * running concurrency is the inclusive prefix sum of the nets in
+    * time order via [[graft.core.PrefixSum]] (two-level — a naive
+    * sweep is THE textbook global-order window), and the per-hour peak
+    * is a hash agg over it. End-before-start at a shared instant falls
+    * out of per-instant netting: the within-instant maximum is the
+    * post-instant value, so abutting sessions never double-count. The
+    * dual IS the global-window sweep the engine refuses. */
+  val q_peak_concurrency: QueryDef = QueryDef.sqlChecked(
+    "q_peak_concurrency",
+    """WITH iv AS (SELECT epoch(ts) AS s, epoch(ts) + 1800 AS e
+      |  FROM events),
+      |d AS (SELECT s AS t, 1 AS dl FROM iv
+      |  UNION ALL SELECT e, -1 FROM iv),
+      |g AS (SELECT t, CAST(sum(dl) AS BIGINT) AS net FROM d GROUP BY t),
+      |r AS (SELECT t, CAST(sum(net) OVER (ORDER BY t) AS BIGINT) AS conc
+      |  FROM g)
+      |SELECT CAST(floor(t / 3600) AS BIGINT) * 3600 AS hour,
+      |  max(conc) AS peak
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val tsec = col("ts").cast("timestamp").cast("double")
+    val iv = Tables.events(s, dir).select(tsec.as("s"), (tsec + 1800d).as("e"))
+    val deltas = iv.select(col("s").as("t"), lit(1L).as("dl"))
+      .unionByName(iv.select(col("e").as("t"), lit(-1L).as("dl")))
+      .groupBy("t").agg(sum(col("dl")).as("net"))
+    val swept = graft.core.PrefixSum.exclusive(deltas, "t", "net",
+        floor(col("t") / 1024d).cast("long"))
+      .withColumn("conc", col("prefix") + col("net"))
+    swept.groupBy((floor(col("t") / 3600d).cast("long") * 3600)
+        .as("hour"))
+      .agg(max(col("conc")).as("peak"))
+      .orderBy(col("hour"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q_asof_join, q_range_join, q_pagerank, q_retention, q_funnel,
-      q_triangles, q_trajectory_density, q_cusum, q_stream_topk)
+      q_triangles, q_trajectory_density, q_cusum, q_stream_topk,
+      q_peak_concurrency)
 }

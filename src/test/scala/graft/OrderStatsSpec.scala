@@ -57,4 +57,28 @@ class OrderStatsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(a == b)
   }
+
+  test("upperMedianByKey: sorted[n div 2] per key, heavy ties, odd/even") {
+    val rows =
+      (1 to 7).map(i => ("odd", i.toLong)) ++          // median idx 4 -> 4
+      (1 to 8).map(i => ("even", i.toLong)) ++         // upper middle -> 5
+      (Seq.fill(30)(7L) ++ Seq.fill(5)(1L)).map(("tied", _)) ++
+      Seq(("one", 42L))
+    val got = OrderStats.upperMedianByKey(
+        rows.toDF("k", "v").repartition(9), "k", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("odd" -> 4L, "even" -> 5L, "tied" -> 7L,
+      "one" -> 42L))
+    // exactly one row per key even when ties straddle the rank
+    assert(OrderStats.upperMedianByKey(rows.toDF("k", "v"), "k", "v")
+      .count() === 4)
+  }
+
+  test("upperMedianByKey matches the global convention at one key") {
+    val sorted = values.sorted
+    val got = OrderStats.upperMedianByKey(
+        values.map(("g", _)).toDF("k", "v"), "k", "v")
+      .head().getLong(1)
+    assert(got === sorted(values.size / 2))
+  }
 }
