@@ -290,7 +290,73 @@ object ContourQueries {
     }
   }
 
+  /** Douglas-Peucker simplification ([[graft.vector.DouglasPeucker]])
+    * of per-language document trails (doc_id order, integer milli-
+    * degree coords, doc_id < 300 to keep the oracle recursion small):
+    * exact sqrt-free max-deviation splits at ε = 100 degrees. The dual
+    * replays the SAME recursion as a recursive CTE — segment frontier,
+    * anti-join (dev desc, pos asc) argmax, HUGEINT squared compare —
+    * so the kept set is pinned vertex-for-vertex, ties included. */
+  val q_douglas_peucker: QueryDef = {
+    val eps2 = 100000L * 100000L
+    def branch(childI: String, childJ: String): String =
+      s"""SELECT seg.line, $childI, $childJ FROM segs seg
+         |    JOIN pts a ON a.line = seg.line AND a.i = seg.i
+         |    JOIN pts b ON b.line = seg.line AND b.i = seg.j
+         |    JOIN pts m ON m.line = seg.line AND m.i > seg.i AND m.i < seg.j
+         |    WHERE NOT EXISTS (SELECT 1 FROM pts k
+         |      WHERE k.line = seg.line AND k.i > seg.i AND k.i < seg.j AND (
+         |        abs((b.x-a.x)*(k.y-a.y) - (b.y-a.y)*(k.x-a.x)) >
+         |        abs((b.x-a.x)*(m.y-a.y) - (b.y-a.y)*(m.x-a.x))
+         |        OR (abs((b.x-a.x)*(k.y-a.y) - (b.y-a.y)*(k.x-a.x)) =
+         |            abs((b.x-a.x)*(m.y-a.y) - (b.y-a.y)*(m.x-a.x))
+         |            AND k.i < m.i)))
+         |    AND CAST(abs((b.x-a.x)*(m.y-a.y) - (b.y-a.y)*(m.x-a.x))
+         |          AS HUGEINT) *
+         |        abs((b.x-a.x)*(m.y-a.y) - (b.y-a.y)*(m.x-a.x)) >
+         |        CAST($eps2 AS HUGEINT) *
+         |        ((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y))""".stripMargin
+    QueryDef.sqlChecked(
+      "q_douglas_peucker",
+      s"""WITH RECURSIVE
+         |d AS (SELECT lang, doc_id,
+         |    (doc_id*16807 % 360000) - 180000 AS x,
+         |    (doc_id*48271 % 170000) - 85000 AS y
+         |  FROM documents WHERE doc_id < 300),
+         |pts AS (SELECT lang AS line,
+         |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS i,
+         |    x, y FROM d),
+         |ends AS (SELECT line, CAST(0 AS BIGINT) AS i, max(i) AS j
+         |  FROM pts GROUP BY line),
+         |segs(line, i, j) AS (
+         |  SELECT line, i, j FROM ends WHERE j > 0
+         |  UNION ALL
+         |  SELECT s.* FROM (
+         |    ${branch("seg.i AS i", "m.i AS j")}
+         |    UNION ALL
+         |    ${branch("m.i AS i", "seg.j AS j")}
+         |  ) s
+         |)
+         |SELECT p.line, p.i AS pos, p.x, p.y
+         |FROM pts p JOIN (SELECT DISTINCT line, i FROM
+         |  (SELECT line, i FROM segs UNION ALL SELECT line, j FROM segs))
+         |  k ON k.line = p.line AND k.i = p.i
+         |ORDER BY p.line, pos""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("lang"), col("doc_id"),
+          ((col("doc_id") * 16807) % 360000 - 180000).as("x"),
+          ((col("doc_id") * 48271) % 170000 - 85000).as("y"))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val pts = d.select(col("lang").as("line"),
+        (row_number().over(w) - 1).cast("long").as("pos"),
+        col("x"), col("y"))
+      graft.vector.DouglasPeucker.simplify(pts, 100000L)
+        .orderBy(col("line"), col("pos"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q_contours, q_contour_lines, q_contour_walk, q_contour_wkt,
-      q_ring_metrics)
+      q_ring_metrics, q_douglas_peucker)
 }
