@@ -356,7 +356,53 @@ object ContourQueries {
     }
   }
 
+  /** Per-language convex hull ([[graft.vector.ConvexHull]], strict-turn
+    * monotone chain, exact integer crosses) of the same milli-degree
+    * point trails. The dual never runs a chain: it applies the
+    * DEFINITION — a point is a hull vertex iff it is not inside any
+    * non-degenerate triangle of other points (Carathéodory) and not
+    * interior to any collinear pair's segment — so the two
+    * formulations meet only at the semantics. */
+  val q_convex_hull: QueryDef = QueryDef.sqlChecked(
+    "q_convex_hull",
+    s"""WITH d AS (SELECT DISTINCT lang AS key,
+       |    (doc_id*16807 % 360000) - 180000 AS x,
+       |    (doc_id*48271 % 170000) - 85000 AS y
+       |  FROM documents WHERE doc_id < 300),
+       |tri AS (SELECT DISTINCT p.key, p.x, p.y FROM d p
+       |  JOIN d a ON a.key = p.key AND (a.x <> p.x OR a.y <> p.y)
+       |  JOIN d b ON b.key = p.key AND (b.x <> p.x OR b.y <> p.y)
+       |    AND (a.x, a.y) < (b.x, b.y)
+       |  JOIN d c ON c.key = p.key AND (c.x <> p.x OR c.y <> p.y)
+       |    AND (b.x, b.y) < (c.x, c.y)
+       |  WHERE (b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) <> 0
+       |    AND ((((b.x-a.x)*(p.y-a.y) - (b.y-a.y)*(p.x-a.x)) >= 0
+       |      AND ((c.x-b.x)*(p.y-b.y) - (c.y-b.y)*(p.x-b.x)) >= 0
+       |      AND ((a.x-c.x)*(p.y-c.y) - (a.y-c.y)*(p.x-c.x)) >= 0)
+       |     OR (((b.x-a.x)*(p.y-a.y) - (b.y-a.y)*(p.x-a.x)) <= 0
+       |      AND ((c.x-b.x)*(p.y-b.y) - (c.y-b.y)*(p.x-b.x)) <= 0
+       |      AND ((a.x-c.x)*(p.y-c.y) - (a.y-c.y)*(p.x-c.x)) <= 0))),
+       |seg AS (SELECT DISTINCT p.key, p.x, p.y FROM d p
+       |  JOIN d a ON a.key = p.key AND (a.x <> p.x OR a.y <> p.y)
+       |  JOIN d b ON b.key = p.key AND (b.x <> p.x OR b.y <> p.y)
+       |    AND (a.x, a.y) < (b.x, b.y)
+       |  WHERE (b.x-a.x)*(p.y-a.y) - (b.y-a.y)*(p.x-a.x) = 0
+       |    AND p.x >= least(a.x, b.x) AND p.x <= greatest(a.x, b.x)
+       |    AND p.y >= least(a.y, b.y) AND p.y <= greatest(a.y, b.y))
+       |SELECT d.key, d.x, d.y FROM d
+       |LEFT JOIN tri ON tri.key = d.key AND tri.x = d.x AND tri.y = d.y
+       |LEFT JOIN seg ON seg.key = d.key AND seg.x = d.x AND seg.y = d.y
+       |WHERE tri.key IS NULL AND seg.key IS NULL
+       |ORDER BY d.key, d.x, d.y""".stripMargin) { (s, dir) =>
+    val pts = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      .select(col("lang").as("key"),
+        ((col("doc_id") * 16807) % 360000 - 180000).as("x"),
+        ((col("doc_id") * 48271) % 170000 - 85000).as("y"))
+    graft.vector.ConvexHull.hull(pts)
+      .orderBy(col("key"), col("x"), col("y"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q_contours, q_contour_lines, q_contour_walk, q_contour_wkt,
-      q_ring_metrics, q_douglas_peucker)
+      q_ring_metrics, q_douglas_peucker, q_convex_hull)
 }

@@ -181,7 +181,38 @@ object SketchQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Exact CDF featurization — every doc's global rank, cumulative
+    * count, and percentile of its token count: the quantile-
+    * normalization transform feature pipelines apply before
+    * binning/clipping. The histogram + two-level [[graft.core.PrefixSum]]
+    * + value equi-join replace the global-order rank window (the dual
+    * runs exactly that window); pct is one IEEE division of the exact
+    * cumulative count by the exact total. */
+  val q_cdf_rank: QueryDef = QueryDef.sqlChecked(
+    "q_cdf_rank",
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(len(${graft.text.TextOps.tokensSql("text")}) AS BIGINT) AS v
+       |  FROM documents)
+       |SELECT doc_id, v, rank() OVER (ORDER BY v) AS rnk,
+       |  count(*) OVER (ORDER BY v) AS cume,
+       |  CAST(count(*) OVER (ORDER BY v) AS DOUBLE)
+       |    / (SELECT count(*) FROM d) AS pct
+       |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      size(graft.text.TextOps.tokens(col("text"))).cast("long").as("v"))
+    val n = d.count()
+    val hist = d.groupBy("v").agg(count(lit(1)).as("c"))
+    val ranks = graft.core.PrefixSum
+      .exclusive(hist, "v", "c", shiftright(col("v"), 4))
+      .select(col("v"), (col("prefix") + 1).as("rnk"),
+        (col("prefix") + col("c")).as("cume"))
+    d.join(ranks, "v")
+      .select(col("doc_id"), col("v"), col("rnk"), col("cume"),
+        (col("cume").cast("double") / lit(n.toDouble)).as("pct"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q_theta_rollup, q_kll_quantiles, q_freq_domains, q_topk_langs,
-      q_exact_quantiles, q_robust_outliers)
+      q_exact_quantiles, q_robust_outliers, q_cdf_rank)
 }
