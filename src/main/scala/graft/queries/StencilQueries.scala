@@ -552,5 +552,34 @@ object StencilQueries {
       q_flow_length, q_flow_accum, q_basin_stats, q_curvature,
       q_ruggedness, q_morph_open,
       q_mask_open, q_fill_voids, q_fill_pyramid, q_well_filter,
-      q_spike_filter, q_tree_filter, q_viewshed, q_chamfer_dist)
+      q_spike_filter, q_tree_filter, q_viewshed, q_chamfer_dist,
+      q_idw_fill)
+
+  /** IDW void interpolation ([[graft.grid.IdwFill]]): every in-bounds
+    * empty cell within Chebyshev radius 3 of data takes the fixed-point
+    * 1/d²-weighted mean of its occupied neighbors — num, den, and the
+    * `num div den` value all exact BIGINTs because the weights are the
+    * shared integer quantization `2^20 div d²`. The engine splats
+    * contributions outward from data (48× occupied cells, one hash
+    * agg, anti-join to find voids); the dual gathers inward per target
+    * with the identical VALUES weight table. */
+  lazy val q_idw_fill: QueryDef = QueryDef.sqlChecked(
+    "q_idw_fill",
+    s"""WITH ${Gridding.splatCte(spec)},
+       |dsm AS (SELECT gx, gy, max(qz) AS v FROM splat GROUP BY gx, gy),
+       |offs(dx, dy, w) AS (VALUES ${graft.grid.IdwFill.offsetsSql(3)}),
+       |sp AS (SELECT d.gx + o.dx AS gx, d.gy + o.dy AS gy,
+       |    d.v * o.w AS vw, o.w AS w
+       |  FROM dsm d CROSS JOIN offs o
+       |  WHERE d.gx + o.dx BETWEEN 0 AND ${w - 1}
+       |    AND d.gy + o.dy BETWEEN 0 AND ${h - 1}),
+       |agg AS (SELECT gx, gy, CAST(sum(vw) AS BIGINT) AS num,
+       |    CAST(sum(w) AS BIGINT) AS den, CAST(count(*) AS BIGINT) AS n_src
+       |  FROM sp GROUP BY 1, 2)
+       |SELECT a.gx, a.gy, num // den AS v, n_src
+       |FROM agg a LEFT JOIN dsm d ON d.gx = a.gx AND d.gy = a.gy
+       |WHERE d.gx IS NULL ORDER BY a.gx, a.gy""".stripMargin) { (s, dir) =>
+    graft.grid.IdwFill.fill(dsm10(s, dir), bounds, radius = 3)
+      .orderBy(col("gx"), col("gy"))
+  }
 }
