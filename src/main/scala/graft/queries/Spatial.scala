@@ -330,8 +330,36 @@ object Spatial {
       .orderBy(col("doc_id"))
   }
 
+  /** Hilbert curve index ([[graft.index.Hilbert]], codegen'd
+    * expression) of the order-8 cell coordinates — the locality-
+    * optimal layout curve next to Morton (HilbertSpec pins the
+    * adjacent-successor property Morton lacks). The dual unrolls the
+    * identical quadrant-rotation iteration into 8 chained CTE levels
+    * (`HilbertFunctions.xy2dSqlCtes`), pinning every bit of every
+    * index. */
+  val q_hilbert: QueryDef = QueryDef.sqlChecked(
+    "q_hilbert",
+    s"""WITH pts AS (SELECT doc_id, ${Geo.lonSql("doc_id")} AS lon,
+       |    ${Geo.latSql("doc_id")} AS lat FROM documents),
+       |src AS (SELECT doc_id, CAST(0 AS BIGINT) AS d,
+       |    ${Cells.cxSql("lon", 8)} AS x, ${Cells.cySql("lat", 8)} AS y,
+       |    ${Cells.cxSql("lon", 8)} AS cx, ${Cells.cySql("lat", 8)} AS cy
+       |  FROM pts),
+       |${graft.index.HilbertFunctions.xy2dSqlCtes("src", 8,
+            Seq("doc_id", "cx", "cy"))}
+       |SELECT doc_id, cx, cy, h FROM out ORDER BY doc_id""".stripMargin) {
+    (s, dir) =>
+    val cx = floor((col("lon") + 180.0) / 360.0 * 256.0).cast("long")
+    val cy = floor((col("lat") + 90.0) / 180.0 * 256.0).cast("long")
+    docsGeo(s, dir)
+      .select(col("doc_id"), cx.as("cx"), cy.as("cy"))
+      .withColumn("h",
+        graft.index.HilbertFunctions.hilbert(col("cx"), col("cy"), 8))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_geocode_cell, q_cell_hist, q_salted_cell_hist, q_hex_hist, q_dsm_grid,
     q_min_grid, q_median_grid, q_grid_zip, q_dsm_meters, q_cell_compact,
-    q_cover_buffer, q_density_grid, q_cell_uncompact, q_geohash)
+    q_cover_buffer, q_density_grid, q_cell_uncompact, q_geohash, q_hilbert)
 }
