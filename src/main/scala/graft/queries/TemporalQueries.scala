@@ -405,8 +405,64 @@ object TemporalQueries {
       .orderBy(col("hour"))
   }
 
+  /** Streaming CUSUM changepoint alarms as a REAL multi-batch run
+    * ([[graft.streaming.StreamOps.streamCusum]]): per-event-type
+    * hourly buckets accumulate in watermark-bounded state and fold
+    * into the running (S, min S) carry as the watermark closes them —
+    * the same staged-random-files + sentinel protocol as
+    * q_stream_topk, so every real bucket finalizes. The dual is the
+    * batch CUSUM global-window SQL (q_cusum's form) over the staged
+    * rows: the streaming fold must equal the batch recursion bucket
+    * for bucket, alarms included. */
+  val q_stream_cusum: QueryDef = {
+    val sideRoot = SideTables.root("temporal_side")
+    QueryDef.sqlChecked(
+      "q_stream_cusum",
+      s"""WITH e AS (SELECT * FROM '$sideRoot/cusum_stream/*.parquet'
+         |  WHERE event_type <> '_sentinel'),
+         |m AS (SELECT event_type AS key,
+         |    CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS t,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM e GROUP BY 1, 2),
+         |s AS (SELECT key, t, cnt,
+         |    CAST(sum(cnt - 5) OVER (PARTITION BY key ORDER BY t)
+         |         AS BIGINT) AS s FROM m)
+         |SELECT key, t, cnt, s,
+         |  CAST(s - min(s) OVER (PARTITION BY key ORDER BY t)
+         |       AS BIGINT) AS cusum,
+         |  (s - min(s) OVER (PARTITION BY key ORDER BY t)) >= 15 AS alarm
+         |FROM s ORDER BY key, t""".stripMargin) { (s, dir) =>
+      val src = s"$sideRoot/cusum_stream"
+      val ev = Tables.events(s, dir).select("event_type", "ts")
+      ev.repartition(6).write.mode("overwrite").parquet(src)
+      ev.agg(max(col("ts")).as("ts"))
+        .select(lit("_sentinel").as("event_type"),
+          (col("ts") + expr("INTERVAL 401 DAYS")).as("ts"))
+        .write.mode("append").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val rows = graft.streaming.StreamOps.streamCusum(
+        stream, "event_type", "ts", bucketSecs = 3600L,
+        drift = 5L, threshold = 15L, watermark = "400 days")
+      s.catalog.dropTempView("stream_cusum_out")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = rows.toDF().writeStream.outputMode("append")
+          .format("memory").queryName("stream_cusum_out")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table("stream_cusum_out")
+        .filter(col("key") =!= "_sentinel")
+        .orderBy(col("key"), col("t"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(q_asof_join, q_range_join, q_pagerank, q_retention, q_funnel,
       q_triangles, q_trajectory_density, q_cusum, q_stream_topk,
-      q_peak_concurrency)
+      q_peak_concurrency, q_stream_cusum)
 }

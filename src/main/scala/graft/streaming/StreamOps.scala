@@ -272,6 +272,76 @@ object StreamOps {
 
   final case class Ev(user_id: Long, tsec: Double, event_id: Long)
   final case class Session(user_id: Long, start: Double, end: Double, n: Long)
+  final case class CusumState(s: Long, minS: Long, open: Map[Long, Long])
+  final case class CusumRow(key: String, t: Long, cnt: Long, s: Long,
+                            cusum: Long, alarm: Boolean)
+
+  /** Streaming CUSUM changepoint alarms — the batch
+    * [[graft.temporal.Cusum]] recursion as bounded per-key state:
+    * incoming events accumulate into OPEN time-bucket counts; whenever
+    * the watermark passes a bucket's end, that bucket can never grow
+    * again, so it folds (in bucket order) into the running
+    * `(S, min S)` pair and emits its `(cnt, s, cusum, alarm)` row.
+    * State per key = two longs + the open buckets inside the watermark
+    * horizon — NOT the key's history (the batch op's two-level-scan
+    * bound, restated for streams; the two-long `(S, min S)` carry is
+    * the irreducible CUSUM memory and persists for the key's
+    * lifetime). An EventTimeTimeout at the last open bucket's end
+    * flushes idle keys' buckets. Emitted rows for any prefix equal
+    * the batch operator over the finalized buckets — q_stream_cusum's
+    * dual IS that batch form in SQL. */
+  def streamCusum(events: DataFrame, keyCol: String, tsCol: String,
+                  bucketSecs: Long, drift: Long, threshold: Long,
+                  watermark: String): Dataset[CusumRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the watermarked event-time column must survive the projection —
+    // event-time timeout resolves against it
+    val src = events
+      .withColumn("ets", col(tsCol).cast("timestamp"))
+      .withWatermark("ets", watermark)
+      .select(col(keyCol).cast("string").as("key"),
+        floor(col("ets").cast("double") / bucketSecs.toDouble)
+          .cast("long").as("bkt"),
+        col("ets"))
+      .as[(String, Long, java.sql.Timestamp)]
+    src.groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[CusumState]) =>
+          val st0 = state.getOption.getOrElse(
+            CusumState(0L, Long.MaxValue, Map.empty))
+          val open = scala.collection.mutable.Map(st0.open.toSeq: _*)
+          rows.foreach { case (_, b, _) =>
+            open(b) = open.getOrElse(b, 0L) + 1L
+          }
+          val wmSec = state.getCurrentWatermarkMs() / 1000L
+          val (closed, stillOpen) =
+            open.toSeq.partition { case (b, _) => (b + 1) * bucketSecs <= wmSec }
+          var s = st0.s
+          var minS = st0.minS
+          val out = closed.sortBy(_._1).map { case (b, cnt) =>
+            s += cnt - drift
+            if (s < minS) minS = s
+            val c = s - minS
+            CusumRow(key, b * bucketSecs, cnt, s, c, c >= threshold)
+          }
+          // the (s, minS) carry IS the series — it persists (2 longs
+          // per key, the irreducible CUSUM memory); only open buckets
+          // are horizon-bounded, flushed by watermark or timeout
+          if (stillOpen.isEmpty) {
+            state.update(CusumState(s, minS, Map.empty))
+          } else {
+            state.update(CusumState(s, minS, stillOpen.toMap))
+            val lastEnd = (stillOpen.map(_._1).max + 1) * bucketSecs * 1000L
+            state.setTimeoutTimestamp(
+              math.max(lastEnd, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
   final case class SessState(start: Double, last: Double, n: Long)
 
   /** Stateful gap-based sessionization (1h gap): emits a session when

@@ -409,4 +409,47 @@ class StreamingSpec extends SparkSpec {
       assert(got.groupBy(_._1).values.forall(_.size <= 3))
     } finally q.stop()
   }
+
+  test("streamCusum: buckets fold at watermark, carry survives idle gaps") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    // 1-minute buckets, drift 2, threshold 3
+    val rows = StreamOps.streamCusum(input.toDF().toDF("k", "ts"),
+      "k", "ts", bucketSecs = 60L, drift = 2L, threshold = 3L,
+      watermark = "0 seconds")
+    val q = rows.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("scusum_out")
+      .start()
+    def emitted() = spark.table("scusum_out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+    try {
+      val t0 = 1700000000000L / 1000 / 60 * 60
+      // dip then burst: bucket 0 cnt 1 (S=-1, min=-1), bucket 1 cnt 5
+      // (S=2, cusum=3 -> ALARM), bucket 2 cnt 1, long idle gap,
+      // bucket 10 cnt 1. Batches split so open buckets merge counts
+      // and the watermark (0s delay, lagging one batch) closes them
+      // one step behind.
+      input.addData(Seq(("a", ts(0)))); q.processAllAvailable()
+      input.addData(Seq(("a", ts(1)), ("a", ts(1)), ("a", ts(1)),
+        ("a", ts(1)), ("a", ts(1)))); q.processAllAvailable()
+      assert(emitted().isEmpty, "nothing closed yet")
+      input.addData(Seq(("a", ts(2)))); q.processAllAvailable()
+      assert(emitted() === Set(("a", t0, 1L, -1L, 0L, false)))
+      input.addData(Seq(("a", ts(10)))); q.processAllAvailable()
+      // wm=min2 closed bucket 1: the alarm row
+      assert(emitted().contains(("a", t0 + 60, 5L, 2L, 3L, true)))
+      input.addData(Seq(("a", ts(20)))); q.processAllAvailable()
+      input.addData(Seq(("a", ts(21)))); q.processAllAvailable()
+      val got = emitted()
+      assert(got.contains(("a", t0 + 120, 1L, 1L, 2L, false)))
+      // carry survived the idle gap: bucket 10 continues S from 1
+      assert(got.contains(("a", t0 + 600, 1L, 0L, 1L, false)),
+        s"carry lost across idle gap: $got")
+      assert(got.size === 4, s"unexpected extra rows: $got")
+    } finally q.stop()
+  }
 }
