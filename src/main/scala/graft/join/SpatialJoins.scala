@@ -187,6 +187,24 @@ object SpatialJoins {
       .agg(count(lit(1)).as("n_cells"), min(col("v")).as("min_v"),
         max(col("v")).as("max_v"), sum(col("v")).as("sum_v"))
 
+  /** Zonal MODE — the majority vote per zone (the categorical
+    * counterpart of [[zonalStats]]: land-class / elevation-band
+    * majority is the standard raster-classification zonal product).
+    * Two hash aggregates, both map-side combined: (zone, class) counts
+    * — bounded by zones × classes, not cells — then a per-zone
+    * `max_by` with the deterministic (count desc, class asc)
+    * tie-break. No window, no sort. */
+  def zonalMode(cells: DataFrame, zones: DataFrame): DataFrame =
+    zones.join(cells, Seq("gx", "gy"))
+      .groupBy(col("id"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("v"), col("cnt")),
+          struct(col("cnt"), (-col("v")).as("nv"))).as("m"),
+        sum(col("cnt")).as("n_cells"))
+      .select(col("id"), col("m.v").as("mode_v"),
+        col("m.cnt").as("mode_n"), col("n_cells"))
+
   /** Exact radius (distance) join: all (query, point) pairs within
     * coordinate distance `radius` — the third classic spatial join next
     * to J4 PIP and J5 kNN (geofencing, "documents near this site").

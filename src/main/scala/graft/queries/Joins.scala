@@ -236,5 +236,44 @@ object Joins {
 
   val all: Seq[QueryDef] =
     Seq(q_pip_join, q_pip_large, q_knn_join, q_radius_join, q_zonal_stats,
-      q_rasterize_aoi, q_stream_pip, q_stream_join)
+      q_rasterize_aoi, q_stream_pip, q_stream_join, q_zonal_mode)
+
+  /** Zonal majority ([[SpatialJoins.zonalMode]]): per AOI polygon, the
+    * most frequent 10-meter elevation band of the DSM cells it covers
+    * — (count desc, band asc) tie-break via one `max_by` over the
+    * (zone, band) count table; the dual replays the vote with a
+    * row_number window. */
+  lazy val q_zonal_mode: QueryDef = QueryDef.sqlChecked(
+    "q_zonal_mode",
+    s"""WITH ${graft.grid.Gridding.splatCte},
+       |g AS (SELECT gx, gy, max(qz) // 20000 AS v FROM splat
+       |  GROUP BY gx, gy),
+       |lattice AS (
+       |  SELECT x.range AS gx, y.range AS gy,
+       |    -180.0 + (x.range + 0.5) * 0.5 AS lon,
+       |    -85.0 + (y.range + 0.5) * 0.5 AS lat
+       |  FROM range(0, 722) x, range(0, 342) y),
+       |burn AS (
+       |${Aoi.defs.map(a =>
+          s"SELECT ${a.aoiId} AS aoi_id, gx, gy FROM lattice WHERE ${a.oracleSqlPredicate}")
+         .mkString("\nUNION ALL\n")}),
+       |cnts AS (SELECT aoi_id, v, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM burn JOIN g USING (gx, gy) GROUP BY aoi_id, v),
+       |r AS (SELECT aoi_id, v, cnt,
+       |    CAST(sum(cnt) OVER (PARTITION BY aoi_id) AS BIGINT) AS n_cells,
+       |    row_number() OVER (PARTITION BY aoi_id
+       |                       ORDER BY cnt DESC, v) AS rn
+       |  FROM cnts)
+       |SELECT aoi_id, v AS mode_v, cnt AS mode_n, n_cells
+       |FROM r WHERE rn = 1 ORDER BY aoi_id""".stripMargin) { (s, dir) =>
+    val dsm = graft.grid.Gridding.dsm(
+        graft.grid.Gridding.points(Geo.withGeo(Tables.documents(s, dir))))
+      .withColumn("v", expr("v div 20000"))
+    val zones = graft.vector.Rasterize.geo(s,
+      Aoi.defs.map(a => (a.aoiId.toLong, a.wkt)), -180.0, -85.0, 0.5)
+    SpatialJoins.zonalMode(dsm, zones.select("id", "gx", "gy"))
+      .select(col("id").cast("int").as("aoi_id"), col("mode_v"),
+        col("mode_n"), col("n_cells"))
+      .orderBy(col("aoi_id"))
+  }
 }

@@ -92,4 +92,19 @@ class JoinsSpec extends SparkSpec {
       }
     assert(got == want && got.nonEmpty)
   }
+
+  test("zonalMode: majority vote with (count desc, class asc) tie-break") {
+    import spark.implicits._
+    val zones = Seq((1L, 0L, 0L), (1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 0L),
+      (2L, 0L, 1L), (2L, 1L, 1L), (3L, 9L, 9L)).toDF("id", "gx", "gy")
+    // zone 1: classes 7,7,3,3 -> tie, smaller class 3 wins
+    // zone 2: one cell class 5, one cell missing -> mode 5 over 1 cell
+    // zone 3: no cells -> absent
+    val cells = Seq((0L, 0L, 7L), (1L, 0L, 7L), (2L, 0L, 3L), (3L, 0L, 3L),
+      (0L, 1L, 5L)).toDF("gx", "gy", "v")
+    val got = graft.join.SpatialJoins.zonalMode(cells, zones)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(1L -> (3L, 2L, 4L), 2L -> (5L, 1L, 1L)))
+  }
 }
