@@ -137,6 +137,60 @@ object Relational {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Declarative data-quality audit ([[graft.meta.DataQuality]]):
+    * referential orphans (lineitem→orders, orders→customer via
+    * null-probe left joins), duplicate doc ids, empty text, negative
+    * event values — one exact (check, n_violations, n_checked) row
+    * each, every check a single conditional-count aggregate. */
+  val q_dq_audit: QueryDef = QueryDef.sqlChecked(
+    "q_dq_audit",
+    """SELECT 'documents_dup_ids' AS check,
+      |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violations,
+      |  CAST(count(*) AS BIGINT) AS n_checked
+      |FROM (SELECT doc_id, count(*) AS n FROM documents GROUP BY doc_id)
+      |UNION ALL
+      |SELECT 'documents_empty_text',
+      |  CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+      |                THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(count(*) AS BIGINT) FROM documents
+      |UNION ALL
+      |SELECT 'events_negative_value',
+      |  CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(count(*) AS BIGINT) FROM events
+      |UNION ALL
+      |SELECT 'lineitem_fk_orphans',
+      |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+      |       AS BIGINT),
+      |  CAST(count(*) AS BIGINT)
+      |FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |UNION ALL
+      |SELECT 'orders_fk_orphans',
+      |  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+      |       AS BIGINT),
+      |  CAST(count(*) AS BIGINT)
+      |FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    import graft.meta.DataQuality
+    val docs = Tables.documents(s, dir)
+    val dupDocs = docs.groupBy("doc_id").agg(count(lit(1)).as("_n"))
+    DataQuality.audit(Seq(
+      ("documents_dup_ids", dupDocs, col("_n") > 1),
+      ("documents_empty_text", docs,
+        col("text").isNull || length(col("text")) === 0),
+      ("events_negative_value", Tables.events(s, dir), col("value") < 0),
+      ("lineitem_fk_orphans",
+        Tables.lineitem(s, dir).join(Tables.orders(s, dir),
+          col("o_orderkey") === col("l_orderkey"), "left"),
+        col("o_orderkey").isNull),
+      ("orders_fk_orphans",
+        Tables.orders(s, dir).join(Tables.customer(s, dir),
+          col("c_custkey") === col("o_custkey"), "left"),
+        col("c_custkey").isNull)))
+      .orderBy(col("check"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q1_agg, q3_top_revenue, q4_order_priority, q_latest_event, q_sessionize)
+    Seq(q1_agg, q3_top_revenue, q4_order_priority, q_latest_event,
+      q_sessionize, q_dq_audit)
 }

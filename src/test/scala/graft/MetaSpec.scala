@@ -343,4 +343,25 @@ class MetaSpec extends SparkSpec {
     assert(!Files.isDirectory(java.nio.file.Paths.get(root, "vf", "_filestats", "0")))
     assert(Snapshots.fileStats(spark, root, "vf", 1).nonEmpty)
   }
+
+  test("DataQuality.audit: planted violations are counted exactly") {
+    import spark.implicits._
+    import graft.meta.DataQuality
+    val child = Seq((1L, 10L), (2L, 10L), (3L, 99L), (4L, 98L))
+      .toDF("id", "parent_id")
+    val parent = Seq(10L).toDF("pid")
+    val vals = Seq(1L, -2L, 3L, -4L, -5L).toDF("v")
+    val out = DataQuality.audit(Seq(
+      ("fk_orphans",
+        child.join(parent, col("pid") === col("parent_id"), "left"),
+        col("pid").isNull),
+      ("negative", vals, col("v") < 0),
+      ("none", vals, col("v") > 1000),
+      ("empty_frame", vals.filter(col("v") > 1000), col("v") < 0)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out === Map(
+      "fk_orphans" -> (2L, 4L), "negative" -> (3L, 5L),
+      "none" -> (0L, 5L), "empty_frame" -> (0L, 0L)))
+  }
 }
