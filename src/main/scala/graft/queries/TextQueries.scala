@@ -639,8 +639,49 @@ object TextQueries {
       .orderBy(col("a"), col("b"))
   }
 
+  /** EXACT similarity clustering — the similarity join composed with
+    * the pointer-jumping components ([[graft.dedup.SimJoin]] →
+    * [[graft.dedup.DupClusters]]): clusters of docs transitively
+    * connected by Jaccard ≥ 4/5, the exact-completeness counterpart of
+    * the LSH q_neardup_purge chain (no banding misses — every
+    * qualifying edge is present by the prefix-filter guarantee).
+    * Singletons (docs in no pair) are excluded, matching the edge-list
+    * CC contract. The dual closes the brute-force pair set with a
+    * recursive min-label CTE. */
+  val q_sim_clusters: QueryDef = QueryDef.sqlChecked(
+    "q_sim_clusters",
+    s"""WITH RECURSIVE tok AS (SELECT DISTINCT doc_id AS doc,
+       |    unnest(${TextOps.tokensSql("text")}) AS t FROM documents
+       |  WHERE doc_id < 1000),
+       |sz AS (SELECT doc, CAST(count(*) AS BIGINT) AS len
+       |  FROM tok GROUP BY doc),
+       |inter AS (SELECT x.doc AS a, y.doc AS b,
+       |    CAST(count(*) AS BIGINT) AS i
+       |  FROM tok x JOIN tok y ON y.t = x.t AND x.doc < y.doc
+       |  GROUP BY 1, 2),
+       |e AS (SELECT a, b FROM inter
+       |  JOIN sz sa ON sa.doc = a JOIN sz sb ON sb.doc = b
+       |  WHERE 5 * i >= 4 * (sa.len + sb.len - i)),
+       |sym AS (SELECT a AS x, b AS y FROM e
+       |  UNION SELECT b AS x, a AS y FROM e),
+       |nodes AS (SELECT DISTINCT x AS id FROM sym),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT s.x, reach.r FROM sym s JOIN reach ON s.y = reach.id)
+       |SELECT id AS doc_id, min(r) AS cluster
+       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val pairs = graft.dedup.SimJoin.jaccardJoin(docs, "doc_id", "toks",
+      4L, 5L).select("a", "b")
+    graft.dedup.DupClusters.components(pairs)
+      .select(col("id").as("doc_id"), col("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q_simjoin,
+    q_simjoin, q_sim_clusters,
     q_token_stats, q_lang_guess, q_quality_score, q_fingerprint,
     q_dedup_exact, q_dedup_prefix, q_minhash_sig, q_simhash, q_ngram_jaccard,
     q_repetition, q_line_dedup, q_redact_pii, q_decontam, q_contam_score,
