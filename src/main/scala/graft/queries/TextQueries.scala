@@ -680,8 +680,66 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared CTE chain for the CDC queries: windowed rolling hash by
+    * 16-offset splat, mask cuts, segment assembly — the exact SQL
+    * mirror of [[graft.text.Cdc.chunks]] (doc_id < 200: the splat is
+    * 16× chars, so the driver query bounds its input like q_simjoin). */
+  private val cdcCtes: String =
+    s"""d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+       |  FROM documents WHERE doc_id < 200),
+       |chars AS (SELECT doc_id, len, i.range AS pos,
+       |    CAST(unicode(substr(text, CAST(i.range + 1 AS INTEGER), 1))
+       |         AS BIGINT) AS code
+       |  FROM d, range(4096) i
+       |  WHERE i.range < len),
+       |splat AS (SELECT doc_id, len, pos + o.range AS p,
+       |    CAST(sum(code * (1::BIGINT << o.range)) AS BIGINT) AS h
+       |  FROM chars, range(16) o GROUP BY 1, 2, 3),
+       |cuts AS (SELECT doc_id, p FROM splat
+       |  WHERE p >= 15 AND p <= len - 1
+       |    AND (h * 48271 % 2147483647) % 256 = 0),
+       |ends AS (SELECT doc_id, p FROM cuts
+       |  UNION SELECT doc_id, len - 1 FROM d WHERE len > 0),
+       |segs AS (SELECT doc_id, p,
+       |    coalesce(lag(p) OVER w, -1) + 1 AS start,
+       |    CAST(row_number() OVER w - 1 AS BIGINT) AS ci
+       |  FROM ends WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+       |chunkq AS (SELECT s.doc_id, ci, start, p - start + 1 AS len,
+       |    md5(substr(text, CAST(start + 1 AS INTEGER),
+       |        CAST(p - start + 1 AS INTEGER))) AS h
+       |  FROM segs s JOIN d USING (doc_id))""".stripMargin
+
+  private def cdcChunks(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.text.Cdc.chunks(
+      Tables.documents(s, dir).filter(col("doc_id") < 200))
+
+  /** Content-defined chunking ([[graft.text.Cdc]]): boundary-stable
+    * chunks whose cuts move with content, every hash an exact integer
+    * shared with the dual. */
+  val q_cdc_chunks: QueryDef = QueryDef.sqlChecked(
+    "q_cdc_chunks",
+    s"""WITH $cdcCtes
+       |SELECT doc_id, ci, start, len, h FROM chunkq
+       |ORDER BY doc_id, ci""".stripMargin) { (s, dir) =>
+    cdcChunks(s, dir).orderBy(col("doc_id"), col("ci"))
+  }
+
+  /** Cross-document duplicate chunks from the CDC table — the
+    * content-addressed-store savings report (offset-shifted boilerplate
+    * that fixed shingling cannot align). */
+  val q_cdc_dedup: QueryDef = QueryDef.sqlChecked(
+    "q_cdc_dedup",
+    s"""WITH $cdcCtes
+       |SELECT h, len, CAST(count(*) AS BIGINT) AS n_copies,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST((count(*) - 1) * len AS BIGINT) AS chars_saved
+       |FROM chunkq GROUP BY h, len HAVING count(*) > 1
+       |ORDER BY h""".stripMargin) { (s, dir) =>
+    graft.text.Cdc.dupChunks(cdcChunks(s, dir)).orderBy(col("h"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q_simjoin, q_sim_clusters,
+    q_simjoin, q_sim_clusters, q_cdc_chunks, q_cdc_dedup,
     q_token_stats, q_lang_guess, q_quality_score, q_fingerprint,
     q_dedup_exact, q_dedup_prefix, q_minhash_sig, q_simhash, q_ngram_jaccard,
     q_repetition, q_line_dedup, q_redact_pii, q_decontam, q_contam_score,
