@@ -461,8 +461,90 @@ object TemporalQueries {
     }
   }
 
+  /** Exact simple linear regression per event type — the value trend
+    * over time via the closed-form OLS slope/intercept, every moment
+    * sum EXACT (x = minute index, y = value in cents; Σxy·n exceeds
+    * 2^63 at sf0.1, so sums run in DECIMAL(38,0) on the engine and
+    * HUGEINT in the dual — the RingMetrics centroid discipline), and
+    * the only IEEE steps are the two final divisions of exact
+    * integers. One map-side-combined aggregate per key; no window, no
+    * sort, no second pass. */
+  val q_linreg: QueryDef = QueryDef.sqlChecked(
+    "q_linreg",
+    """WITH e AS (SELECT event_type,
+      |    CAST(floor(epoch(ts) / 60) AS BIGINT) AS x,
+      |    CAST(round(value * 100) AS BIGINT) AS y FROM events),
+      |m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx
+      |  FROM e GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+      |  (CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+      |     / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE) AS intercept
+      |FROM m ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val dec: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _.cast("decimal(38,0)")
+    val e = Tables.events(s, dir).select(col("event_type"),
+      floor(col("ts").cast("timestamp").cast("double") / 60d)
+        .cast("long").as("x"),
+      round(col("value") * 100).cast("long").as("y"))
+    val m = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(dec(col("x"))).as("sx"),
+      sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+    val num = (dec(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val den = (dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    m.select(col("event_type"), col("n"),
+        (num / den).as("slope"),
+        ((col("sy").cast("double") - num / den * col("sx").cast("double"))
+          / col("n").cast("double")).as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Web-graph degree distribution — the first diagnostic any graph
+    * pipeline runs (and the skew histogram the salted joins consult):
+    * per-direction node degrees of the click graph, then the
+    * (direction, degree, node-count) histogram. Two chained hash
+    * aggregates per direction, both map-side combined. */
+  val q_degree_dist: QueryDef = QueryDef.sqlChecked(
+    "q_degree_dist",
+    """WITH ev AS (SELECT user_id, event_id, ts,
+      |    CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS page
+      |  FROM events),
+      |e AS (SELECT src, dst FROM (
+      |  SELECT page AS src,
+      |    lead(page) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS dst
+      |  FROM ev) z WHERE dst IS NOT NULL),
+      |od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+      |  FROM e GROUP BY src),
+      |id AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS deg
+      |  FROM e GROUP BY dst)
+      |SELECT 'out' AS dir, deg, CAST(count(*) AS BIGINT) AS n_nodes
+      |FROM od GROUP BY deg
+      |UNION ALL
+      |SELECT 'in', deg, CAST(count(*) AS BIGINT) FROM id GROUP BY deg
+      |ORDER BY dir, deg""".stripMargin) { (s, dir) =>
+    val edges = graft.graph.PageRank.clickEdges(Tables.events(s, dir),
+      regexp_extract(col("props"), "(\\d+)", 1).cast("long"),
+      col("user_id"), col("ts"), col("event_id"))
+    def hist(key: String, tag: String) = edges
+      .groupBy(col(key).as("node")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+      .select(lit(tag).as("dir"), col("deg"), col("n_nodes"))
+    hist("src", "out").unionByName(hist("dst", "in"))
+      .orderBy(col("dir"), col("deg"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q_asof_join, q_range_join, q_pagerank, q_retention, q_funnel,
       q_triangles, q_trajectory_density, q_cusum, q_stream_topk,
-      q_peak_concurrency, q_stream_cusum)
+      q_peak_concurrency, q_stream_cusum, q_linreg, q_degree_dist)
 }
