@@ -80,6 +80,62 @@ object Media {
       }
     } catch { case _: Exception => None }
 
+  /** 64-bit average perceptual hash (aHash) of a decoded image: 8×8
+    * cell luminance means, bit set iff the cell outshines the global
+    * mean — the standard near-duplicate image fingerprint (small
+    * Hamming distance ⇒ visually similar; pairs with the MinHash/LSH
+    * text path for the multimodal dedup story). All-integer: BT.601
+    * luminance, per-cell sums, and the mean comparison by
+    * cross-multiplication `s_cell·C_total > S_total·c_cell` — no
+    * division anywhere, so the hash is bit-stable across JVMs. */
+  def aHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val s = new Array[Long](64)
+    val c = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val row = math.min(7, y * 8 / h) * 8
+      var x = 0
+      while (x < w) {
+        val px = img.getRGB(x, y)
+        val lum = ((px >> 16) & 0xFF) * 299L + ((px >> 8) & 0xFF) * 587L +
+          (px & 0xFF) * 114L
+        val cell = row + math.min(7, x * 8 / w)
+        s(cell) += lum
+        c(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val sTot = s.sum
+    val cTot = c.sum
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (c(i) > 0 && s(i) * cTot > sTot * c(i)) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Perceptual hashes of the real-image payloads: (doc_id, ahash),
+    * partition-local decode, rows ImageIO cannot parse are dropped. */
+  def imageHashes(payloads: Dataset[MediaPayload]): Dataset[(Long, Long)] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.flatMap { m =>
+      if (m.fmt != null && m.fmt.startsWith("image/"))
+        try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload)))
+          .map(img => (m.doc_id, aHash(img)))
+        catch { case _: Exception => None }
+      else None
+    }
+  }
+
   /** STUB decode for formats the JDK lacks codecs for. Deterministic:
     * all outputs derive from the md5 of the payload bytes. */
   def stubDecode(m: MediaPayload): Decoded = {

@@ -299,5 +299,42 @@ object SimilarityQueries {
 
   val all: Seq[QueryDef] =
     Seq(q_ann_topk, q_ann_ivf, q_pq_topk, q_pq_ivf, q_embed_norm,
-      q_embed_neardup, q_media_meta, q_semdedup)
+      q_embed_neardup, q_media_meta, q_semdedup, q_media_phash)
+
+  /** REAL image decode end-to-end through the driver surface: each doc
+    * (doc_id < 200) renders a deterministic 32×32 PNG executor-side
+    * (pixels are pure integer functions of doc_id — two id-derived
+    * gray levels in an id-phased stripe pattern), the bytes round-trip
+    * through `javax.imageio` decode, and
+    * [[graft.media.Media.imageHashes]] emits the 64-bit aHash. Docs
+    * with id ≡ 0 (mod 7) reuse their neighbor's pattern (id − 1), so
+    * the output provably contains Hamming-0 near-dup pairs. Rows-only
+    * by nature (no SQL imaging dual — the q_contour_wkt contract);
+    * MediaSpec pins the hash math and the near/far Hamming behavior. */
+  lazy val q_media_phash: QueryDef = QueryDef.rowsOnly("q_media_phash") {
+    (s, dir) =>
+    import s.implicits._
+    val payloads = Tables.documents(s, dir)
+      .filter(col("doc_id") < 200).select("doc_id").as[Long]
+      .map { id =>
+        val seed = if (id % 7 == 0 && id > 0) id - 1 else id
+        val g1 = (seed * 37 % 200 + 20).toInt
+        val g2 = (seed * 91 % 200 + 40).toInt
+        val (ax, ay) = ((seed % 3 + 1).toInt, (seed / 3 % 3).toInt)
+        val stripe = (seed % 5 + 3).toInt
+        val phase = (seed % 13).toInt
+        val img = new java.awt.image.BufferedImage(
+          32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 32; x <- 0 until 32) {
+          val g = if (((ax * x + ay * y + phase) / stripe) % 2 == 0) g1 else g2
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        graft.media.Media.MediaPayload(id, "image/png", baos.toByteArray)
+      }
+    graft.media.Media.imageHashes(payloads)
+      .toDF("doc_id", "ahash")
+      .orderBy(col("doc_id"))
+  }
 }

@@ -85,4 +85,36 @@ class MediaSpec extends SparkSpec {
     val resized = Media.resize(dec, 128).collect()
     assert(resized.forall(d => d.width <= 128 && d.height <= 128))
   }
+
+  test("aHash: near-duplicate images land close, distinct far, stub rows dropped") {
+    import spark.implicits._
+    def png(f: (Int, Int) => Int, w: Int = 64, h: Int = 64): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    def gradient(b: Int)(x: Int, y: Int): Int = {
+      val v = math.min(255, (x * 255 / 63 + b))
+      (v << 16) | (v << 8) | v
+    }
+    def checker(x: Int, y: Int): Int =
+      if (((x / 8) + (y / 8)) % 2 == 0) 0xFFFFFF else 0
+    val payloads = Seq(
+      Media.MediaPayload(1L, "image/png", png(gradient(0))),
+      Media.MediaPayload(2L, "image/png", png(gradient(6))),  // brightened
+      Media.MediaPayload(3L, "image/png", png(checker)),
+      Media.MediaPayload(4L, "image/png", "garbage".getBytes("UTF-8")),
+      Media.MediaPayload(5L, "video/mp4", png(checker))).toDS()
+    val h = Media.imageHashes(payloads).collect().toMap
+    assert(h.keySet === Set(1L, 2L, 3L), "undecodable/non-image dropped")
+    assert(Media.hamming(h(1L), h(2L)) <= 8,
+      s"brightened twin too far: ${Media.hamming(h(1L), h(2L))}")
+    assert(Media.hamming(h(1L), h(3L)) >= 16,
+      s"distinct images too close: ${Media.hamming(h(1L), h(3L))}")
+    // deterministic across runs
+    assert(Media.imageHashes(payloads).collect().toMap === h)
+  }
 }
