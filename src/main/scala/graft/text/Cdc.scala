@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -19,57 +18,55 @@ import org.apache.spark.sql.functions._
  * making chunking sequential per doc. This operator uses the WINDOWED
  * form — `h(p) = Σ_{j<W} code(p−j)·2^j`, boundary iff
  * `Lehmer(h) ≡ 0 (mod 2^maskBits)` — whose boundary test is
- * independent of prior cuts, so the whole corpus chunks in one
- * splat-and-aggregate: each character contributes `code·2^k` to the
- * hashes of positions p..p+W−1 (a W-literal explode — the stencil
- * splat one dimension down), one hash agg sums them, and the only
- * per-doc window ranks the few boundaries of one document (bounded by
- * doc length). Every quantity is an exact integer: codes ≤ 0x10FFFF,
- * `h < 2^47`, the Lehmer mix `h·48271 mod (2^31−1)` stays under 2^63 —
- * the identical arithmetic runs in the DuckDB dual.
+ * independent of prior cuts, so every row chunks alone inside one
+ * projection (see [[chunks]]: zero exchanges). Every quantity is an
+ * exact integer: codes ≤ 0x10FFFF, `h < 2^47`, the Lehmer mix
+ * `h·48271 mod (2^31−1)` stays under 2^63 — the identical arithmetic
+ * runs in the DuckDB dual (which gathers per position relationally,
+ * a structurally different machine over the same math).
  */
 object Cdc {
 
   /** Chunk table (doc_id, ci, start, len, h) — `ci` 0-based chunk
     * index, `start` 0-based char offset, `h` = md5 of the chunk text.
     * The final chunk always ends at the last character; empty docs
-    * yield no chunks. */
+    * yield no chunks.
+    *
+    * MAP-ONLY: the whole computation is nested higher-order column
+    * expressions over each row's own character array — window hash per
+    * position (`aggregate` over the W trailing codes), mask filter,
+    * cut list, per-chunk substring+md5 via one `inline` — so the plan
+    * has NO exchange at all until a consumer aggregates (CdcSpec plan
+    * guard). At 10^12 docs this is a pure projection pipeline; the
+    * per-row cost is O(len·W) with len bounded by the page size. */
   def chunks(docs: DataFrame, idCol: String = "doc_id",
              textCol: String = "text", window: Int = 16,
              maskBits: Int = 8): DataFrame = {
     require(window >= 2 && window <= 32, "window in [2,32]")
     require(maskBits >= 1 && maskBits <= 20, "maskBits in [1,20]")
     val mask = 1L << maskBits
-    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
-      length(col(textCol)).cast("long").as("len"))
-    val chars = d
-      .select(col("doc_id"), col("len"),
-        posexplode(split(col("text"), "")).as(Seq("pos", "c")))
-      .filter(length(col("c")) === 1)
-      .select(col("doc_id"), col("len"), col("pos").cast("long").as("pos"),
-        ascii(col("c")).cast("long").as("code"))
-    val offs = array((0 until window).map(k =>
-      struct(lit(k.toLong).as("k"), lit(1L << k).as("w"))): _*)
-    val splat = chars.select(col("doc_id"), col("len"), col("pos"),
-        col("code"), explode(offs).as("o"))
-      .select(col("doc_id"), col("len"),
-        (col("pos") + col("o.k")).as("p"),
-        (col("code") * col("o.w")).as("hv"))
-      .groupBy(col("doc_id"), col("len"), col("p"))
-      .agg(sum(col("hv")).as("h"))
-    val cuts = splat
-      .filter(col("p") >= (window - 1) && col("p") <= col("len") - 1)
-      .filter((col("h") * 48271L % 2147483647L) % mask === 0)
-      .select(col("doc_id"), col("p"))
-    val ends = cuts
-      .unionByName(d.filter(col("len") > 0)
-        .select(col("doc_id"), (col("len") - 1).as("p")))
-      .distinct()
-    val w = Window.partitionBy("doc_id").orderBy("p")
-    val segs = ends
-      .withColumn("start", coalesce(lag(col("p"), 1).over(w), lit(-1L)) + 1)
-      .withColumn("ci", (row_number().over(w) - 1).cast("long"))
-    segs.join(d.select(col("doc_id"), col("text")), "doc_id")
+    val w1 = window - 1
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        length(col(textCol)).cast("long").as("len"))
+      .filter(col("len") > 0)
+      .withColumn("_codes",
+        expr("transform(split(text, ''), c -> bigint(ascii(c)))"))
+      .withColumn("_cuts", expr(
+        s"""CASE WHEN len - 1 >= $w1 THEN
+           |  filter(sequence(bigint($w1), len - 1),
+           |    p -> (aggregate(sequence(0, $w1),
+           |            bigint(0),
+           |            (acc, k) -> acc + element_at(_codes, int(p - k + 1))
+           |                        * shiftleft(bigint(1), int(k)))
+           |          * 48271 % 2147483647) % $mask = 0)
+           |ELSE array() END""".stripMargin))
+      .withColumn("_ends", expr(
+        "array_sort(array_distinct(concat(_cuts, array(len - 1))))"))
+      .select(col("doc_id"), col("text"), expr(
+        """inline(transform(sequence(0, size(_ends) - 1),
+          |  i -> struct(bigint(i) AS ci,
+          |    IF(i = 0, bigint(0), element_at(_ends, i) + 1) AS start,
+          |    element_at(_ends, i + 1) AS p)))""".stripMargin))
       .select(col("doc_id"), col("ci"), col("start"),
         (col("p") - col("start") + 1).as("len"),
         md5(expr("substring(text, CAST(start + 1 AS INT), " +

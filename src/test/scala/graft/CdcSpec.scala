@@ -77,4 +77,11 @@ class CdcSpec extends SparkSpec {
       .count()
     assert(coarse <= a.length)
   }
+
+  test("plan: chunking is map-only — no exchange before a consumer aggregates") {
+    val df = (0L until 20L).map(i => (i, mkText(i.toInt, 800)))
+      .toDF("doc_id", "text")
+    val plan = Cdc.chunks(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
 }
