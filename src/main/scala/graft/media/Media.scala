@@ -44,6 +44,16 @@ object Media {
       .getOrElse(stubDecode(m))
   }
 
+  /** Shared image-path gate: fmt prefix + ImageIO parse; None for
+    * non-images or undecodable bytes (both image consumers route
+    * through this, so reader policy changes land once). */
+  private def readImage(m: MediaPayload): Option[java.awt.image.BufferedImage] =
+    if (m.fmt == null || !m.fmt.startsWith("image/")) None
+    else
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.payload)))
+      catch { case _: Exception => None }
+
   /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF —
     * no extra dependency): true width/height plus an 8-float feature =
     * mean luminance (BT.601 integer weights, /1000 floor) of each cell
@@ -52,8 +62,7 @@ object Media {
     * Returns None for bytes ImageIO cannot parse (falls to the stub). */
   def decodeImage(m: MediaPayload): Option[Decoded] =
     try {
-      Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(m.payload))).map { img =>
+      readImage(m).map { img =>
         val w = img.getWidth
         val h = img.getHeight
         val lumSum = new Array[Long](8)
@@ -108,12 +117,14 @@ object Media {
       }
       y += 1
     }
-    val sTot = s.sum
-    val cTot = c.sum
+    val sTot = BigInt(s.sum)
+    val cTot = BigInt(c.sum)
     var bits = 0L
     var i = 0
     while (i < 64) {
-      if (c(i) > 0 && s(i) * cTot > sTot * c(i)) bits |= 1L << i
+      // BigInt cross-multiply: s(i)*cTot tops 2^63 above ~48 MP, and a
+      // silent Long wrap would invert bits on exactly the large images
+      if (c(i) > 0 && BigInt(s(i)) * cTot > sTot * c(i)) bits |= 1L << i
       i += 1
     }
     bits
@@ -126,14 +137,7 @@ object Media {
   def imageHashes(payloads: Dataset[MediaPayload]): Dataset[(Long, Long)] = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.flatMap { m =>
-      if (m.fmt != null && m.fmt.startsWith("image/"))
-        try Option(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(m.payload)))
-          .map(img => (m.doc_id, aHash(img)))
-        catch { case _: Exception => None }
-      else None
-    }
+    payloads.flatMap(m => readImage(m).map(img => (m.doc_id, aHash(img))))
   }
 
   /** STUB decode for formats the JDK lacks codecs for. Deterministic:

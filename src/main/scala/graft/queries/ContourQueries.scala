@@ -339,7 +339,8 @@ object ContourQueries {
          |)
          |SELECT p.line, p.i AS pos, p.x, p.y
          |FROM pts p JOIN (SELECT DISTINCT line, i FROM
-         |  (SELECT line, i FROM segs UNION ALL SELECT line, j FROM segs))
+         |  (SELECT line, i FROM segs UNION ALL SELECT line, j FROM segs
+         |   UNION ALL SELECT line, i FROM ends WHERE j = 0))
          |  k ON k.line = p.line AND k.i = p.i
          |ORDER BY p.line, pos""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window

@@ -200,15 +200,17 @@ object SketchQueries {
        |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val d = Tables.documents(s, dir).select(col("doc_id"),
       size(graft.text.TextOps.tokens(col("text"))).cast("long").as("v"))
-    val n = d.count()
     val hist = d.groupBy("v").agg(count(lit(1)).as("c"))
+    // total derived from the histogram itself (1-row broadcast) — an
+    // eager d.count() would re-scan and re-tokenize every document
+    val total = hist.agg(sum(col("c")).as("_n"))
     val ranks = graft.core.PrefixSum
       .exclusive(hist, "v", "c", shiftright(col("v"), 4))
       .select(col("v"), (col("prefix") + 1).as("rnk"),
         (col("prefix") + col("c")).as("cume"))
-    d.join(ranks, "v")
+    d.join(ranks, "v").crossJoin(broadcast(total))
       .select(col("doc_id"), col("v"), col("rnk"), col("cume"),
-        (col("cume").cast("double") / lit(n.toDouble)).as("pct"))
+        (col("cume").cast("double") / col("_n").cast("double")).as("pct"))
       .orderBy(col("doc_id"))
   }
 

@@ -683,10 +683,13 @@ object TextQueries {
   /** Shared CTE chain for the CDC queries: windowed rolling hash by
     * 16-offset splat, mask cuts, segment assembly — the exact SQL
     * mirror of [[graft.text.Cdc.chunks]] (doc_id < 200: the splat is
-    * 16× chars, so the driver query bounds its input like q_simjoin). */
+    * 16× chars, so the driver query bounds its input like q_simjoin;
+    * both sides ALSO bound doc length < 4096 — the dual's position
+    * range is a fixed table, and an unmatched engine-side long doc
+    * would silently diverge past it). */
   private val cdcCtes: String =
     s"""d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
-       |  FROM documents WHERE doc_id < 200),
+       |  FROM documents WHERE doc_id < 200 AND length(text) < 4096),
        |chars AS (SELECT doc_id, len, i.range AS pos,
        |    CAST(unicode(substr(text, CAST(i.range + 1 AS INTEGER), 1))
        |         AS BIGINT) AS code
@@ -711,7 +714,8 @@ object TextQueries {
 
   private def cdcChunks(s: org.apache.spark.sql.SparkSession, dir: String) =
     graft.text.Cdc.chunks(
-      Tables.documents(s, dir).filter(col("doc_id") < 200))
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 200 && length(col("text")) < 4096))
 
   /** Content-defined chunking ([[graft.text.Cdc]]): boundary-stable
     * chunks whose cuts move with content, every hash an exact integer

@@ -50,11 +50,15 @@ object ConvexHull {
       BigInt(a._1 - o._1) * (b._2 - o._2) - BigInt(a._2 - o._2) * (b._1 - o._1)
     def half(src: Iterator[(Long, Long)]): List[(Long, Long)] = {
       var h = List.empty[(Long, Long)]
+      var n = 0 // tracked length: List.length inside the loop is O(n^2)
       for (pt <- src) {
         // strict turns: collinear middles (cross == 0) are dropped too
-        while (h.length >= 2 && cross(h.tail.head, h.head, pt) <= 0)
+        while (n >= 2 && cross(h.tail.head, h.head, pt) <= 0) {
           h = h.tail
+          n -= 1
+        }
         h = pt :: h
+        n += 1
       }
       h
     }

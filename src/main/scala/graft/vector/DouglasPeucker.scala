@@ -54,18 +54,27 @@ object DouglasPeucker {
           val (_, _, ax, ay) = pts(i)
           val (_, _, bx, by) = pts(j)
           val (dx, dy) = (bx - ax, by - ay)
+          // coincident endpoints (closed ring halves): every cross is
+          // 0, so fall back to point-to-endpoint distance — standard DP
+          val degenerate = dx == 0 && dy == 0
           var best = -1
           var bestDev = BigInt(-1)
           var k = i + 1
           while (k < j) {
             val (_, _, kx, ky) = pts(k)
-            val dev = (BigInt(dx) * (ky - ay) - BigInt(dy) * (kx - ax)).abs
+            val dev =
+              if (degenerate)
+                BigInt(kx - ax) * (kx - ax) + BigInt(ky - ay) * (ky - ay)
+              else (BigInt(dx) * (ky - ay) - BigInt(dy) * (kx - ax)).abs
             if (dev > bestDev) { bestDev = dev; best = k }
             k += 1
           }
           if (best >= 0) {
             val len2 = BigInt(dx) * dx + BigInt(dy) * dy
-            if (bestDev * bestDev * ed2 > en2 * len2) {
+            val split =
+              if (degenerate) bestDev * ed2 > en2 // dist² · den² > num²
+              else bestDev * bestDev * ed2 > en2 * len2
+            if (split) {
               keep(best) = true
               if (best - i > 1) stack.push((i, best))
               if (j - best > 1) stack.push((best, j))
