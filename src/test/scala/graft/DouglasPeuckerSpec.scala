@@ -6,22 +6,31 @@ import org.apache.spark.sql.functions._
 class DouglasPeuckerSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Scalar reference with the identical (dev desc, pos asc) argmax. */
+  /** Scalar reference with the identical (dev desc, pos asc) argmax and
+    * the identical coincident-endpoint fallback (squared point-to-
+    * endpoint distance, split iff dist > eps). */
   private def ref(pts: IndexedSeq[(Long, Long)], epsNum: Long,
                   epsDen: Long): Set[Int] = {
     val keep = scala.collection.mutable.Set(0, pts.length - 1)
     def walk(i: Int, j: Int): Unit = if (j - i > 1) {
       val (ax, ay) = pts(i); val (bx, by) = pts(j)
       val (dx, dy) = (bx - ax, by - ay)
+      val degenerate = dx == 0 && dy == 0
       val (best, bestDev) = (i + 1 until j).map { k =>
         val (kx, ky) = pts(k)
-        k -> (BigInt(dx) * (ky - ay) - BigInt(dy) * (kx - ax)).abs
+        val d =
+          if (degenerate)
+            BigInt(kx - ax) * (kx - ax) + BigInt(ky - ay) * (ky - ay)
+          else (BigInt(dx) * (ky - ay) - BigInt(dy) * (kx - ax)).abs
+        k -> d
       }.minBy { case (k, d) => (-d, k) }
       val len2 = BigInt(dx) * dx + BigInt(dy) * dy
-      if (bestDev * bestDev * (BigInt(epsDen) * epsDen) >
-          BigInt(epsNum) * epsNum * len2) {
-        keep += best; walk(i, best); walk(best, j)
-      }
+      val ed2 = BigInt(epsDen) * epsDen
+      val en2 = BigInt(epsNum) * epsNum
+      val split =
+        if (degenerate) bestDev * ed2 > en2
+        else bestDev * bestDev * ed2 > en2 * len2
+      if (split) { keep += best; walk(i, best); walk(best, j) }
     }
     walk(0, pts.length - 1)
     keep.toSet
@@ -75,6 +84,24 @@ class DouglasPeuckerSpec extends SparkSpec {
     val pRef = ref(a, 10, 1).map(i => ("p", i.toLong))
     val qRef = ref(a.reverse, 10, 1).map(i => ("q", i.toLong))
     assert(out === pRef ++ qRef)
+  }
+
+  test("closed ring (coincident endpoints): point-distance fallback") {
+    // square ring closed back to the start: dx = dy = 0 over the whole
+    // span, so the first split must use point-to-endpoint distance
+    val sq = Seq((0L, 0L), (5L, 0L), (5L, 5L), (0L, 5L), (0L, 0L))
+    // farthest point from (0,0) is (5,5) at dist sqrt(50) ~ 7.07
+    assert(run(sq, 7) === Set(0, 2, 4))  // 7.07 > 7: split; halves flat
+    assert(run(sq, 8) === Set(0, 4))     // 7.07 < 8: everything culled
+    assert(run(sq, 7) === ref(sq.toIndexedSeq, 7, 1))
+    assert(run(sq, 8) === ref(sq.toIndexedSeq, 8, 1))
+    // irregular closed ring, eps sweep vs the scalar recursion
+    val ring = (0 until 40).map { i =>
+      ((math.cos(i * 0.157) * (80 + (i * 13 % 17))).toLong,
+        (math.sin(i * 0.157) * (80 + (i * 7 % 19))).toLong)
+    } :+ (math.cos(0.0) * (80 + 0)).toLong -> 0L
+    for (eps <- Seq(1L, 5L, 15L, 50L))
+      assert(run(ring, eps) === ref(ring.toIndexedSeq, eps, 1), s"eps=$eps")
   }
 
   test("maxPts refusal") {

@@ -117,4 +117,24 @@ class MediaSpec extends SparkSpec {
     // deterministic across runs
     assert(Media.imageHashes(payloads).collect().toMap === h)
   }
+
+  test("aHash: 54-megapixel image exceeds the Long cross-multiply range") {
+    // 9000x6000, left half white / right half black: a white cell's
+    // s(cell)*C_total ~ 1.2e19 > 2^63, so Long cross-multiplication
+    // would wrap negative and CLEAR exactly the bits that must be set.
+    // Expected hash: in every 8x8 grid row the 4 left (white) cells
+    // outshine the mean, the 4 right do not -> 0x0F0F0F0F0F0F0F0F.
+    val w = 9000
+    val h = 6000
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var y = 0
+    while (y < h) {
+      java.util.Arrays.fill(buf, y * w, y * w + w / 2, 0xFF.toByte)
+      y += 1
+    }
+    assert(Media.aHash(img) === 0x0F0F0F0F0F0F0F0FL)
+  }
 }
