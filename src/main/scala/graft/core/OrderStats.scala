@@ -30,10 +30,16 @@ object OrderStats {
     * rank in `ks` (each k must be in [1, n]). */
   def kth(df: DataFrame, valueCol: String, ks: Seq[Long],
           bucketShift: Int = 4): DataFrame = {
-    require(ks.nonEmpty, "need at least one rank")
-    val spark = df.sparkSession
-    import spark.implicits._
     val cnt = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+    kthFromHistogram(cnt, ks, bucketShift)
+  }
+
+  /** [[kth]] over an already-built (v, c) value-count histogram. */
+  private def kthFromHistogram(cnt: DataFrame, ks: Seq[Long],
+                               bucketShift: Int): DataFrame = {
+    require(ks.nonEmpty, "need at least one rank")
+    val spark = cnt.sparkSession
+    import spark.implicits._
     val pre = PrefixSum.exclusive(cnt, "v", "c",
       shiftright(col("v"), bucketShift))
     pre.join(broadcast(ks.toDF("k")),
@@ -41,18 +47,24 @@ object OrderStats {
       .select(col("k"), col("v"))
   }
 
-  /** (p, k, v): exact discrete quantiles for each p in `ps`. One
-    * bounded count() action sizes the ranks (a single driver long —
-    * the same discipline as the strata/offset collects). */
+  /** (p, k, v): exact discrete quantiles for each p in `ps`. n comes
+    * from ONE aggregate over the materialized value-count histogram (a
+    * single driver long — the same discipline as the strata/offset
+    * collects), so the input lineage — which may be an expensive
+    * derivation like per-doc tokenization — is computed exactly once:
+    * the histogram is localCheckpoint'ed and both the sizing aggregate
+    * and the rank probe read the materialized blocks. */
   def quantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
                 bucketShift: Int = 4): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val n = df.count()
+    val cnt = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val n = cnt.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
     require(n > 0, "quantiles of an empty table")
     val ks = ps.map(p => math.min(math.floor(p * n).toLong + 1, n))
     val pk = broadcast(ps.zip(ks).toDF("p", "k"))
-    kth(df, valueCol, ks.distinct, bucketShift)
+    kthFromHistogram(cnt, ks.distinct, bucketShift)
       .join(pk, "k")
       .select(col("p"), col("k"), col("v"))
   }

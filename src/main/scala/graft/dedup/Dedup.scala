@@ -103,18 +103,23 @@ object Dedup {
     * [[oversizedBuckets]]. */
   def lshPairs(sigs: DataFrame, bands: Int = 4, rows: Int = 4,
                maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // ONE hash aggregate builds each band bucket's member list; buckets
+    // over the cap (or singletons, which yield no pair) drop in the same
+    // pass, and the bounded in-bucket pair explosion happens map-side on
+    // the aggregated row — replacing the previous count-aggregate +
+    // semi-join + bucket self-join chain (three exchanges of the
+    // exploded band table) with a single exchange. The member array is
+    // ≤ maxBucket longs, so the aggregated row and its quadratic-
+    // in-bucket explode stay memory-bounded by construction — the same
+    // cap that bounded the self-join before.
     val all = bandBuckets(sigs, bands, rows)
-    val smallEnough = all.groupBy("band", "key")
-      .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") <= maxBucket)
-      .select("band", "key")
-    val exploded = all.join(smallEnough, Seq("band", "key"), "left_semi")
-    val a = exploded.as("a")
-    val b = exploded.as("b")
-    val pairs = a.join(b,
-        col("a.band") === col("b.band") && col("a.key") === col("b.key")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+    val pairs = all.groupBy("band", "key")
+      .agg(collect_list(col("doc_id")).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucket))
+      .select(explode(col("ms")).as("d1"), col("ms"))
+      .select(col("d1"), explode(col("ms")).as("d2"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1").as("doc1"), col("d2").as("doc2"))
       .distinct()
     val simExpr = (0 until NumHashes)
       .map(j => when(col(s"s1.m$j") === col(s"s2.m$j"), 1).otherwise(0))

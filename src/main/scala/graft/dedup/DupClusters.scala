@@ -52,15 +52,23 @@ object DupClusters {
   def components(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     val Seq(a, b) = edges.columns.toSeq
+    // Pin the edge list ONCE: its lineage is often an expensive pair
+    // generator (LSH banding, a similarity join), and it used to be
+    // re-executed three times — once inside the symmetrized checkpoint
+    // and twice more in the node-set union below. One materialization
+    // feeds all three consumers; every round already reads only
+    // checkpointed frames, so the added block is the edge list itself,
+    // which the loop holds anyway via `sym`.
+    val pinned = edges.select(col(a).as("src"), col(b).as("dst"))
+      .localCheckpoint(eager = true)
     // symmetrize once; nodes = endpoints
-    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
-      .union(edges.select(col(b).as("src"), col(a).as("dst")))
+    val sym = pinned
+      .union(pinned.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint(eager = true)
-    var labels = sym.select(col("src").as("id"))
-      .union(edges.select(col(a).as("id")))
-      .union(edges.select(col(b).as("id")))
+    var labels = pinned.select(col("src").as("id"))
+      .union(pinned.select(col("dst").as("id")))
       .distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(eager = true)
@@ -77,14 +85,23 @@ object DupClusters {
         .select(sym("dst").as("id"), col("lbl"))
       val l1 = msgs.union(labels)
         .groupBy("id").agg(min("lbl").as("lbl"))
-      // (b) pointer jump: label of label. The convergence flag is fused
-      // into the SAME checkpointed pass (one extra boolean column), so
-      // the per-round cost is one materialization job plus a shuffle-free
-      // count over its blocks — not a second join job re-shuffling the
-      // labels.
+      // (b) pointer jump: label of label, applied TWICE back to back
+      // (label chains shrink 4x per round instead of 2x; the second
+      // jump reads the first's lazily-composed output, so the pair
+      // costs one extra equi-join but no extra materialization job —
+      // per-round fixed cost dominates at the round counts this loop
+      // runs). The convergence flag is fused into the SAME checkpointed
+      // pass (one extra boolean column), so the per-round cost is one
+      // materialization job plus a shuffle-free count over its blocks —
+      // not a second join job re-shuffling the labels. Labels stay
+      // monotone non-increasing, so the fixpoint (min id per component)
+      // is unchanged.
       val byId = l1.select(col("id").as("jid"), col("lbl").as("jlbl"))
-      val l2 = l1.join(byId, l1("lbl") === byId("jid"), "left")
+      val j1 = l1.join(byId, l1("lbl") === byId("jid"), "left")
         .select(l1("id"), least(l1("lbl"), coalesce(col("jlbl"), l1("lbl"))).as("lbl"))
+      val byId2 = j1.select(col("id").as("kid"), col("lbl").as("klbl"))
+      val l2 = j1.join(byId2, j1("lbl") === byId2("kid"), "left")
+        .select(j1("id"), least(j1("lbl"), coalesce(col("klbl"), j1("lbl"))).as("lbl"))
         .join(labels.withColumnRenamed("lbl", "old"), "id")
         .select(col("id"), col("lbl"), (col("lbl") =!= col("old")).as("chg"))
         .localCheckpoint(eager = true)

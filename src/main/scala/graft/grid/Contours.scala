@@ -104,7 +104,10 @@ object Contours {
 
   /** Arithmetic segment id: ((li*2^28 + bx)*2^28 + by)*2 + seg. Fits
     * signed 64-bit for < 32 levels and coords < 2^28 (a 0.15 m world
-    * grid); both bounds are require()'d. */
+    * grid). The level bound is require()'d by the callers; the
+    * coordinate bound is a PRECONDITION (grids at or beyond 2^28 cells
+    * per axis must be tiled before contouring — checking it would cost
+    * an aggregate pass over the segments per call). */
   private def segId(li: Column, bx: Column, by: Column,
                     seg: Column): Column =
     ((li * (1L << 28) + bx) * (1L << 28) + by) * 2 + seg

@@ -63,12 +63,22 @@ object FlowBasins {
     // exactly when its pointer IS a sink, and the compose join sees that
     // for free: the row it hops through self-loops (jid === jnid, weight
     // 0 by contract), so no separate sinks table and no per-round
-    // anti-join convergence probe — each round is ONE join + checkpoint,
-    // and convergence is a trivial filter over the checkpointed result.
-    // Converged rows leave the frontier (their weights are final; keeping
-    // them on the lookup side path-compresses later hops straight to the
-    // sink with the exact remaining weight), so the streamed side shrinks
-    // geometrically while the lookup side stays O(|V|).
+    // anti-join convergence probe — convergence is a trivial filter over
+    // the checkpointed result. Converged rows leave the frontier (their
+    // weights are final; keeping them on the lookup side path-compresses
+    // later hops straight to the sink with the exact remaining weight),
+    // so the streamed side shrinks geometrically while the lookup side
+    // stays O(|V|).
+    //
+    // Each materialized round runs TWO pointer compositions back to back
+    // (the second composes the first's output against itself ∪ finished),
+    // advancing 4x per round instead of 2x: ceil(log4 d) checkpoint+scan
+    // cycles instead of ceil(log2 d), at the same O(|V| log d) total
+    // shuffle volume — per-round fixed cost (job scheduling, lineage
+    // materialization) is the dominant term for short lists and the
+    // shuffle volume is unchanged at scale. A row already converged
+    // after the first composition re-joins the sink's self-loop (weight
+    // 0) in the second, so the fused pair needs no intermediate filter.
     var finished = List.empty[DataFrame]
     var round = 0
     while (!frontier.isEmpty) {
@@ -78,9 +88,14 @@ object FlowBasins {
           s"pointer doubling did not converge in $maxRounds rounds")
       val lookup = (frontier :: finished).reduce(_ unionByName _)
         .select(col("id").as("jid"), col("nid").as("jnid"), col("w").as("jw"))
-      val composed = frontier.join(lookup, frontier("nid") === lookup("jid"))
+      val step1 = frontier.join(lookup, frontier("nid") === lookup("jid"))
         .select(frontier("id"), col("jnid").as("nid"),
-          (frontier("w") + col("jw")).as("w"),
+          (frontier("w") + col("jw")).as("w"))
+      val lookup2 = (step1 :: finished).reduce(_ unionByName _)
+        .select(col("id").as("jid"), col("nid").as("jnid"), col("w").as("jw"))
+      val composed = step1.join(lookup2, step1("nid") === lookup2("jid"))
+        .select(step1("id"), col("jnid").as("nid"),
+          (step1("w") + col("jw")).as("w"),
           (col("jid") === col("jnid")).as("done"))
         .localCheckpoint(eager = true)
       finished = composed.filter(col("done"))

@@ -52,6 +52,16 @@ object FileStats {
       .sorted
   }
 
+  /** Exact row count of one parquet file from its footer block metadata
+    * (no data pages read). */
+  def rowCount(conf: Configuration, file: String): Long = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new HPath(file), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    } finally reader.close()
+  }
+
   /** Footer stats of one file for the requested columns. Row count comes
     * from block metadata (exact); min/max fold across row groups. */
   def ofFile(conf: Configuration, file: String, statCols: Seq[String]): Seq[FileStat] = {

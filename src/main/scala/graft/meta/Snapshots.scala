@@ -120,10 +120,22 @@ object Snapshots {
     val id = latest(root, table).map(_.snapshotId + 1).getOrElse(0L)
     val dataPath = Paths.get(root, table, s"snap-$id").toString
     writeWithMetrics(df, root, table, id, dataPath)
-    val rows = df.sparkSession.read.parquet(dataPath).count()
+    val rows = footerRows(spark, dataPath)
     val m = Manifest(table, id, rows, System.currentTimeMillis(), dataPath, lineage)
     writeManifest(root, m)
     m
+  }
+
+  /** Exact row count of a snapshot directory from its parquet FOOTERS
+    * (block metadata only, no data pages) — the Iceberg-manifest way to
+    * learn a committed snapshot's row count. Replaces the post-write
+    * `read.parquet(path).count()` full-scan job the commit path used to
+    * run: O(files) local footer reads on the driver, the same order as
+    * the manifest listing itself, and exact by the parquet spec (row
+    * counts are mandatory block metadata). */
+  private def footerRows(spark: SparkSession, dataPath: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    FileStats.dataFiles(conf, dataPath).map(FileStats.rowCount(conf, _)).sum
   }
 
   /** Write `df` to `dataPath` capturing per-partition write metrics into
@@ -354,7 +366,7 @@ object Snapshots {
           Files.createLink(dataPath.resolve(name), p)
       }
     } finally stream.close()
-    val rows = spark.read.parquet(dataPath.toString).count()
+    val rows = footerRows(spark, dataPath.toString)
     val m = Manifest(table, id, rows, System.currentTimeMillis(),
       dataPath.toString,
       s"merge:${src.snapshotId}:${if (deleteMatched) "delete" else "upsert"}")

@@ -33,12 +33,17 @@ object Chunking {
                     textCol: String = "text"): DataFrame = {
     require(chunkSize >= 1 && stride >= 1,
       "chunkSize and stride must be positive")
+    // null text would otherwise slip through the null-skipping
+    // greatest/least (size(null) = -1 makes kMax 0 and n_toks -1,
+    // emitting a bogus empty chunk row where the SQL dual emits NULL) —
+    // the contract says no empty chunk, so null docs yield no row
+    val docsNN = docs.filter(col(textCol).isNotNull)
     val toks = TextOps.tokens(col(textCol))
     val n = size(toks).cast("long")
     val kMax = greatest(lit(0L), least(
       floor((n - 1) / lit(stride)).cast("long"),
       floor((n - chunkSize + stride - 1) / lit(stride)).cast("long")))
-    docs
+    docsNN
       .withColumn("_toks", toks)
       .withColumn("_k", explode(sequence(lit(0L), kMax)))
       .withColumn("chunk_idx", col("_k").cast("int"))
