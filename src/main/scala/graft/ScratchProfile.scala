@@ -25,6 +25,17 @@ object ScratchProfile {
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  (n=$n)")
     }
     mode match {
+      case "q" =>
+        // generic: SPARK_GRAFT_PROFILE_QUERIES=q_a,q_b [SPARK_GRAFT_SF_DIR=...]
+        // prints the formatted plan and 3 timed runs per query
+        val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val names = sys.env.getOrElse("SPARK_GRAFT_PROFILE_QUERIES", "")
+          .split(",").filter(_.nonEmpty)
+        names.foreach { n =>
+          show(n, SparkEntry.queries(n)(spark, dir))
+          (1 to 3).foreach(i =>
+            time(s"$n $i")(SparkEntry.queries(n)(spark, dir).count()))
+        }
       case "fill" =>
         val dir = "/root/testdata/sf0.1"
         (1 to 4).foreach(i =>

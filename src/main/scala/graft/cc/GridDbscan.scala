@@ -40,13 +40,21 @@ object GridDbscan {
       .groupBy((col("gx") + col("o.dx")).as("gx"),
         (col("gy") + col("o.dy")).as("gy"))
       .agg(sum(col("cnt")).as("density"))
-    val occ = cells.join(nbr, Seq("gx", "gy"))
+    // Pin the occupied-cell density table and the label tables once:
+    // occ feeds four output branches (core/border×2/noise) and labeled/
+    // coreNbr two each — unpinned, every branch re-ran the density
+    // splat-aggregate (and the caller's per-point count) through its own
+    // broadcast subtree. All three frames are grid-bounded (occupied
+    // cells), so materializing them is safe at any input scale — the
+    // same bound that makes the whole grid-DBSCAN shape work.
+    val occ = cells.join(nbr, Seq("gx", "gy")).localCheckpoint(eager = true)
 
     val core = occ.filter(col("density") >= minPts)
     val labeled = ConnectedComponents
       .label(core.select(col("gx"), col("gy"), lit(0).as("v")), bounds,
         tileSize)
       .select(col("gx"), col("gy"), col("label"))
+      .localCheckpoint(eager = true)
 
     // min core label over each cell's 3x3 — read by border cells only
     val coreNbr = labeled.select(col("gx"), col("gy"), col("label"),
@@ -54,6 +62,7 @@ object GridDbscan {
       .groupBy((col("gx") + col("o.dx")).as("gx"),
         (col("gy") + col("o.dy")).as("gy"))
       .agg(min(col("label")).as("_blabel"))
+      .localCheckpoint(eager = true)
 
     val nonCore = occ.filter(col("density") < minPts)
     val coreOut = occ.filter(col("density") >= minPts)

@@ -42,9 +42,19 @@ object SimJoin {
   def jaccardJoin(docs: DataFrame, idCol: String, tokCol: String,
                   tNum: Long, tDen: Long): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen, "threshold in (0,1]")
+    // Pin the distinct posting list ONCE: five downstream consumers
+    // (sizes, document frequencies, the prefix build, and both sides of
+    // the intersection count) would otherwise each re-run the tokenize +
+    // explode + distinct lineage — measured as ~10 Generate nodes in one
+    // q_simjoin plan, because the small-side broadcasts duplicate the
+    // subtree instead of reusing one exchange. Materializing the posting
+    // list is the standard AllPairs staging step (it is the index the
+    // algorithm is defined over); its size is O(total distinct tokens),
+    // the same order the join shuffles anyway.
     val tok = docs
       .select(col(idCol).cast("long").as("doc"), explode(col(tokCol)).as("t"))
       .distinct()
+      .localCheckpoint(eager = true)
     val sz = tok.groupBy("doc").agg(count(lit(1)).as("len"))
     val dfreq = tok.groupBy("t").agg(count(lit(1)).as("df"))
 
