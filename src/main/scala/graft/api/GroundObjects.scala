@@ -45,8 +45,11 @@ object GroundObjects {
         col("v").bitwiseAND(lit(0x1FFFF)).cast("int").as("v"))
     // G2 components constrained by dz, chunk-capped at maxCount cells
     // (the crop that bounds every downstream per-object task)
+    // pinned once: the CCL pass (a full union-find labeling) feeds both
+    // the size filter and the keep join — unpinned it ran twice
     val labeled = ConnectedComponents.label(objCells, bounds, cfg.tileSize,
       maxDz = Some(cfg.dzRaw), maxCount = Some(cfg.maxCount))
+      .localCheckpoint(eager = true)
     val sized = labeled.groupBy("label").agg(count(lit(1)).as("n"))
       .filter(col("n") >= cfg.minRegionCells).select("label")
     val kept = labeled.join(sized, Seq("label"), "left_semi")
@@ -59,10 +62,16 @@ object GroundObjects {
     * the mean height step from its boundary cells down to adjacent
     * ground (non-object) cells; objects with 0 < mean < dz/2 are noise
     * ridges and are rejected. Pure joins + one aggregate per label. */
-  def acceptByGradient(labeled: DataFrame /* gx, gy, label */,
-                       dsm: DataFrame /* gx, gy, v */, dzRaw: Int): DataFrame = {
-    val spark = labeled.sparkSession
+  def acceptByGradient(labeledIn: DataFrame /* gx, gy, label */,
+                       dsmIn: DataFrame /* gx, gy, v */, dzRaw: Int): DataFrame = {
+    val spark = labeledIn.sparkSession
     import spark.implicits._
+    // labeled feeds three consumers (object values, the neighbor
+    // object-test join, the final keep join) and dsm two — each was
+    // re-running its upstream lineage (a full CCL pass / the gridding
+    // aggregate); both frames are grid-bounded, pin them once
+    val labeled = labeledIn.localCheckpoint(eager = true)
+    val dsm = dsmIn.localCheckpoint(eager = true)
     val offs = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1))
       .toDF("dx", "dy")
     val objV = labeled.join(dsm, Seq("gx", "gy"))

@@ -31,13 +31,21 @@ object Triangles {
     * reverse edges collapse). tri counts triangles containing the
     * node; clustering is 0.0 for degree < 2. */
   def perNode(edges: DataFrame): DataFrame = {
+    // pin the simple-graph edge list and the degree table: und feeds
+    // three consumers (two degree-union branches + the orientation
+    // join) and deg three (both endpoint joins + the output join), and
+    // the input `edges` lineage is often a windowed click-pair
+    // derivation worth executing once. Both frames are O(m)/O(V) — the
+    // same order the algorithm materializes in `oriented` anyway.
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
+      .localCheckpoint(eager = true)
     val deg = und.select(col("u").as("n"))
       .unionByName(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+      .localCheckpoint(eager = true)
     val withDeg = und
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
