@@ -29,6 +29,7 @@ object ScratchProfile {
         // generic: SPARK_GRAFT_PROFILE_QUERIES=q_a,q_b [SPARK_GRAFT_SF_DIR=...]
         // prints the formatted plan and 3 timed runs per query
         val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        graft.queries.SideTables.setTokenFromSfDir(dir)
         val names = sys.env.getOrElse("SPARK_GRAFT_PROFILE_QUERIES", "")
           .split(",").filter(_.nonEmpty)
         names.foreach { n =>
