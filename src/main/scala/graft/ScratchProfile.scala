@@ -34,8 +34,14 @@ object ScratchProfile {
           .split(",").filter(_.nonEmpty)
         names.foreach { n =>
           show(n, SparkEntry.queries(n)(spark, dir))
-          (1 to 3).foreach(i =>
-            time(s"$n $i")(SparkEntry.queries(n)(spark, dir).count()))
+          (1 to 3).foreach { i =>
+            time(s"$n $i")(SparkEntry.queries(n)(spark, dir).count())
+            // bench hygiene: drop the query's localCheckpoint blocks so
+            // position in the list stops confounding later readings
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+            spark.catalog.clearCache()
+          }
         }
       case "fill" =>
         val dir = "/root/testdata/sf0.1"

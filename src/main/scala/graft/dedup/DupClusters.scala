@@ -39,6 +39,14 @@ import org.apache.spark.sql.functions._
  */
 object DupClusters {
 
+  /** Strategy-gate size (edge rows): edge lists at or below it are
+    * labeled in ONE executor task (a single union-find sweep — 2 jobs
+    * instead of ~2 per propagation round), the same dense-strategy gate
+    * [[graft.cc.ConnectedComponents]] and [[graft.pyramid.FillVoids]]
+    * use; larger edge lists take the pointer-jumping loop. Both paths
+    * are asserted equal in DupClustersSpec. */
+  final val DefaultDenseThreshold: Long = 1L << 20
+
   /** Undirected connected components.
     *
     * @param edges     two-column DataFrame of node-id pairs (Long); self
@@ -49,7 +57,8 @@ object DupClusters {
     *                  bound, not silently wrong output)
     * @return (id, cluster) with cluster = min node id reachable
     */
-  def components(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def components(edges: DataFrame, maxRounds: Int = 50,
+                 denseThreshold: Long = DefaultDenseThreshold): DataFrame = {
     val spark = edges.sparkSession
     val Seq(a, b) = edges.columns.toSeq
     // Pin the edge list ONCE: its lineage is often an expensive pair
@@ -61,6 +70,8 @@ object DupClusters {
     // which the loop holds anyway via `sym`.
     val pinned = edges.select(col(a).as("src"), col(b).as("dst"))
       .localCheckpoint(eager = true)
+    // the count is over the just-materialized blocks — no recompute
+    if (pinned.count() <= denseThreshold) return componentsDense(pinned)
     // symmetrize once; nodes = endpoints
     val sym = pinned
       .union(pinned.select(col("dst").as("src"), col("src").as("dst")))
@@ -110,6 +121,39 @@ object DupClusters {
       done = changed == 0
     }
     labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
+  /** Dense single-task strategy: one union-find sweep over the whole
+    * (gate-bounded) edge list in one executor task. Union-by-min keeps
+    * every tree's root at the component's minimum node id — the same
+    * canonical labels as the distributed loop, independent of edge
+    * order (the component minimum, once a root, is never displaced:
+    * merges always point the larger root at the smaller). */
+  private def componentsDense(pinned: DataFrame): DataFrame = {
+    val spark = pinned.sparkSession
+    import spark.implicits._
+    pinned.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1).mapPartitions { it =>
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def add(x: Long): Unit = if (!parent.contains(x)) parent.update(x, x)
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent.update(c, r); c = n }
+          r
+        }
+        it.foreach { case (s, d) =>
+          add(s); add(d)
+          if (s != d) {
+            val rs = find(s); val rd = find(d)
+            if (rs != rd) parent.update(math.max(rs, rd), math.min(rs, rd))
+          }
+        }
+        val keys = parent.keys.toArray
+        keys.iterator.map(k => (k, find(k)))
+      }.toDF("id", "cluster")
   }
 
   /** Keep-one-per-cluster: the canonical (min-id) member of each

@@ -56,9 +56,19 @@ object FlowBasins {
     *                  in a 2^63-row list, so hitting it means a bug, and
     *                  the loop throws instead of returning partial labels
     */
-  def resolve(next: DataFrame, maxRounds: Int = 64): DataFrame = {
+  /** Strategy-gate size (pointer rows): lists at or below it resolve in
+    * ONE executor task (a memoized sequential walk — 2 jobs instead of
+    * ~2 per doubling round), the dense-strategy gate the CCL/pyramid
+    * family uses; larger lists take the doubling loop. Both paths are
+    * asserted equal in FlowSpec. */
+  final val DefaultDenseThreshold: Long = 1L << 20
+
+  def resolve(next: DataFrame, maxRounds: Int = 64,
+              denseThreshold: Long = DefaultDenseThreshold): DataFrame = {
     var frontier = next.select(col("id").cast("long"), col("nid").cast("long"),
       col("w").cast("long")).localCheckpoint(eager = true)
+    // the count reads the just-materialized blocks — no recompute
+    if (frontier.count() <= denseThreshold) return resolveDense(frontier)
     // Active-frontier doubling with path compression. A row is converged
     // exactly when its pointer IS a sink, and the compose join sees that
     // for free: the row it hops through self-loops (jid === jnid, weight
@@ -105,6 +115,47 @@ object FlowBasins {
     }
     (next.limit(0).select(col("id").cast("long"), col("nid").cast("long"),
       col("w").cast("long")) :: finished).reduce(_ unionByName _)
+  }
+
+  /** Dense single-task strategy: memoized sequential path walk over the
+    * whole (gate-bounded) pointer table in one executor task — same
+    * contract as the doubling loop: output nid = terminal self-loop of
+    * the path, w = sum of hop weights (self-loop hops carry 0 by the
+    * input contract, so sinks resolve to themselves with their own w=0).
+    * Iterative with an explicit path stack; each node is walked once
+    * (memoized), so the sweep is O(rows). */
+  private def resolveDense(pt: DataFrame): DataFrame = {
+    val spark = pt.sparkSession
+    import spark.implicits._
+    pt.as[(Long, Long, Long)].repartition(1).mapPartitions { it =>
+      val arr = it.toArray
+      val nxt = new scala.collection.mutable.LongMap[Long](arr.length * 2)
+      val wgt = new scala.collection.mutable.LongMap[Long](arr.length * 2)
+      arr.foreach { case (id, nid, w) => nxt.update(id, nid); wgt.update(id, w) }
+      // memo: id -> (sink, total remaining weight from id)
+      val sink = new scala.collection.mutable.LongMap[Long](arr.length * 2)
+      val dist = new scala.collection.mutable.LongMap[Long](arr.length * 2)
+      val stack = new scala.collection.mutable.ArrayBuffer[Long]()
+      arr.foreach { case (id0, _, _) =>
+        if (!sink.contains(id0)) {
+          var c = id0
+          stack.clear()
+          // walk until a self-loop or an already-resolved node
+          while (!sink.contains(c) && nxt(c) != c) { stack += c; c = nxt(c) }
+          var s = 0L; var d = 0L
+          if (sink.contains(c)) { s = sink(c); d = dist(c) }
+          else { s = c; d = 0L; sink.update(c, c); dist.update(c, 0L) }
+          var i = stack.length - 1
+          while (i >= 0) {
+            val n = stack(i)
+            d += wgt(n)
+            sink.update(n, s); dist.update(n, d)
+            i -= 1
+          }
+        }
+      }
+      arr.iterator.map { case (id, _, _) => (id, sink(id), dist(id)) }
+    }.toDF("id", "nid", "w")
   }
 
   /** The D8 next-pointer table for a sparse DSM: `(id, nid)` on packed

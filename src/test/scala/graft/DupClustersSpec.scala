@@ -23,25 +23,32 @@ class DupClustersSpec extends SparkSpec {
     }.toMap
   }
 
-  private def run(edges: Seq[(Long, Long)], maxRounds: Int = 50): Map[Long, Long] = {
+  private def run(edges: Seq[(Long, Long)], maxRounds: Int = 50,
+                  denseThreshold: Long = DupClusters.DefaultDenseThreshold)
+      : Map[Long, Long] = {
     import spark.implicits._
-    DupClusters.components(edges.toDF("a", "b").repartition(9), maxRounds)
+    DupClusters.components(edges.toDF("a", "b").repartition(9), maxRounds,
+        denseThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("matches union-find on a seeded random graph") {
+  test("matches union-find on a seeded random graph (both strategies)") {
     val rnd = new scala.util.Random(11)
     val edges = (0 until 400).map(_ =>
       (rnd.nextInt(250).toLong, rnd.nextInt(250).toLong))
-    assert(run(edges) == ufComponents(edges))
+    val expected = ufComponents(edges)
+    assert(run(edges) == expected) // dense path (below the gate)
+    assert(run(edges, denseThreshold = 0) == expected) // distributed loop
   }
 
   test("long path converges fast (pointer jumping), exact labels") {
     // a 64-node path: neighbor-min alone needs 63 rounds; with the jump
     // step the budget of 12 is ample — failing this means the shortcut
-    // regressed to plain propagation
+    // regressed to plain propagation. denseThreshold 0 forces the
+    // distributed loop (the dense gate would otherwise absorb the case).
     val edges = (0L until 63L).map(i => (i + 1, i))
-    assert(run(edges, maxRounds = 12) == (0L to 63L).map(_ -> 0L).toMap)
+    assert(run(edges, maxRounds = 12, denseThreshold = 0) ==
+      (0L to 63L).map(_ -> 0L).toMap)
   }
 
   test("self loops and duplicate/reversed edges are tolerated") {
@@ -60,6 +67,14 @@ class DupClustersSpec extends SparkSpec {
 
   test("non-convergence within maxRounds throws instead of truncating") {
     val edges = (0L until 63L).map(i => (i + 1, i))
-    intercept[IllegalStateException] { run(edges, maxRounds = 2) }
+    intercept[IllegalStateException] {
+      run(edges, maxRounds = 2, denseThreshold = 0)
+    }
+  }
+
+  test("self loops and duplicate/reversed edges, distributed loop") {
+    val edges = Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (7L, 8L))
+    assert(run(edges, denseThreshold = 0) ==
+      Map(5L -> 5L, 1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 }

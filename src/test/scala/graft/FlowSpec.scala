@@ -271,4 +271,29 @@ class FlowSpec extends SparkSpec {
       .collect().head
     assert(got.getLong(0) == 1L && got.getInt(1) == 1234)
   }
+
+  test("resolve: dense and distributed strategies agree (random forest)") {
+    // random functional graph with self-loop sinks and weighted hops —
+    // the resolve() contract; forcing denseThreshold = 0 runs the
+    // doubling loop, the default runs the single-task memoized walk
+    val rnd = new scala.util.Random(23)
+    val n = 300
+    val rows = (0L until n).map { i =>
+      if (i % 17 == 0) (i, i, 0L) // sink
+      else (i, (i + 1 + rnd.nextInt(16)) % n match {
+        // avoid accidental 2-cycles by routing via the nearest sink when
+        // the draw would point at a non-smaller id in a cycle-prone way
+        case j if j == i => (i / 17) * 17
+        case j => if (j < i) j else (i / 17) * 17
+      }, 1L + rnd.nextInt(3))
+    }
+    val df = rows.toDF("id", "nid", "w").repartition(7)
+    val dense = FlowBasins.resolve(df)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dist = FlowBasins.resolve(df, denseThreshold = 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(dense == dist)
+    // sinks resolve to themselves with weight 0 on both paths
+    assert((0L until n).filter(_ % 17 == 0).forall(s => dense(s) == (s, 0L)))
+  }
 }
