@@ -32,8 +32,12 @@ object Pyramid {
   def rollup(cells: DataFrame, levels: Int,
              agg: Column => Column = max): DataFrame = {
     require(levels >= 0, "levels must be non-negative")
+    // the base level is consumed twice (the level-1 aggregation chain
+    // AND its own union branch), so pin it too: one materialization of
+    // the upstream lineage (often a full splat aggregate) instead of
+    // two executions — the same reason the derived levels are pinned
     val l0 = cells.select(col("gx").cast("long"), col("gy").cast("long"),
-      col("v").cast("long"))
+      col("v").cast("long")).localCheckpoint(eager = true)
     val all = Iterator.iterate(l0) { prev =>
       prev.groupBy(shiftright(col("gx"), 1).as("gx"),
           shiftright(col("gy"), 1).as("gy"))

@@ -90,4 +90,14 @@ class DistanceTransformSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(a === b)
   }
+
+  test("dense and distributed strategies agree (wall field)") {
+    val sources = Set((1L, 5L), (14L, 8L))
+    val dense = run(field, sources, 300L) // default gate: dense path
+    val dist = DistanceTransform
+      .chamferWithin(toDf(field), srcDf(sources), 300L, denseThreshold = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(dense === dist)
+    assert(dense === dijkstra(field, sources, 300L))
+  }
 }
