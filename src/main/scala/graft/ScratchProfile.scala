@@ -43,6 +43,29 @@ object ScratchProfile {
             spark.catalog.clearCache()
           }
         }
+      case "alignstats" =>
+        // the align offset-stats plan (the distributed part of both
+        // align queries; their returned DFs are post-collect literals)
+        val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val cfg = graft.align.Align3d.Config(gsd = 120.0, maxT = 360.0,
+          numSamples = 2000, maxDzMeters = 25.0)
+        val pts = graft.core.Geo.withGeo(graft.core.Tables.documents(spark, dir))
+          .select((col("lon") * 10.0).as("x"), (col("lat") * 10.0).as("y"), col("z"))
+        val tgt = pts.select((col("x") + 240.0).as("x"), (col("y") - 120.0).as("y"),
+          (col("z") + 0.5).as("z"))
+        val t0 = System.nanoTime()
+        val st = graft.align.Align3d.stage(spark, pts, tgt, cfg)
+        val stats = graft.align.Align3d.offsetStats(st, cfg)
+        show("align_offset_stats", stats)
+        println(f"stage+plan wall ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        (1 to 3).foreach { i =>
+          val t1 = System.nanoTime()
+          val st2 = graft.align.Align3d.stage(spark, pts, tgt, cfg)
+          val n = graft.align.Align3d.offsetStats(st2, cfg).count()
+          println(f"align stats run $i ${(System.nanoTime() - t1) / 1e9}%8.3f s (n=$n)")
+          st2.refDsm.unpersist(); st2.tgtDsm.unpersist()
+        }
+        st.refDsm.unpersist(); st.tgtDsm.unpersist()
       case "fill" =>
         val dir = "/root/testdata/sf0.1"
         (1 to 4).foreach(i =>

@@ -121,9 +121,19 @@ object Align3d {
     val tgtDsm = prepGrid(tgtPts, grid, cfg).withColumnRenamed("v", "tv")
       .persist()
 
-    // overlap rectangle in grid cells (both DSMs share `grid`)
-    val rB = refDsm.agg(min("gx"), max("gx"), min("gy"), max("gy")).head()
-    val tB = tgtDsm.agg(min("gx"), max("gx"), min("gy"), max("gy")).head()
+    // overlap rectangle in grid cells (both DSMs share `grid`). The two
+    // bounds aggregates materialize two INDEPENDENT persisted lineages
+    // (each a FillVoids pyramid + stencil chain of small sequential
+    // jobs), so they are submitted from two driver threads and the
+    // scheduler back-fills one chain's stragglers with the other's tasks
+    // (guide §2.6); results are unaffected by submission order.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rBF = Future(refDsm.agg(min("gx"), max("gx"), min("gy"), max("gy")).head())
+    val tBF = Future(tgtDsm.agg(min("gx"), max("gx"), min("gy"), max("gy")).head())
+    val rB = Await.result(rBF, Duration.Inf)
+    val tB = Await.result(tBF, Duration.Inf)
     val ox0 = math.max(rB.getLong(0), tB.getLong(0))
     val ox1 = math.min(rB.getLong(1), tB.getLong(1))
     val oy0 = math.max(rB.getLong(2), tB.getLong(2))

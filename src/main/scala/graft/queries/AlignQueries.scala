@@ -73,9 +73,18 @@ object AlignQueries {
   private def stageAndStats(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val (pts, tgt) = clouds(s, dir)
     val st = Align3d.stage(s, pts, tgt, cfg)
-    st.refDsm.write.mode("overwrite").parquet(s"$SideRoot/ref_dsm")
-    st.tgtDsm.write.mode("overwrite").parquet(s"$SideRoot/tgt_dsm")
-    st.samples.write.mode("overwrite").parquet(s"$SideRoot/samples")
+    // the three side-table writes are independent jobs over already-
+    // persisted (ref/tgt) or driver-built (samples) inputs: submit them
+    // concurrently so one write's task tail back-fills the others
+    // (guide §2.6); write contents are unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = Seq(
+      Future(st.refDsm.write.mode("overwrite").parquet(s"$SideRoot/ref_dsm")),
+      Future(st.tgtDsm.write.mode("overwrite").parquet(s"$SideRoot/tgt_dsm")),
+      Future(st.samples.write.mode("overwrite").parquet(s"$SideRoot/samples")))
+    writes.foreach(Await.result(_, Duration.Inf))
     (st, Align3d.offsetStats(st, cfg))
   }
 

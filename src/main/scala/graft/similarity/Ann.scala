@@ -105,8 +105,13 @@ object Ann {
         .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
         .as[(Int, Seq[Double])].collect().toSeq
     var assignments: DataFrame = null
-    for (_ <- 0 until iters) {
-      assignments = assignToCentroids(corpus, cents).localCheckpoint()
+    for (it <- 0 until iters) {
+      // assignment is a map-only projection over the corpus: only the
+      // FINAL iteration's table is consumed twice (mean fold + caller),
+      // so only that one is pinned — a checkpoint on a non-final
+      // assignment (single consumer) is a pure extra materialize pass
+      assignments = assignToCentroids(corpus, cents)
+      if (it == iters - 1) assignments = assignments.localCheckpoint()
       // new centroid = normalized mean of its members. The per-dimension
       // sum is a TWO-LEVEL deterministic fold (not a plain double `sum`,
       // whose result depends on partial-aggregation order): members fold

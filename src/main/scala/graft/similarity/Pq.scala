@@ -123,13 +123,16 @@ object Pq {
                 nList: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (centroids, assign) = Ann.ivfIndex(corpus, nList, iters)
+    // pin once: the Lloyd loop scans the corpus 1 + iters times and the
+    // PQ encode scans it again (same rationale as [[Ann.ivfTopK]])
+    val c = corpus.localCheckpoint()
+    val (centroids, assign) = Ann.ivfIndex(c, nList, iters)
     val qc = queries.crossJoin(broadcast(centroids))
       .withColumn("ccos", DotProduct(col("cv"), col("qv")))
     val wq = Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid"))
     val probes = qc.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= nProbe).select(col("qid"), col("cid"))
-    val codes = encode(corpus, cb)
+    val codes = encode(c, cb)
     val luts = queries.select(col("qid"), col("qv")).as[(Long, Seq[Double])]
       .collect().sortBy(_._1)
       .map { case (qid, qv) => (qid, lut(qv.toArray, cb).map(_.toSeq).toSeq) }

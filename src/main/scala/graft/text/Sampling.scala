@@ -59,13 +59,14 @@ object Sampling {
     val keyed = df.withColumn("_rk_key", md5(col(idCol).cast("string")))
     val cand = keyed.filter(bucket(col("_rk_key")) < threshold)
 
-    // sufficiency: candidates(stratum) >= min(quota, total(stratum))
-    val totals = keyed.groupBy(stratumCol)
-      .agg(count(lit(1)).as("_total"), first(quotaExpr).as("_quota"))
-    val candCounts = cand.groupBy(stratumCol).agg(count(lit(1)).as("_cand"))
-    val deficient = totals
-      .join(candCounts, Seq(stratumCol), "left")
-      .filter(coalesce(col("_cand"), lit(0L)) < least(col("_quota"), col("_total")))
+    // sufficiency: candidates(stratum) >= min(quota, total(stratum)).
+    // One conditional aggregate over the keyed lineage replaces the old
+    // totals-agg + candidate-agg + join (two full scans of the md5
+    // lineage and an extra exchange) — same counts, same decision.
+    val deficient = keyed.groupBy(stratumCol)
+      .agg(count(lit(1)).as("_total"), first(quotaExpr).as("_quota"),
+        count(when(bucket(col("_rk_key")) < threshold, lit(1))).as("_cand"))
+      .filter(col("_cand") < least(col("_quota"), col("_total")))
       .select(col(stratumCol)).collect().map(_.get(0)).toSet
 
     // NULL-safe membership (<=>): a NULL stratum is a real group (groupBy
@@ -110,15 +111,16 @@ object Sampling {
     val keyed = df.withColumn("_rk_key", md5(col(idCol).cast("string")))
     val cand = keyed.filter(bucket(col("_rk_key")) < threshold)
 
-    // sufficiency: candidate token sum >= budget, or candidates == stratum
-    val totals = keyed.groupBy(stratumCol)
-      .agg(count(lit(1)).as("_total"), first(budgetExpr).as("_budget"))
-    val candStats = cand.groupBy(stratumCol)
-      .agg(count(lit(1)).as("_cand"), sum(col(tokensCol)).as("_ctok"))
-    val deficient = totals
-      .join(candStats, Seq(stratumCol), "left")
+    // sufficiency: candidate token sum >= budget, or candidates == stratum.
+    // Fused into one conditional aggregate (same rewrite as
+    // [[stratifiedExact]]): one scan, no join, identical decision.
+    val inCand = bucket(col("_rk_key")) < threshold
+    val deficient = keyed.groupBy(stratumCol)
+      .agg(count(lit(1)).as("_total"), first(budgetExpr).as("_budget"),
+        count(when(inCand, lit(1))).as("_cand"),
+        sum(when(inCand, col(tokensCol))).as("_ctok"))
       .filter(coalesce(col("_ctok"), lit(0L)) < col("_budget") &&
-        coalesce(col("_cand"), lit(0L)) < col("_total"))
+        col("_cand") < col("_total"))
       .select(col(stratumCol)).collect().map(_.get(0)).toSet
 
     // NULL-safe stratum routing — same contract as stratifiedExact
