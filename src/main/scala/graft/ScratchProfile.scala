@@ -19,10 +19,21 @@ object ScratchProfile {
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); stages.addAndGet(j.stageIds.size)
+        }
+      })
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
+      val (j0, s0) = (jobs.get(), stages.get())
       val n = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  (n=$n)")
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  (n=$n, " +
+        s"jobs=${jobs.get() - j0}, stages=${stages.get() - s0})")
     }
     mode match {
       case "q" =>
@@ -42,6 +53,34 @@ object ScratchProfile {
               .foreach(_.unpersist(blocking = false))
             spark.catalog.clearCache()
           }
+        }
+      case "ccab" =>
+        // A/B the CC label strategies (dense single-task vs tiled
+        // distributed) on the q_cc_labels input
+        val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        import graft.cc.ConnectedComponents
+        import graft.grid.Gridding
+        import graft.stencil.TileStencil.Bounds
+        val (w, h) = Gridding.boundsFor(Gridding.WorldGrid)
+        def subset = Gridding.dsm(Gridding.points(
+          graft.core.Geo.withGeo(graft.core.Tables.documents(spark, dir)
+            .filter(col("doc_id") < 150))))
+        def hygiene(): Unit = {
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          spark.catalog.clearCache()
+        }
+        (1 to 4).foreach { i =>
+          time(s"dense $i")(ConnectedComponents.label(subset, Bounds(w, h),
+            tileSize = 16).orderBy(col("gx"), col("gy")).count()); hygiene()
+        }
+        (1 to 4).foreach { i =>
+          time(s"tiled $i")(ConnectedComponents.label(subset, Bounds(w, h),
+            tileSize = 16, denseThreshold = 0L)
+            .orderBy(col("gx"), col("gy")).count()); hygiene()
+        }
+        (1 to 2).foreach { i =>
+          time(s"input only $i")(subset.count()); hygiene()
         }
       case "alignstats" =>
         // the align offset-stats plan (the distributed part of both

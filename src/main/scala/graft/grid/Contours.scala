@@ -145,8 +145,12 @@ object Contours {
       .withColumn("sid",
         segId(col("li"), col("bx"), col("by"), col("seg")))
       .localCheckpoint(eager = true)
+    // dissolve over the PINNED base — reusing the materialized segment
+    // table instead of re-deriving it from `segs` (whose lineage is the
+    // whole marching-squares chain: splat, block aggregate, level
+    // explode) a second time inside polylines()
     val sidLine = base
-      .join(polylines(segs, levels), Seq("level", "bx", "by", "seg"))
+      .join(polylinesOf(base), Seq("level", "bx", "by", "seg"))
       .select(col("sid"), col("line_id"))
       .localCheckpoint(eager = true)
 
@@ -269,9 +273,25 @@ object Contours {
     val lvlIdx = broadcast(
       levels.zipWithIndex.map { case (t, i) => (t, i.toLong) }
         .toDF("level", "li"))
+    // pin the id-tagged segment table ONCE: it is consumed three times
+    // below (both endpoint selects of the union + the final relabel
+    // join), and its lineage is the full marching-squares chain — the
+    // splat, the block aggregate, and the level explode used to run up
+    // to three times per call
     val withId = segs.join(lvlIdx, "level")
       .withColumn("sid",
         segId(col("li"), col("bx"), col("by"), col("seg")))
+      .localCheckpoint(eager = true)
+    polylinesOf(withId)
+  }
+
+  /** [[polylines]] over an already-materialized id-tagged segment table
+    * (columns: level, bx, by, seg, sid, e1o..e2y) — the shared core that
+    * lets [[orderedVertices]] reuse its pinned `base` instead of
+    * re-deriving the segments from scratch. */
+  private def polylinesOf(withId: DataFrame): DataFrame = {
+    val spark = withId.sparkSession
+    import spark.implicits._
     // each endpoint: (level, edge key, segment id)
     val ends = withId.select(col("level"), col("e1o").as("eo"),
         col("e1x").as("ex"), col("e1y").as("ey"), col("sid"))

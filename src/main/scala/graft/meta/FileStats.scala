@@ -101,6 +101,13 @@ object FileStats {
     } finally reader.close()
   }
 
+  /** Snapshots at or below this many data files read their footers ON
+    * THE DRIVER (no Spark job): the cost is the same O(files) footer
+    * I/O the commit path's row-count pass already does driver-side, and
+    * scheduling an RDD job for a handful of footers is pure fixed cost.
+    * Larger file sets keep the distributed pass. */
+  final val DriverFooterGate = 64
+
   /** Collect footer stats for every data file of `dataPath`, distributed
     * over the executors. The driver only ships the file list and the
     * conf snapshot; each task opens its files' footers locally. */
@@ -109,6 +116,9 @@ object FileStats {
     val conf = spark.sparkContext.hadoopConfiguration
     val files = dataFiles(conf, dataPath)
     if (files.isEmpty) return Nil
+    if (files.size <= DriverFooterGate)
+      return files.flatMap(f => ofFile(conf, f, statCols))
+        .sortBy(s => (s.path, s.col))
     import scala.jdk.CollectionConverters._
     // Configuration is not serializable: ship its entries and rebuild
     val entries = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toSeq
@@ -122,6 +132,52 @@ object FileStats {
         it.flatMap(f => ofFile(c, f, cols))
       }
       .collect().toSeq.sortBy(s => (s.path, s.col))
+  }
+
+  private val StatsSchema =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message graft_file_stats {
+        |  required binary path (UTF8);
+        |  required int64 rows;
+        |  required binary col (UTF8);
+        |  required int64 min;
+        |  required int64 max;
+        |  required int64 nulls;
+        |  required boolean hasStats;
+        |}""".stripMargin)
+
+  /** Write the `_filestats/<id>` side table DIRECTLY from the driver
+    * (one plain parquet file) instead of scheduling a 1-task Spark job
+    * for O(files) rows the driver already holds. Schema matches the old
+    * `toDF().write.parquet` output, so [[graft.meta.Snapshots
+    * .fileStats]] reads both. */
+  def writeStatsDriver(dir: java.nio.file.Path, stats: Seq[FileStat]): Unit = {
+    if (java.nio.file.Files.isDirectory(dir)) {
+      val stream = java.nio.file.Files.walk(dir)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally stream.close()
+    }
+    java.nio.file.Files.createDirectories(dir)
+    val file = dir.resolve("part-00000.parquet")
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new HPath(file.toString), new Configuration()))
+      .withType(StatsSchema)
+      .build()
+    val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+      StatsSchema)
+    try stats.foreach { s =>
+      val g = gf.newGroup()
+      g.add("path", s.path)
+      g.add("rows", s.rows)
+      g.add("col", s.col)
+      g.add("min", s.min)
+      g.add("max", s.max)
+      g.add("nulls", s.nulls)
+      g.add("hasStats", s.hasStats)
+      w.write(g)
+    } finally w.close()
   }
 
   /** Prune report: how many data files the range probe actually read. */

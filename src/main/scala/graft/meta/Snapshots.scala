@@ -157,12 +157,57 @@ object Snapshots {
     }
     val pm = listener.tasks.sortBy(_._1)
       .map { case (p, n, ms, mem) => PartitionMetric(id, p, n, ms, mem) }
-    if (pm.nonEmpty) {
-      import spark.implicits._
-      pm.toDF().coalesce(1).write.mode("overwrite")
-        .parquet(Paths.get(root, table, "_metrics", id.toString).toString)
-    }
+    if (pm.nonEmpty)
+      writeMetricsDriver(Paths.get(root, table, "_metrics", id.toString), pm)
   }
+
+  private val MetricsSchema =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      """message graft_partition_metrics {
+        |  required int64 snapshotId;
+        |  required int32 partition;
+        |  required int64 rows;
+        |  required int64 latencyMs;
+        |  required int64 peakMemoryBytes;
+        |}""".stripMargin)
+
+  /** Write the per-partition metrics side table DIRECTLY from the driver
+    * (one plain parquet file via the example writer) instead of
+    * scheduling a 1-task Spark job for O(partitions) rows the driver
+    * already holds — the same driver-side metadata discipline as the
+    * manifest write itself. Schema (names and types) matches the old
+    * `toDF().write.parquet` output, so [[metrics]] reads both. */
+  private def writeMetricsDriver(dir: Path,
+                                 pm: Seq[PartitionMetric]): Unit = {
+    deleteRecursively(dir)
+    Files.createDirectories(dir)
+    val file = dir.resolve("part-00000.parquet")
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toString),
+        new org.apache.hadoop.conf.Configuration()))
+      .withType(MetricsSchema)
+      .build()
+    val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+      MetricsSchema)
+    try pm.foreach { m =>
+      val g = gf.newGroup()
+      g.add("snapshotId", m.snapshotId)
+      g.add("partition", m.partition)
+      g.add("rows", m.rows)
+      g.add("latencyMs", m.latencyMs)
+      g.add("peakMemoryBytes", m.peakMemoryBytes)
+      w.write(g)
+    } finally w.close()
+  }
+
+  private def deleteRecursively(dir: Path): Unit =
+    if (Files.isDirectory(dir)) {
+      val stream = Files.walk(dir)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally stream.close()
+    }
 
   /** Commit a manifest record atomically (temp file + atomic rename). */
   /** Publish a manifest with CREATE_NEW semantics: two committers that
@@ -290,9 +335,15 @@ object Snapshots {
     * COW — a key-clustered table (see [[commitClustered]]) localizes
     * matches to few files. The touched-file list itself is O(files)
     * driver memory, the same order as the manifest listing. */
+  /** `sourceKeysUnique = true` lets a caller that has JUST deduplicated
+    * the source (e.g. [[graft.streaming.StreamOps.upsertBatch]]'s
+    * row_number == 1 winners) skip the duplicate-key guard aggregate —
+    * one Spark job per merge; semantics are unchanged because the guard
+    * can only ever pass for such a source. */
   def merge(spark: SparkSession, root: String, table: String,
             source: DataFrame, keyCols: Seq[String],
-            deleteMatched: Boolean = false): Manifest = {
+            deleteMatched: Boolean = false,
+            sourceKeysUnique: Boolean = false): Manifest = {
     import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, sum}
     require(keyCols.nonEmpty, "merge: keyCols must be non-empty")
     val src = latest(root, table).getOrElse(throw new IllegalStateException(
@@ -310,7 +361,7 @@ object Snapshots {
     // fail against rows the rewrite never sees)
     val pinned = source.localCheckpoint(eager = true)
     val keys = pinned.select(keyCols.map(col): _*).distinct()
-    if (!deleteMatched) {
+    if (!deleteMatched && !sourceKeysUnique) {
       // Iceberg MERGE errors when multiple source rows match one target
       // key; a duplicate-key source here would silently insert several
       // rows per key instead. Enforce the same contract (delete mode is
@@ -476,11 +527,9 @@ object Snapshots {
     val m = at(root, table, id).getOrElse(throw new IllegalArgumentException(
       s"indexStats: no committed snapshot $id for $table"))
     val stats = FileStats.collect(spark, m.dataPath, statCols)
-    if (stats.nonEmpty) {
-      import spark.implicits._
-      stats.toDF().coalesce(1).write.mode("overwrite")
-        .parquet(Paths.get(root, table, "_filestats", id.toString).toString)
-    }
+    if (stats.nonEmpty)
+      FileStats.writeStatsDriver(
+        Paths.get(root, table, "_filestats", id.toString), stats)
     stats
   }
 

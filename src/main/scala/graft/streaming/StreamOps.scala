@@ -246,7 +246,10 @@ object StreamOps {
         val relevant = cur.join(keys, keyCols, "left_semi")
         val win = winners(
           batch.select(cur.columns.map(col).toSeq: _*).unionByName(relevant))
-        graft.meta.Snapshots.merge(spark, root, table, win, keyCols)
+        // winners() keeps exactly row_number == 1 per key, so the
+        // duplicate-key guard can be skipped (one job per micro-batch)
+        graft.meta.Snapshots.merge(spark, root, table, win, keyCols,
+          sourceKeysUnique = true)
     }
   }
 

@@ -195,8 +195,12 @@ object RefTrace {
     val w = bounds.w.toLong
     val h = bounds.h.toLong
 
+    // pin the mask ONCE: its lineage (typically a docs scan + grid
+    // aggregate + threshold) used to run three times — as the fg CCL
+    // input, in the bbox aggregate, and in the background anti-join
     val fgCells = mask.select(col("gx").cast("long"), col("gy").cast("long"))
       .withColumn("v", lit(1))
+      .localCheckpoint(eager = true)
     // 8-connected foreground labeling (canonical min-cell-id labels)
     val fgLab = ConnectedComponents.label(fgCells, bounds, tileSize,
         denseThreshold = denseThreshold)
@@ -220,8 +224,8 @@ object RefTrace {
     // reference's full-raster classification, at O(bbox) lattice cost
     // instead of O(raster) — the win that keeps a sparse mask on a
     // 10^12-cell raster from materializing the whole lattice.
-    val bb = mask.agg(min(col("gx")).cast("long"), max(col("gx")).cast("long"),
-      min(col("gy")).cast("long"), max(col("gy")).cast("long")).head()
+    val bb = fgCells.agg(min(col("gx")), max(col("gx")),
+      min(col("gy")), max(col("gy"))).head()
     if (bb.isNullAt(0))
       return spark.emptyDataFrame
         .withColumn("label", lit(0L)).withColumn("n_cells", lit(0L))

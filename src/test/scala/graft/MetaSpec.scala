@@ -130,6 +130,21 @@ class MetaSpec extends SparkSpec {
     assert(m1.rows == 8)
   }
 
+  test("merge: sourceKeysUnique skips the guard, result identical to guarded path") {
+    import spark.implicits._
+    val root = tmpRoot
+    Snapshots.commit(
+      spark.range(20).select(col("id").as("k"), (col("id") * 10).as("v")),
+      root, "mgq", "v1")
+    val src = Seq((2L, -1L), (7L, -2L), (100L, 3L)).toDF("k", "v")
+    val m1 = Snapshots.merge(spark, root, "mgq", src, Seq("k"),
+      sourceKeysUnique = true)
+    assert(m1.rows == 21)
+    val got = Snapshots.read(spark, m1).as[(Long, Long)].collect().toMap
+    assert(got(2L) == -1L && got(7L) == -2L && got(100L) == 3L)
+    assert(got(3L) == 30L) // untouched rows intact
+  }
+
   test("merge: delete mode drops matched keys only; key-only source ok") {
     import spark.implicits._
     val root = tmpRoot
