@@ -195,6 +195,16 @@ object RefTrace {
     val w = bounds.w.toLong
     val h = bounds.h.toLong
 
+    // Strategy gate (the CCL/flow-family dense discipline): a raster
+    // whose full lattice fits the gate runs the ENTIRE chain — both CCL
+    // passes, scan-order renumbering, hole attachment, and every ring
+    // walk — in ONE executor task (~4 jobs instead of ~30 for the
+    // distributed pipeline below). Larger rasters keep the tiled path;
+    // both are asserted equal in RefTraceSpec (dense vs denseThreshold=0
+    // vs the independent test oracle).
+    if (w * h <= denseThreshold)
+      return outlinesDense(mask, bounds.w, bounds.h, maxCells, render)
+
     // pin the mask ONCE: its lineage (typically a docs scan + grid
     // aggregate + threshold) used to run three times — as the fg CCL
     // input, in the bbox aggregate, and in the background anti-join
@@ -300,5 +310,193 @@ object RefTrace {
       }
       .toDF("label", "n_cells", "wkt")
     traced.unionByName(refused)
+  }
+
+  /** Dense single-task strategy: the reference's full label-image +
+    * traceBoundaries chain over the whole (gate-bounded) raster in one
+    * executor task — two-pass CCL with DisjointSet merge-to-smaller and
+    * ascending-root renumbering (`Image.h:255-326`,
+    * `disjoint_set.h:59-121`: fg 8-connected labels 1.., bg 4-connected,
+    * edge-connected bg 0, holes -1, -2, .. in first-pixel scan order),
+    * hole attachment to the label above the hole's first pixel in
+    * ascending-negative-label order (`geo_polygon.h:219-243`), radial
+    * sweep per ring, the same `maxCells` refusal, and the caller's
+    * `render`. Labels equal the distributed path's scan-order ranks by
+    * the same argument that path documents (flatten's ascending-root
+    * order IS ascending first-pixel order IS ascending min cell id). */
+  private def outlinesDense(mask: DataFrame, w: Int, h: Int, maxCells: Long,
+                            render: (Vector[Pt], Seq[Vector[Pt]]) => Option[String])
+  : DataFrame = {
+    val spark = mask.sparkSession
+    import spark.implicits._
+    mask.select(col("gx").cast("long"), col("gy").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1).mapPartitions { it =>
+        val img = Array.ofDim[Boolean](h, w)
+        var any = false
+        it.foreach { case (x, y) => img(y.toInt)(x.toInt) = true; any = true }
+        if (!any) Iterator.empty
+        else denseTrace(img, w, h, maxCells, render).iterator
+      }
+      .toDF("label", "n_cells", "wkt")
+  }
+
+  /** Union-find with merge-to-smaller-root and ascending-root
+    * renumbering — the reference's DisjointSet semantics. */
+  private final class RefDs {
+    private val p = scala.collection.mutable.ArrayBuffer[Int]()
+    def add(): Int = { p += p.length; p.length - 1 }
+    def find(i: Int): Int = {
+      var r = i
+      while (p(r) != r) r = p(r)
+      var c = i
+      while (p(c) != r) { val n = p(c); p(c) = r; c = n }
+      r
+    }
+    def merge(a: Int, b: Int): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) p(rb) = ra else if (rb < ra) p(ra) = rb
+    }
+    def flatten(minLabel: Int): Array[Int] = {
+      var next = minLabel
+      val out = new Array[Int](p.length)
+      for (i <- p.indices) {
+        val j = find(i)
+        out(i) = if (j == i) { val v = next; next += 1; v } else out(j)
+      }
+      out
+    }
+  }
+
+  /** The single-threaded chain behind [[outlinesDense]]; exposed for the
+    * spec's direct dense-vs-distributed equality cases. */
+  private[vector] def denseTrace(img: Array[Array[Boolean]], w: Int, h: Int,
+                                 maxCells: Long,
+                                 render: (Vector[Pt], Seq[Vector[Pt]]) => Option[String])
+  : Seq[(Long, Long, String)] = {
+    // ---- two-pass CCL, reference numbering ----
+    val fg = new RefDs
+    val bg = new RefDs
+    bg.add() // exterior background label 0
+    val lab = Array.ofDim[Int](h, w)
+    var j = 0
+    while (j < h) {
+      var i = 0
+      while (i < w) {
+        val ngbrs = scala.collection.mutable.SortedSet[Int]()
+        if (img(j)(i)) {
+          if (j > 0) {
+            if (i > 0 && img(j - 1)(i - 1)) ngbrs += lab(j - 1)(i - 1)
+            if (img(j - 1)(i)) ngbrs += lab(j - 1)(i)
+            if (i < w - 1 && img(j - 1)(i + 1)) ngbrs += lab(j - 1)(i + 1)
+          }
+          if (i > 0 && img(j)(i - 1)) ngbrs += lab(j)(i - 1)
+          if (ngbrs.isEmpty) lab(j)(i) = fg.add()
+          else {
+            val l = ngbrs.head
+            lab(j)(i) = l
+            ngbrs.foreach(fg.merge(_, l))
+          }
+        } else {
+          if (j == 0 || j == h - 1 || i == 0 || i == w - 1) ngbrs += 0
+          if (j > 0 && !img(j - 1)(i)) ngbrs += lab(j - 1)(i)
+          if (i > 0 && !img(j)(i - 1)) ngbrs += lab(j)(i - 1)
+          if (ngbrs.isEmpty) lab(j)(i) = bg.add()
+          else {
+            val l = ngbrs.head
+            lab(j)(i) = l
+            ngbrs.foreach(bg.merge(_, l))
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    val fgF = fg.flatten(1)
+    val bgF = bg.flatten(0)
+    j = 0
+    while (j < h) {
+      var i = 0
+      while (i < w) {
+        lab(j)(i) = if (img(j)(i)) fgF(lab(j)(i)) else -bgF(lab(j)(i))
+        i += 1
+      }
+      j += 1
+    }
+
+    // ---- sizes, first pixels, hole owners (one scan) ----
+    val size = new scala.collection.mutable.LongMap[Long]()
+    val firstR = new scala.collection.mutable.LongMap[Int]()
+    val firstC = new scala.collection.mutable.LongMap[Int]()
+    val holeOwner = new scala.collection.mutable.LongMap[Long]()
+    j = 0
+    while (j < h) {
+      var i = 0
+      while (i < w) {
+        val v = lab(j)(i).toLong
+        if (v != 0L) {
+          size.update(v, size.getOrElse(v, 0L) + 1L)
+          if (!firstR.contains(v)) {
+            firstR.update(v, j); firstC.update(v, i)
+            // the pixel above a hole's first pixel is its owning object
+            if (v < 0L) holeOwner.update(v, lab(j - 1)(i).toLong)
+          }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    val holesOf = holeOwner.toSeq.groupBy(_._2)
+      .map { case (o, hs) => o -> hs.map(_._1).sorted } // ascending = most negative first
+
+    // ---- radial-sweep walk over the label image ----
+    def walkImg(r0: Int, c0: Int): Vector[Pt] = {
+      val v = lab(r0)(c0)
+      val stride = if (v > 0) 1 else 2
+      var m = r0
+      var n = c0
+      var firstDir = -1
+      var lastDir = 0
+      val ring = scala.collection.mutable.ArrayBuffer[Pt]()
+      val maxSteps = 8L * (size(v.toLong) + 2)
+      while (true) {
+        ring += ((n.toLong, m.toLong))
+        if (ring.length > maxSteps)
+          throw new IllegalStateException(
+            s"boundary walk did not close after $maxSteps steps")
+        val finDir = (lastDir + 4) % 8
+        var newDir = (lastDir + 6) % 8
+        var found = false
+        while (!found && newDir != finDir) {
+          val p = m + dj(newDir)
+          val q = n + di(newDir)
+          if (p >= 0 && p < h && q >= 0 && q < w && lab(p)(q) == v) found = true
+          else newDir = (newDir + stride) % 8
+        }
+        if (newDir == finDir && ring.length == 1) return ring.toVector
+        else if (m == r0 && n == c0 && newDir == firstDir) {
+          ring.remove(ring.length - 1)
+          return ring.toVector
+        } else if (firstDir < 0) firstDir = newDir
+        m += dj(newDir)
+        n += di(newDir)
+        lastDir = newDir
+      }
+      sys.error("unreachable")
+    }
+
+    // ---- per object: refusal, trace, render (ascending label order) ----
+    val out = Seq.newBuilder[(Long, Long, String)]
+    size.keys.filter(_ > 0L).toSeq.sorted.foreach { v =>
+      val holes = holesOf.getOrElse(v, Seq.empty)
+      val nTotal = size(v) + holes.map(size).sum
+      if (nTotal > maxCells) out += ((v, size(v), null))
+      else {
+        val outer = walkImg(firstR(v), firstC(v))
+        val inners = holes.map(hv => walkImg(firstR(hv), firstC(hv)))
+        render(outer, inners).foreach(wkt => out += ((v, size(v), wkt)))
+      }
+    }
+    out.result()
   }
 }

@@ -281,7 +281,10 @@ class PlanSpec extends SparkSpec {
     // big enough to dodge tiny-table broadcast degeneracies
     val cells = (for { y <- 0L until 40L; x <- 0L until 40L
       if (x * 31 + y * 17) % 3 != 0 } yield (x, y)).toDF("gx", "gy")
-    val df = graft.vector.RefTrace.refOutlines(cells, Bounds(64, 64), tileSize = 16)
+    // force the tiled distributed pipeline (the dense single-task gate
+    // has no joins to guard)
+    val df = graft.vector.RefTrace.refOutlines(cells, Bounds(64, 64), tileSize = 16,
+      denseThreshold = 0L)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"cartesian in trace plan:\n${p.take(3000)}")
     assert(!p.contains("BroadcastNestedLoopJoin"),
