@@ -33,14 +33,21 @@ object Decontaminate {
     * n_shared >= k). Documents with no overlap are absent. */
   def overlap(corpus: DataFrame, benchmark: DataFrame,
               text: String = "text"): DataFrame = {
+    // Join BEFORE deduplicating (guide §3.2: reduce the big side before
+    // shuffling it): the benchmark shingle set is broadcast-sized by
+    // construction, so the equi-join drops every non-matching corpus
+    // shingle MAP-SIDE and only the matched (doc, shingle) rows reach a
+    // shuffle — the old shape distinct'ed the ENTIRE exploded corpus
+    // (every shingle of every document) first. countDistinct restores
+    // the per-doc set semantics over the surviving rows; the result is
+    // identical (distinct shared shingles per doc).
     val corpusSh = TextOps.shingles3(corpus, text)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .distinct()
     val benchSh = TextOps.shingles3(benchmark, text)
       .select(explode(col("shingles")).as("s"))
       .distinct()
     corpusSh.join(benchSh, "s")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .groupBy("doc_id").agg(countDistinct(col("s")).as("n_shared"))
   }
 
   /** Fractional contamination score for EVERY corpus document with at
@@ -53,20 +60,25 @@ object Decontaminate {
     * 8-gram overlap in GPT-3 appx C, rather than any-hit). */
   def score(corpus: DataFrame, benchmark: DataFrame,
             text: String = "text"): DataFrame = {
+    // One aggregate instead of three passes: the per-doc denominator
+    // needs the full distinct shingle set anyway, so dedup (doc, s) once,
+    // tag each surviving shingle with broadcast benchmark membership
+    // (no extra shuffle), and take both counts in a single hash
+    // aggregate — the old shape ran the distinct lineage twice (totals +
+    // shared) and joined the two aggregates back together.
     val corpusSh = TextOps.shingles3(corpus, text)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .distinct()
     val benchSh = TextOps.shingles3(benchmark, text)
       .select(explode(col("shingles")).as("s"))
       .distinct()
-    val tot = corpusSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val shr = corpusSh.join(benchSh, "s")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    tot.join(shr, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"))
-          .as("contam"))
+    corpusSh
+      .join(benchSh.withColumn("_hit", lit(true)), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("_hit"), 1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles")).as("contam"))
   }
 
   /** The clean corpus: rows of `corpus` sharing FEWER than
