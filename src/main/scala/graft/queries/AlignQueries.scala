@@ -81,9 +81,9 @@ object AlignQueries {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val writes = Seq(
-      Future(st.refDsm.write.mode("overwrite").parquet(s"$SideRoot/ref_dsm")),
-      Future(st.tgtDsm.write.mode("overwrite").parquet(s"$SideRoot/tgt_dsm")),
-      Future(st.samples.write.mode("overwrite").parquet(s"$SideRoot/samples")))
+      Future(st.refDsm.coalesce(1).write.mode("overwrite").parquet(s"$SideRoot/ref_dsm")),
+      Future(st.tgtDsm.coalesce(1).write.mode("overwrite").parquet(s"$SideRoot/tgt_dsm")),
+      Future(st.samples.coalesce(1).write.mode("overwrite").parquet(s"$SideRoot/samples")))
     writes.foreach(Await.result(_, Duration.Inf))
     (st, Align3d.offsetStats(st, cfg))
   }

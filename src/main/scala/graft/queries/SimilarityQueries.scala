@@ -200,7 +200,7 @@ object SimilarityQueries {
         .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
       val cb = graft.similarity.Pq.train(sample, M, NC, iters = 4)
       graft.similarity.Pq.codebookDf(s, cb)
-        .write.mode("overwrite").parquet(s"$PqSideRoot/cb")
+        .coalesce(1).write.mode("overwrite").parquet(s"$PqSideRoot/cb")
       val queries = e.filter(col("vec_id") < 3).orderBy(col("vec_id"))
         .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
         .collect().map { case (id, v) => (id, v.toArray) }.toSeq
@@ -261,7 +261,7 @@ object SimilarityQueries {
         .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
       val cb = graft.similarity.Pq.train(sample, M, NC, iters = 4)
       graft.similarity.Pq.codebookDf(s, cb)
-        .write.mode("overwrite").parquet(s"$PqSideRoot/cb_ivf")
+        .coalesce(1).write.mode("overwrite").parquet(s"$PqSideRoot/cb_ivf")
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       graft.similarity.Pq.ivfPqTopK(q, t, cb, 10, nList = 16, nProbe = 4)

@@ -82,7 +82,7 @@ object SketchQueries {
       val (url, _, lang, _) = graft.ingest.WebPages.makeMeta(13L, id)
       (url, lang)
     }.toDF("url", "lang")
-      .write.mode("overwrite").parquet(s"$SideRoot/freqpages")
+      .coalesce(1).write.mode("overwrite").parquet(s"$SideRoot/freqpages")
     val p = s.read.parquet(s"$SideRoot/freqpages")
       .withColumn("item", regexp_extract(col("url"), "https://([^/]+)/", 1))
     p.groupBy("lang")

@@ -171,7 +171,7 @@ object TextQueries {
        |FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     s.range(1000L).map(id => (id, lineDoc(11L, id))).toDF("doc_id", "text")
-      .write.mode("overwrite").parquet(s"$SideRoot/linedocs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$SideRoot/linedocs")
     graft.dedup.LineDedup.dedupLines(s.read.parquet(s"$SideRoot/linedocs"))
       .orderBy(col("doc_id"))
   }

@@ -42,7 +42,7 @@ object WebQueries {
   private def stagedPages(s: org.apache.spark.sql.SparkSession) = {
     val pages = withGeo(WebPages.generate(s, N).toDF())
       .select("url", "warc_ts", "text", "lang", "lon", "lat", "z")
-    pages.write.mode("overwrite").parquet(s"$SideRoot/pages")
+    pages.coalesce(1).write.mode("overwrite").parquet(s"$SideRoot/pages")
     s.read.parquet(s"$SideRoot/pages")
   }
 
@@ -127,8 +127,8 @@ object WebQueries {
       }.toDF("url", "warc_ts", "lang")
     val seen = meta(0L, 3000L)
     val batch = meta(2000L, 5000L)
-    seen.write.mode("overwrite").parquet(s"$SideRoot/seen")
-    batch.write.mode("overwrite").parquet(s"$SideRoot/batch")
+    seen.coalesce(1).write.mode("overwrite").parquet(s"$SideRoot/seen")
+    batch.coalesce(1).write.mode("overwrite").parquet(s"$SideRoot/batch")
     graft.dedup.Incremental.newRows(
       s.read.parquet(s"$SideRoot/batch"), s.read.parquet(s"$SideRoot/seen"),
       "url", estimatedItems = 4096L, numBits = 1L << 16)
@@ -177,7 +177,7 @@ object WebQueries {
        |FROM u ORDER BY url""".stripMargin) { (s, dir) =>
     import s.implicits._
     s.range(4000L).map(id => messyUrl(99L, id)).toDF("url")
-      .write.mode("overwrite").parquet(s"$SideRoot/rawurls")
+      .coalesce(1).write.mode("overwrite").parquet(s"$SideRoot/rawurls")
     val u = s.read.parquet(s"$SideRoot/rawurls")
     u.select(col("url"),
         UrlOps.normalize(col("url")).as("norm_url"),
