@@ -89,8 +89,13 @@ object WebQueries {
          |UNION ALL SELECT -1 AS aoi_id, count(DISTINCT cell) AS n_docs FROM cells
          |UNION ALL SELECT -2 AS aoi_id, count(*) AS n_docs FROM dsm
          |ORDER BY aoi_id""".stripMargin) { (s, dir) =>
+      // pin once: the deduped page set feeds THREE summary branches
+      // (PIP hits, distinct-cell count, DSM size) whose per-branch
+      // column pruning defeats exchange reuse — the latest-capture
+      // aggregate used to run three times
       val pages = WebPages.latestCapture(stagedPages(s))
         .withColumn("doc_id", xxhash64(col("url"))) // id for the PIP output
+        .localCheckpoint(eager = true)
       val hits = SpatialJoins.pipJoin(pages
           .select(col("doc_id"), col("lon"), col("lat")), Aoi.defs)
       val withCell = pages
