@@ -22,10 +22,42 @@ object GroundObjects {
       minRegionCells: Int = 2, tileSize: Int = 64,
       // reference region cap maxCount = 10000/gsd² (shr3d.cpp:913);
       // 40000 = the cap at the standard 0.5 gsd
-      maxCount: Long = 40000L)
+      maxCount: Long = 40000L,
+      // strategy gate (lattice cells): grids at or below run the whole
+      // seed + relaxation chain in ONE task (the CCL-family dense
+      // discipline); larger grids take the tiled stencil passes. Both
+      // paths asserted equal in GroundObjectsSpec.
+      denseThreshold: Long = 1L << 20)
 
   /** Returns (gx, gy, label) for detected object cells. */
   def detect(dsm: DataFrame, bounds: Bounds, cfg: Config = Config()): DataFrame = {
+    // pin the DSM once: it feeds the seed stencil, the label packing
+    // join (tiled path), and the scanline fill — its lineage is
+    // typically a full docs scan + grid aggregate
+    val dsmP = dsm.select(col("gx").cast("long"), col("gy").cast("long"),
+      col("v").cast("int")).localCheckpoint(eager = true)
+    val objCells =
+      if (bounds.w.toLong * bounds.h <= cfg.denseThreshold)
+        relaxDense(dsmP, bounds, cfg)
+      else relaxTiled(dsmP, bounds, cfg)
+    // G2 components constrained by dz, chunk-capped at maxCount cells
+    // (the crop that bounds every downstream per-object task)
+    // pinned once: the CCL pass (a full union-find labeling) feeds both
+    // the size filter and the keep join — unpinned it ran twice
+    val labeled = ConnectedComponents.label(objCells, bounds, cfg.tileSize,
+      maxDz = Some(cfg.dzRaw), maxCount = Some(cfg.maxCount))
+      .localCheckpoint(eager = true)
+    val sized = labeled.groupBy("label").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= cfg.minRegionCells).select("label")
+    val kept = labeled.join(sized, Seq("label"), "left_semi")
+      .select("gx", "gy", "label")
+    // G5 interior fill
+    ScanlineFill(kept, dsmP, cfg.dzRaw)
+  }
+
+  /** The distributed W13 + W14 chain: one stencil shuffle per kernel
+    * pass, each relaxation round checkpointed. */
+  private def relaxTiled(dsm: DataFrame, bounds: Bounds, cfg: Config): DataFrame = {
     // W13 seeds
     val seeds = TileStencil(dsm, Kernels.BoundaryGradient(cfg.dzRaw, cfg.dh),
       bounds, cfg.tileSize)
@@ -39,23 +71,69 @@ object GroundObjects {
       TileStencil(marked, Kernels.ExtendResolve(), bounds, cfg.tileSize)
         .localCheckpoint()
     }
-    val objCells = relaxed
+    relaxed
       .filter(shiftrightunsigned(col("v").cast("long"), 17) === 1)
       .select(col("gx"), col("gy"),
         col("v").bitwiseAND(lit(0x1FFFF)).cast("int").as("v"))
-    // G2 components constrained by dz, chunk-capped at maxCount cells
-    // (the crop that bounds every downstream per-object task)
-    // pinned once: the CCL pass (a full union-find labeling) feeds both
-    // the size filter and the keep join — unpinned it ran twice
-    val labeled = ConnectedComponents.label(objCells, bounds, cfg.tileSize,
-      maxDz = Some(cfg.dzRaw), maxCount = Some(cfg.maxCount))
-      .localCheckpoint(eager = true)
-    val sized = labeled.groupBy("label").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= cfg.minRegionCells).select("label")
-    val kept = labeled.join(sized, Seq("label"), "left_semi")
-      .select("gx", "gy", "label")
-    // G5 interior fill
-    ScanlineFill(kept, dsm, cfg.dzRaw)
+  }
+
+  /** Dense single-task strategy: the SAME kernel objects evaluated over
+    * the whole gate-bounded grid in one executor task — the seed pass,
+    * the packing, and every mark/resolve round, with TileStencil's exact
+    * per-pass contract (non-void cells evaluated, nv == 0 dropped), so
+    * the output equals the tiled chain for any tiling (kernel output
+    * depends only on cell values). ~1 job instead of 7 stencil shuffles
+    * + 3 checkpoints + the packing join. */
+  private def relaxDense(dsm: DataFrame, bounds: Bounds, cfg: Config): DataFrame = {
+    val spark = dsm.sparkSession
+    import spark.implicits._
+    val w = bounds.w
+    val h = bounds.h
+    val seedK = Kernels.BoundaryGradient(cfg.dzRaw, cfg.dh)
+    val markK = Kernels.ExtendMark(cfg.dzRaw)
+    val resolveK = Kernels.ExtendResolve()
+    val rounds = cfg.extensionRounds
+    dsm.as[(Long, Long, Int)]
+      .repartition(1).mapPartitions { it =>
+        type M = java.util.HashMap[java.lang.Long, java.lang.Integer]
+        val zero: java.lang.Integer = 0
+        def pass(m: M, k: TileStencil.Kernel): M = {
+          def get(x: Int, y: Int): Int =
+            m.getOrDefault((x.toLong << 32) | y.toLong, zero).intValue()
+          val out = new M(m.size() * 2)
+          val keys = m.keySet().iterator()
+          while (keys.hasNext) {
+            val key = keys.next().longValue()
+            val nv = k(get, (key >>> 32).toInt, (key & 0xFFFFFFFFL).toInt, w, h)
+            if (nv != 0) out.put(key, nv)
+          }
+          out
+        }
+        val dsmM = new M()
+        it.foreach { case (gx, gy, v) => dsmM.put((gx << 32) | gy, v) }
+        val seeds = pass(dsmM, seedK)
+        var cur = new M(dsmM.size() * 2)
+        val dIt = dsmM.entrySet().iterator()
+        while (dIt.hasNext) {
+          val e = dIt.next()
+          val lbl = if (seeds.containsKey(e.getKey)) 1 else 0
+          cur.put(e.getKey,
+            Int.box(lbl * 131072 + e.getValue.intValue()))
+        }
+        var r = 0
+        while (r < rounds) { cur = pass(pass(cur, markK), resolveK); r += 1 }
+        val out = Array.newBuilder[(Long, Long, Int)]
+        val oIt = cur.entrySet().iterator()
+        while (oIt.hasNext) {
+          val e = oIt.next()
+          val v = e.getValue.intValue()
+          if ((v >>> 17) == 1) {
+            val key = e.getKey.longValue()
+            out += ((key >>> 32, key & 0xFFFFFFFFL, v & 0x1FFFF))
+          }
+        }
+        out.result().iterator
+      }.toDF("gx", "gy", "v")
   }
 
   /** G4 object accept/reject (pubgeo `shr3d.cpp:1037-1087`): per object,

@@ -53,6 +53,26 @@ class GroundSpec extends SparkSpec {
     assert((objs & farGround).isEmpty, s"ground mislabeled: ${objs & farGround}")
   }
 
+  test("detect: dense single-task strategy equals the tiled chain") {
+    import spark.implicits._
+    // structured scene: the box + a second offset block + pseudo-random
+    // bumps so seeds, relaxation growth, and the fill all engage
+    val rnd = new scala.util.Random(7)
+    val dsm = (for (y <- 0L until 24L; x <- 0L until 24L) yield {
+      val v =
+        if (x >= 8 && x <= 15 && y >= 8 && y <= 15) 30000
+        else if (x >= 2 && x <= 4 && y >= 18 && y <= 21) 12000
+        else 1000 + rnd.nextInt(500)
+      (x, y, v)
+    }).toDF("gx", "gy", "v")
+    def run(threshold: Long) =
+      graft.api.GroundObjects.detect(dsm, b,
+          graft.api.GroundObjects.Config(tileSize = 8,
+            denseThreshold = threshold))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(1L << 20) === run(0L))
+  }
+
   test("G4 gradient accept/reject drops low ridges, keeps real objects") {
     import spark.implicits._
     // object A: tall box (step 29000); object B: low ridge (step 800 < dz/2)
